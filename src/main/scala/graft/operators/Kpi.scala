@@ -1,0 +1,265 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** The reference's analytics core: consolidated enrichment joins + the two KPI
+  * queries (reference: ecs/transformation/transform_task.py:159-274).
+  *
+  * Numeric determinism contract: every double aggregate is computed as
+  * `SUM(CAST(x AS DECIMAL(18,4)))` then cast back to double (and divided by an
+  * exact COUNT for averages). Decimal sums are exact and order-independent, so
+  * Spark (partial/final hash agg over 32 partitions) and the single-threaded
+  * DuckDB oracle produce bit-identical doubles — float sums would drift in the
+  * last ULP depending on reduction order. This also holds on a 1000-executor
+  * cluster, where reduction order is even less deterministic.
+  *
+  * Scale notes (100 TB): the dim join (items×products) is broadcast; the
+  * fact-fact join (items×orders) shuffles on order_id — both KPI aggregations
+  * pre-aggregate map-side (partial hash agg) before the shuffle. No collect()
+  * anywhere in the plan.
+  *
+  * As-built discrepancies in the reference, deliberately not reproduced
+  * (SURVEY.md §2.2/§2.3): its compute_order_kpis references a
+  * `returned_order_flag` column that never exists on the frame it aggregates
+  * (transform_task.py:261 over df_orders_full) and joins A3's `order_date` key
+  * as `date_key` (:254 vs :266) — both would raise AnalysisException. We
+  * implement the intended DailyKPIs semantics documented in its README.md:167-175.
+  */
+object Kpi {
+
+  /** Sum of doubles with a deterministic, order-independent result. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  private val dsumSql = (x: String) =>
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Consolidated item-grain frame: order_items × products (category) ×
+    * orders (order_date, user_id, order-level return), plus 0/1 return flags.
+    * Mirrors transform_task.py:159-211 (P1 rename, P4 cast, P5 to_date,
+    * P6 optional column synthesis, J1, J2, P7 flags).
+    */
+  def consolidated(products: DataFrame, orders: DataFrame, items: DataFrame): DataFrame = {
+    val prods = products
+      .withColumnRenamed("id", "product_id_product_table")
+      .select(col("product_id_product_table"), col("category"))
+
+    val ordersDated = withOptionalReturnedAt(orders, "returned_at_order")
+      .withColumn("order_date", to_date(col("created_at")))
+      .select(col("order_id"), col("order_date"), col("user_id"), col("returned_at_order"))
+
+    val itemsCasted = withOptionalReturnedAt(items, "returned_at_item")
+      .withColumn("sale_price", col("sale_price").cast(DoubleType))
+
+    itemsCasted
+      // small dim: force broadcast — at 100 TB the fact side must never shuffle
+      // for this join (products is master data, a few MB..GB).
+      .join(broadcast(prods),
+        col("product_id") === col("product_id_product_table"), "left")
+      .drop("product_id_product_table")
+      .join(ordersDated, Seq("order_id"), "left")
+      .withColumn("returned_item_flag",
+        when(col("returned_at_item").isNotNull, 1).otherwise(0).cast(IntegerType))
+      .withColumn("returned_order_flag",
+        when(col("returned_at_order").isNotNull, 1).otherwise(0).cast(IntegerType))
+  }
+
+  /** Rename `returned_at` → `alias` when present, else synthesize a typed null
+    * (transform_task.py:175-186 feature-detects the optional column).
+    */
+  private def withOptionalReturnedAt(df: DataFrame, alias: String): DataFrame =
+    if (df.columns.contains("returned_at")) df.withColumnRenamed("returned_at", alias)
+    else df.withColumn(alias, lit(null).cast(TimestampType))
+
+  /** CategoryKPIs: per (category, order_date) revenue, item-grain average value,
+    * and item return rate (transform_task.py:213-229; README.md:148-155).
+    * `avg_order_value` is avg over *item rows* — preserved as-built (SURVEY §2.2.1).
+    */
+  def categoryKpis(consolidated: DataFrame, targetDates: Option[Seq[Date]] = None): DataFrame = {
+    val filtered = targetDates match {
+      case Some(ds) => consolidated.filter(col("order_date").isin(ds: _*))
+      case None     => consolidated
+    }
+    filtered.groupBy(col("category"), col("order_date")).agg(
+      dsum(col("sale_price")).as("daily_revenue"),
+      (dsum(col("sale_price")) / count(col("sale_price"))).as("avg_order_value"),
+      avg(col("returned_item_flag")).as("avg_return_rate"))
+  }
+
+  /** DailyKPIs: per date_key order counts, revenue, return rate, unique
+    * customers, items sold (transform_task.py:231-274 intent; README.md:167-175).
+    * Orders with no items survive the left join with revenue 0 (SURVEY §2.2.4);
+    * `total_items_sold` counts item rows by *item-level* created_at (§2.2.3).
+    */
+  def orderKpis(consolidated: DataFrame, orders: DataFrame,
+      targetDates: Option[Seq[Date]] = None): DataFrame = {
+    val ordersDated = withOptionalReturnedAt(orders, "returned_at_order")
+      .withColumn("order_date", to_date(col("created_at")))
+      .withColumn("returned_order_flag",
+        when(col("returned_at_order").isNotNull, 1).otherwise(0).cast(IntegerType))
+    val ordersFiltered = targetDates match {
+      case Some(ds) => ordersDated.filter(col("order_date").isin(ds: _*))
+      case None     => ordersDated
+    }
+
+    // A2: pre-aggregate item revenue to order grain before joining (keeps the
+    // join input small; Catalyst won't invent this).
+    val revenuePerOrder = consolidated.groupBy(col("order_id"))
+      .agg(dsum(col("sale_price")).as("order_revenue"))
+
+    val ordersWithRevenue = ordersFiltered
+      .join(revenuePerOrder, Seq("order_id"), "left")
+      .na.fill(0.0, Seq("order_revenue"))
+
+    // A3: item rows per item-level created_at date.
+    val itemsPerDate = consolidated
+      .groupBy(to_date(col("created_at")).as("date_key"))
+      .agg(count(col("order_id")).as("total_items_sold_daily"))
+
+    ordersWithRevenue
+      .groupBy(col("order_date").as("date_key"))
+      .agg(
+        countDistinct(col("order_id")).as("total_orders"),
+        dsum(col("order_revenue")).as("total_revenue"),
+        avg(col("returned_order_flag")).as("return_rate"),
+        countDistinct(col("user_id")).as("unique_customers"))
+      .join(itemsPerDate, Seq("date_key"), "left")
+      .withColumnRenamed("total_items_sold_daily", "total_items_sold")
+      .withColumn("total_items_sold", col("total_items_sold").cast(IntegerType))
+      .na.fill(0, Seq("total_items_sold"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  private def domain(s: SparkSession, d: String) =
+    (Tables.products(s, d), Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+
+  def consolidatedOf(s: SparkSession, d: String): DataFrame = {
+    val (p, o, i) = domain(s, d)
+    consolidated(p, o, i)
+  }
+
+  private val consolidatedSql =
+    s"""${Tables.domainCtes},
+       |consolidated AS (
+       |  SELECT i.order_id, i.product_id, i.sale_price,
+       |         i.returned_at AS returned_at_item, i.created_at,
+       |         p.category,
+       |         CAST(o.created_at AS DATE) AS order_date, o.user_id,
+       |         o.returned_at AS returned_at_order,
+       |         CAST(CASE WHEN i.returned_at IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS returned_item_flag,
+       |         CAST(CASE WHEN o.returned_at IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS returned_order_flag
+       |  FROM order_items i
+       |  LEFT JOIN products p ON i.product_id = p.id
+       |  LEFT JOIN orders_v o ON i.order_id = o.order_id)""".stripMargin
+
+  /** Deterministic incremental-recompute date set (F1 `isin` pruning,
+    * transform_task.py:220,240) — one week of 1996.
+    */
+  val incrementalDates: Seq[Date] =
+    (1 to 7).map(dd => Date.valueOf(f"1996-03-$dd%02d"))
+  private val incrementalDatesSql =
+    incrementalDates.map(d => s"DATE '$d'").mkString("(", ", ", ")")
+
+  private def categoryKpiSelect(where: String) =
+    s"""$consolidatedSql
+       |SELECT category, order_date,
+       |  ${dsumSql("sale_price")} AS daily_revenue,
+       |  ${dsumSql("sale_price")} / COUNT(sale_price) AS avg_order_value,
+       |  AVG(returned_item_flag) AS avg_return_rate
+       |FROM consolidated $where
+       |GROUP BY category, order_date""".stripMargin
+
+  private def orderKpiSql(where: String) =
+    s"""$consolidatedSql,
+       |orders_flagged AS (
+       |  SELECT order_id, user_id, CAST(created_at AS DATE) AS order_date,
+       |         CAST(CASE WHEN returned_at IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS returned_order_flag
+       |  FROM orders_v $where),
+       |rev AS (
+       |  SELECT order_id, ${dsumSql("sale_price")} AS order_revenue
+       |  FROM consolidated GROUP BY order_id),
+       |owr AS (
+       |  SELECT o.*, COALESCE(r.order_revenue, 0.0) AS order_revenue
+       |  FROM orders_flagged o LEFT JOIN rev r ON o.order_id = r.order_id),
+       |ipd AS (
+       |  SELECT CAST(created_at AS DATE) AS date_key,
+       |         COUNT(order_id) AS total_items_sold_daily
+       |  FROM consolidated GROUP BY 1),
+       |kpi AS (
+       |  SELECT order_date AS date_key,
+       |    COUNT(DISTINCT order_id) AS total_orders,
+       |    ${dsumSql("order_revenue")} AS total_revenue,
+       |    AVG(returned_order_flag) AS return_rate,
+       |    COUNT(DISTINCT user_id) AS unique_customers
+       |  FROM owr GROUP BY 1)
+       |SELECT k.date_key, k.total_orders, k.total_revenue, k.return_rate,
+       |       k.unique_customers,
+       |       CAST(COALESCE(i.total_items_sold_daily, 0) AS INTEGER) AS total_items_sold
+       |FROM kpi k LEFT JOIN ipd i ON k.date_key = i.date_key""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op.sql("kpi_consolidated",
+      s"""$consolidatedSql
+         |SELECT order_id, product_id, sale_price, returned_at_item, created_at,
+         |       category, order_date, user_id, returned_at_order,
+         |       returned_item_flag, returned_order_flag
+         |FROM consolidated""".stripMargin)(consolidatedOf),
+
+    Op.sql("kpi_category", categoryKpiSelect("")) { (s, d) =>
+      categoryKpis(consolidatedOf(s, d))
+    },
+
+    Op.sql("kpi_category_incremental",
+      categoryKpiSelect(s"WHERE order_date IN $incrementalDatesSql")) { (s, d) =>
+      categoryKpis(consolidatedOf(s, d), Some(incrementalDates))
+    },
+
+    Op.sql("kpi_daily", orderKpiSql("")) { (s, d) =>
+      val (_, o, _) = domain(s, d)
+      orderKpis(consolidatedOf(s, d), o)
+    },
+
+    Op.sql("kpi_daily_incremental",
+      orderKpiSql(s"WHERE CAST(created_at AS DATE) IN $incrementalDatesSql")) { (s, d) =>
+      val (_, o, _) = domain(s, d)
+      orderKpis(consolidatedOf(s, d), o, Some(incrementalDates))
+    },
+
+    Op.sql("agg_revenue_per_order",
+      s"""${Tables.domainCtes}
+         |SELECT order_id, ${dsumSql("sale_price")} AS order_revenue
+         |FROM order_items GROUP BY order_id""".stripMargin) { (s, d) =>
+      Tables.orderItems(s, d).groupBy(col("order_id"))
+        .agg(dsum(col("sale_price")).as("order_revenue"))
+    },
+
+    Op.sql("agg_items_per_date",
+      s"""${Tables.domainCtes}
+         |SELECT CAST(created_at AS DATE) AS order_date,
+         |       COUNT(order_id) AS total_items_sold_daily
+         |FROM order_items GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orderItems(s, d)
+        .groupBy(to_date(col("created_at")).as("order_date"))
+        .agg(count(col("order_id")).as("total_items_sold_daily"))
+    },
+
+    Op.sql("agg_distinct_dates",
+      s"""${Tables.domainCtes}
+         |SELECT DISTINCT CAST(created_at AS DATE) AS order_date FROM orders_v""".stripMargin) { (s, d) =>
+      // D1: date driver for incremental recompute (transform_task.py:397-399) —
+      // the only collect() in the reference pipeline; here left distributed.
+      Tables.ordersDomain(s, d)
+        .select(to_date(col("created_at")).as("order_date")).distinct()
+    },
+  )
+}
