@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Every registered operation, name-deduplicated (later modules win). */
   def allOps: Seq[Op] =
-    Kpi.ops
+    Kpi.ops ++ Quality.ops ++ Relational.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

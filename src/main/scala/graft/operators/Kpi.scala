@@ -167,7 +167,7 @@ object Kpi {
     */
   val incrementalDates: Seq[Date] =
     (1 to 7).map(dd => Date.valueOf(f"1996-03-$dd%02d"))
-  private val incrementalDatesSql =
+  val incrementalDatesSqlList: String =
     incrementalDates.map(d => s"DATE '$d'").mkString("(", ", ", ")")
 
   private def categoryKpiSelect(where: String) =
@@ -220,7 +220,7 @@ object Kpi {
     },
 
     Op.sql("kpi_category_incremental",
-      categoryKpiSelect(s"WHERE order_date IN $incrementalDatesSql")) { (s, d) =>
+      categoryKpiSelect(s"WHERE order_date IN $incrementalDatesSqlList")) { (s, d) =>
       categoryKpis(consolidatedOf(s, d), Some(incrementalDates))
     },
 
@@ -230,7 +230,7 @@ object Kpi {
     },
 
     Op.sql("kpi_daily_incremental",
-      orderKpiSql(s"WHERE CAST(created_at AS DATE) IN $incrementalDatesSql")) { (s, d) =>
+      orderKpiSql(s"WHERE CAST(created_at AS DATE) IN $incrementalDatesSqlList")) { (s, d) =>
       val (_, o, _) = domain(s, d)
       orderKpis(consolidatedOf(s, d), o, Some(incrementalDates))
     },

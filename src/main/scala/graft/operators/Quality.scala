@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Data-quality operators (reference: ecs/validation/validate_task.py).
+  *
+  * The reference validates each batch with pandas, single-node: required-column
+  * presence (validate_task.py:153-159), per-column null counts (:161-177), and
+  * cross-table referential integrity via `isin`-negation (:179-217). Re-expressed
+  * Spark-first: null counts become one distributed aggregate pass (a single
+  * partial+final HashAggregate — no per-column scans), FK checks become
+  * `left_anti` joins (broadcast for small parents, shuffled otherwise — both fine
+  * at 100 TB, where pandas would simply not run).
+  *
+  * The whole-batch accept/reject protocol (reject ALL files if any check fails,
+  * SURVEY.md §2.2.6) lives in [[graft.pipeline.Validator]]; this module is the
+  * per-check operator layer.
+  */
+object Quality {
+
+  /** V1: required-column presence — schema-level, no job needed
+    * (validate_task.py:153-159; contract :14-18).
+    */
+  def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] = {
+    val have = df.columns.toSet
+    required.filterNot(have)
+  }
+
+  /** A5: per-column null counts in ONE pass (validate_task.py:168-177 does a
+    * pandas `isnull().sum()`; here a single HashAggregate over all columns —
+    * one scan regardless of column count).
+    */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(c => count(when(col(c).isNull, lit(1))).as(s"${c}_nulls")): _*)
+
+  /** J5: distinct child keys with no matching parent (validate_task.py:179-217
+    * used pandas `~isin`; `left_anti` keeps the child distributed and lets
+    * Catalyst/AQE pick broadcast vs shuffled anti-join by parent size).
+    */
+  def fkViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .distinct()
+
+  /** First-N violation report, deterministic (the reference reports the first 5
+    * violating ids: validate_task.py:193-195).
+    */
+  def fkViolationReport(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, n: Int = 5): DataFrame =
+    fkViolations(child, childKey, parent, parentKey).orderBy(col(childKey)).limit(n)
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  private val itemCols = Seq("order_id", "product_id", "sale_price", "returned_at", "created_at")
+
+  def ops: Seq[Op] = Seq(
+    Op.sql("quality_null_counts_items",
+      s"""${Tables.domainCtes}
+         |SELECT ${itemCols.map(c => s"COUNT(CASE WHEN $c IS NULL THEN 1 END) AS ${c}_nulls").mkString(", ")}
+         |FROM order_items""".stripMargin) { (s, d) =>
+      nullCounts(Tables.orderItems(s, d), itemCols)
+    },
+
+    // Expected-clean FK: every order_items.order_id exists in orders → 0 rows.
+    Op.sql("quality_fk_items_orders",
+      s"""${Tables.domainCtes}
+         |SELECT DISTINCT i.order_id FROM order_items i
+         |WHERE NOT EXISTS (SELECT 1 FROM orders_v o WHERE o.order_id = i.order_id)""".stripMargin) { (s, d) =>
+      fkViolations(Tables.orderItems(s, d), "order_id", Tables.ordersDomain(s, d), "order_id")
+    },
+
+    Op.sql("quality_fk_items_products",
+      s"""${Tables.domainCtes}
+         |SELECT DISTINCT i.product_id FROM order_items i
+         |WHERE NOT EXISTS (SELECT 1 FROM products p WHERE p.id = i.product_id)""".stripMargin) { (s, d) =>
+      fkViolations(Tables.orderItems(s, d), "product_id", Tables.products(s, d), "id")
+    },
+
+    // Violating FK with a real payoff: events.user_id is not constrained to
+    // customers — exercises the non-empty branch + first-5 report shape.
+    Op.sql("quality_fk_report_event_users",
+      """SELECT DISTINCT e.user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+        |ORDER BY e.user_id LIMIT 5""".stripMargin) { (s, d) =>
+      fkViolationReport(Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey")
+    },
+  )
+}

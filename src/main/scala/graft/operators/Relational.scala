@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** The reference's projection / filter / set-op layer as standalone, oracle-checked
+  * operators (SURVEY.md §2.1 P1-P8, F1, U1, L1, D2).
+  *
+  * Each op is a pure Catalyst plan: projections collapse into the parquet scan
+  * (`ReadSchema` prunes columns), filters push down (`PushedFilters`), and the
+  * union is a zero-shuffle `Union` node — all verified via `.explain` at build
+  * time and all shapes that scale linearly at 100 TB.
+  */
+object Relational {
+
+  /** P1+P2+P4+P5+P7: rename → project → cast → date-derive → conditional flag,
+    * the full scalar layer of prepare_data_for_kpis
+    * (reference: ecs/transformation/transform_task.py:159-211) on the orders side.
+    */
+  def orderFlags(orders: DataFrame): DataFrame =
+    orders.select(
+      col("order_id"),
+      col("user_id").cast(LongType).as("user_id"),
+      to_date(col("created_at")).as("order_date"),
+      when(col("returned_at").isNotNull, 1).otherwise(0).cast(IntegerType)
+        .as("returned_order_flag"))
+
+  /** U1: union-all of per-part files of one logical table
+    * (reference: validate_task.py:270 `pd.concat`; transform_task.py:131 multi-path
+    * read). Spark's `Union` is metadata-only — no shuffle, parts stay partitioned.
+    */
+  def unionParts(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_ unionByName _)
+
+  /** L1 made deterministic: top-N categories by exact decimal revenue.
+    * (The reference's `show(5)` is an arbitrary-order sample; a defined ordering
+    * is the useful capability.)
+    */
+  def topCategoriesByRevenue(consolidated: DataFrame, n: Int): DataFrame =
+    consolidated.groupBy(col("category"))
+      .agg(sum(col("sale_price").cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("category"))
+      .limit(n)
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  def ops: Seq[Op] = Seq(
+    // The domain views themselves are the P1/P2 projection layer.
+    Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
+
+    Op.sql("proj_order_flags",
+      s"""${Tables.domainCtes}
+         |SELECT order_id, CAST(user_id AS BIGINT) AS user_id,
+         |       CAST(created_at AS DATE) AS order_date,
+         |       CAST(CASE WHEN returned_at IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS returned_order_flag
+         |FROM orders_v""".stripMargin) { (s, d) =>
+      orderFlags(Tables.ordersDomain(s, d))
+    },
+
+    // F1: isin date pruning on its own (transform_task.py:220,240).
+    Op.sql("filter_dates_isin",
+      s"""${Tables.domainCtes}
+         |SELECT order_id, user_id, CAST(created_at AS DATE) AS order_date
+         |FROM orders_v
+         |WHERE CAST(created_at AS DATE) IN ${Kpi.incrementalDatesSqlList}""".stripMargin) { (s, d) =>
+      Tables.ordersDomain(s, d)
+        .select(col("order_id"), col("user_id"), to_date(col("created_at")).as("order_date"))
+        .filter(col("order_date").isin(Kpi.incrementalDates: _*))
+    },
+
+    // U1: split lineitem into two disjoint part-files, union back — must equal
+    // the whole table (union-all invariance to file partitioning, SURVEY §5.2).
+    Op.sql("union_file_parts",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      unionParts(Seq(
+        li.filter(col("l_linenumber") % 2 === 0),
+        li.filter(col("l_linenumber") % 2 === 1)))
+    },
+
+    Op.sql("topn_categories",
+      s"""${Tables.domainCtes},
+         |consolidated AS (
+         |  SELECT p.category, i.sale_price
+         |  FROM order_items i LEFT JOIN products p ON i.product_id = p.id)
+         |SELECT category, CAST(SUM(CAST(sale_price AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM consolidated GROUP BY category
+         |ORDER BY revenue DESC, category LIMIT 5""".stripMargin) { (s, d) =>
+      topCategoriesByRevenue(Kpi.consolidatedOf(s, d), 5)
+    },
+  )
+}
