@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Engine-portable building blocks for the text / sketch / vector operators.
+  *
+  * Everything here is chosen so Spark and the DuckDB oracle compute
+  * BIT-IDENTICAL values:
+  *
+  *  - [[hash60]]: a 60-bit hash = first 15 hex chars of md5. Both engines have
+  *    md5; Spark decodes hex via `conv(_,16,10)`, DuckDB via a '0x' cast. 60
+  *    bits < 63 keeps it in signed-long range with no overflow semantics in
+  *    play. (Spark's native xxhash64/crc32 would be faster but have no DuckDB
+  *    twin — portability wins for the oracle-checked surface; see
+  *    perf note in Dedup.)
+  *  - [[dotDec]]/[[norm2Dec]]: element products computed in double (IEEE,
+  *    deterministic), then summed as DECIMAL(25,12) — decimal addition is
+  *    exact and order-independent, so 32-partition Spark and single-threaded
+  *    DuckDB agree to the bit, and so would a 1000-executor cluster.
+  *  - Ratios are written `CAST(int AS DOUBLE) / int` on both sides — a single
+  *    IEEE division of identical operands.
+  */
+object Portable {
+
+  /** 60-bit portable hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[hash60]]. */
+  def hash60Sql(x: String): String =
+    s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
+
+  /** Seeded variant: hash of `s || '#' || seed` — k independent hash families
+    * for MinHash from one base hash.
+    */
+  def hash60Seeded(c: Column, seed: Column): Column =
+    hash60(concat(c, lit("#"), seed.cast(StringType)))
+
+  def hash60SeededSql(x: String, seed: String): String =
+    hash60Sql(s"$x||'#'||CAST($seed AS VARCHAR)")
+
+  /** Word n-gram shingles of a (pre-split) words array, deduplicated.
+    * Caller must ensure `size(words) >= n` (Spark's `sequence(1, k)` with k<1
+    * would count DOWN; the ops filter short docs out explicitly on both sides).
+    */
+  def shingles(words: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", slice(words, i, lit(n)))))
+
+  /** DuckDB twin of [[shingles]] (1-based inclusive slices, like Spark's). */
+  def shinglesSql(ws: String, n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, len($ws)-${n - 1}), i -> array_to_string($ws[i:i+${n - 1}], ' ')))"
+
+  private val dec = DecimalType(25, 12)
+
+  /** Exact, order-independent dot product of two float-array columns. */
+  def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(dec)),
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(DecimalType(25, 12))).cast(DoubleType)
+
+  def dotDecSql(a: String, b: String): String =
+    s"CAST(list_sum([CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(25,12)) FOR x IN list_zip($a, $b)]) AS DOUBLE)"
+
+  /** Exact squared L2 norm of a float-array column. */
+  def norm2Dec(a: Column): Column =
+    aggregate(
+      transform(a, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(DecimalType(25, 12))).cast(DoubleType)
+
+  def norm2DecSql(a: String): String =
+    s"CAST(list_sum([CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(25,12)) FOR x IN $a]) AS DOUBLE)"
+
+  /** Cosine similarity, bit-identical across engines (sqrt is IEEE
+    * correctly-rounded, division is a single IEEE op).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotDec(a, b) / (sqrt(norm2Dec(a)) * sqrt(norm2Dec(b)))
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotDecSql(a, b)} / (sqrt(${norm2DecSql(a)}) * sqrt(${norm2DecSql(b)}))"
+}

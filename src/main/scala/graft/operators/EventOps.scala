@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Event-time operators over the `events` table (north-star extension;
+  * SURVEY.md §7.3 step 8). Batch-expressible so DuckDB can oracle-check them;
+  * [[graft.streaming.StreamingKpis]] runs the same shapes under Structured
+  * Streaming with watermarks.
+  *
+  * Scale: hourly rollup and user stats are single-shuffle hash aggregates;
+  * sessionization is one shuffle on user_id + an in-partition sort (Spark
+  * window functions) — the canonical distributed sessionize.
+  */
+object EventOps {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val sessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min
+
+  /** Tumbling 1-hour event-time windows per event_type — expressed with
+    * Spark's `window()` (streaming-compatible); start == date_trunc('hour').
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization: a new session starts after > 30 min idle.
+    * Deterministic ordering (ts, event_id) for equal timestamps.
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > sessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+  }
+
+  /** Per-user activity profile: one hash aggregate with a distinct. */
+  def userStats(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_type")).as("n_event_types"),
+      dsum(col("value")).as("total_value"),
+      min(col("ts")).as("first_seen"),
+      max(col("ts")).as("last_seen"))
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  private val eventsCte =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+  def ops: Seq[Op] = Seq(
+    Op.sql("events_hourly",
+      s"""WITH $eventsCte
+         |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM ev GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      hourlyRollup(Tables.events(s, d))
+    },
+
+    Op.sql("events_sessions",
+      s"""WITH $eventsCte,
+         |gapped AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > $sessionGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM gapped),
+         |numbered AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      sessionize(Tables.events(s, d))
+    },
+
+    Op.sql("events_user_stats",
+      s"""WITH $eventsCte
+         |SELECT user_id, COUNT(*) AS n_events,
+         |       COUNT(DISTINCT event_type) AS n_event_types,
+         |       ${dsumSql("value")} AS total_value,
+         |       MIN(ts) AS first_seen, MAX(ts) AS last_seen
+         |FROM ev GROUP BY user_id""".stripMargin) { (s, d) =>
+      userStats(Tables.events(s, d))
+    },
+  )
+}

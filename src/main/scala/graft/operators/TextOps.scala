@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.functions.Portable._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline, over `documents`
+  * (north-star extension; the reference has no text ops — SURVEY.md §7.3 step 8).
+  *
+  * All ops are pure narrow transformations: one parquet scan, whole-stage
+  * codegen, no shuffle, embarrassingly parallel at 100 TB. Every expression is
+  * engine-portable (see [[graft.functions.Portable]]) so each op is fully
+  * DuckDB-oracle-checked.
+  */
+object TextOps {
+
+  /** Language marker stopwords — a tiny n-gram/stopword heuristic langid.
+    * Deterministic argmax with a fixed tie-break order (en,de,es,fr).
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def markerCount(ws: Column, lang: String): Column = {
+    val set = markers.toMap.apply(lang)
+    size(filter(ws, w => w.isInCollection(set)))
+  }
+
+  private def markerCountSql(ws: String, lang: String): String = {
+    val set = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($ws, w -> w IN ($set)))"
+  }
+
+  /** Per-document token statistics (counts, distinct ratio, mean token length). */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", words(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct_tokens"),
+        (aggregate(col("ws"), lit(0), (acc, w) => acc + length(w)).cast(DoubleType)
+          / size(col("ws"))).as("avg_token_len"))
+
+  /** BPE-ish token count: words, digit runs, and single punctuation marks. */
+  val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).as("bpe_tokens"))
+
+  /** Marker-stopword language ID with deterministic tie-break. */
+  def langId(docs: DataFrame): DataFrame = {
+    val withCounts = docs
+      .withColumn("ws", words(col("text")))
+      .select(Seq(col("doc_id"), col("lang").as("lang_label")) ++
+        markers.map { case (l, _) => markerCount(col("ws"), l).as(s"${l}_ct") }: _*)
+    val Seq(en, de, es, fr) = markers.map { case (l, _) => col(s"${l}_ct") }
+    withCounts.withColumn("lang_pred",
+      when(en >= de && en >= es && en >= fr && en > 0, "en")
+        .when(de >= es && de >= fr && de > 0, "de")
+        .when(es >= fr && es > 0, "es")
+        .when(fr > 0, "fr")
+        .otherwise("unknown"))
+  }
+
+  /** Composite quality score in [0,1]: length, stopword density, lexical
+    * diversity — equal-weight mean, identical expression tree on both engines.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_tokens", size(col("ws")))
+      .select(
+        col("doc_id"),
+        least(length(col("text")).cast(DoubleType) / lit(500), lit(1).cast(DoubleType))
+          .as("len_score"),
+        (markerCount(col("ws"), "en").cast(DoubleType) * lit(5) / col("n_tokens"))
+          .as("stop_score"),
+        (size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tokens"))
+          .as("diversity_score"))
+      .withColumn("quality",
+        (least(col("stop_score"), lit(1).cast(DoubleType))
+          + col("len_score") + col("diversity_score")) / lit(3))
+
+  /** Document fingerprints: exact (hash of raw text) and normalized (hash of
+    * the sorted distinct token set — order/duplication-insensitive).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      hash60(col("text")).as("fp_exact"),
+      hash60(array_join(array_sort(array_distinct(words(col("text")))), " "))
+        .as("fp_normalized"))
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  def ops: Seq[Op] = Seq(
+    Op.sql("text_stats",
+      """SELECT doc_id, length(text) AS n_chars, len(ws) AS n_tokens,
+        |       len(list_distinct(ws)) AS n_distinct_tokens,
+        |       CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS avg_token_len
+        |FROM (SELECT doc_id, string_split(text, ' ') ws, text FROM documents)""".stripMargin) { (s, d) =>
+      textStats(Tables.documents(s, d))
+    },
+
+    Op.sql("text_token_counts",
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+         |       len(regexp_extract_all(text, '$tokenPattern')) AS bpe_tokens
+         |FROM documents""".stripMargin) { (s, d) =>
+      tokenCounts(Tables.documents(s, d))
+    },
+
+    Op.sql("text_lang_id", {
+      val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(",\n       ")
+      s"""SELECT doc_id, lang_label, en_ct, de_ct, es_ct, fr_ct,
+         |  CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+         |       WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+         |       WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+         |       WHEN fr_ct > 0 THEN 'fr'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM (SELECT doc_id, lang AS lang_label, $cts
+         |      FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents))""".stripMargin
+    }) { (s, d) => langId(Tables.documents(s, d)) },
+
+    Op.sql("text_quality",
+      s"""SELECT doc_id, len_score, stop_score, diversity_score,
+         |  (least(stop_score, CAST(1 AS DOUBLE)) + len_score + diversity_score) / 3 AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    least(CAST(length(text) AS DOUBLE) / 500, CAST(1 AS DOUBLE)) AS len_score,
+         |    CAST(${markerCountSql("ws", "en")} AS DOUBLE) * 5 / len(ws) AS stop_score,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS diversity_score
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents))""".stripMargin) { (s, d) =>
+      qualityScore(Tables.documents(s, d))
+    },
+
+    Op.sql("text_fingerprints",
+      s"""SELECT doc_id, ${hash60Sql("text")} AS fp_exact,
+         |  ${hash60Sql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fp_normalized
+         |FROM documents""".stripMargin) { (s, d) =>
+      fingerprints(Tables.documents(s, d))
+    },
+  )
+}

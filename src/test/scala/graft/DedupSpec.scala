@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Mechanism tests for the dedup / similarity family on synthetic inputs with
+  * known duplicate structure (fixture data has few real near-dups at small SF).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+    "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi", "rho", "sigma")
+
+  private def doc(seed: Int, n: Int = 50): String =
+    (0 until n).map(i => vocab((i * 7 + seed * 13 + i * i * seed) % vocab.size)).mkString(" ")
+
+  // 0 and 1 identical; 2 is a near-dup of 0 (one word changed); 3 unrelated.
+  private val base = doc(1)
+  private val near = {
+    val ws = base.split(" "); ws(25) = "CHANGED"; ws.mkString(" ")
+  }
+  private val docs = Seq(
+    (0L, base, "en", "s0", base.length.toLong),
+    (1L, base, "en", "s1", base.length.toLong),
+    (2L, near, "en", "s2", near.length.toLong),
+    (3L, doc(9), "en", "s3", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup: identical texts collapse to min doc_id") {
+    val g = Dedup.exactGroups(docs).filter($"n_copies" > 1).collect()
+    assert(g.length == 1 && g.head.getAs[Long]("canonical_id") == 0L
+      && g.head.getAs[Long]("n_copies") == 2L)
+    val survivors = Dedup.exactSurvivors(docs).collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L))) // identical: every band collides, j = 1
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 1L))).get._3 == 1.0)
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L))) // near-dup, j ≈ 0.88
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never paired
+  }
+
+  test("simhash: identical docs have distance 0; near-dups small; pairs found") {
+    val sh = Dedup.simhashDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) == sh(1L))
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+  }
+
+  test("ngram jaccard with length blocking finds the near-dup pair") {
+    val keys = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys.contains((0L, 1L)) && keys.contains((0L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  private def vec(f: Int => Double): Seq[Float] = (0 until 64).map(i => f(i).toFloat)
+  private val embs = Seq(
+    (0L, vec(i => math.sin(i + 1.0)), 0),
+    (1L, vec(i => math.sin(i + 1.0) * 1.01 + 0.001), 0), // near-dup of 0
+    (2L, vec(i => math.cos(3.0 * i + 2.0)), 1),
+    (3L, vec(i => math.sin(i + 1.0) * -1.0), 1) // antipode of 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("embedding near-dup: LSH bucket + cosine finds the near pair only") {
+    val pairs = Dedup.embeddingNearDups(embs).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos")))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(pairs.head._3 > 0.99)
+  }
+
+  test("brute-force top-k: nearest is the near-dup, self excluded, k bounded") {
+    val top = Similarity.bruteForceTopK(embs, col("vec_id") === 0L, k = 2).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSet.intersect(Set(0L)).isEmpty)
+    val first = top.find(_.getAs[Int]("rank") == 1).get
+    assert(first.getAs[Long]("neighbor_id") == 1L && first.getAs[Double]("cos") > 0.99)
+  }
+
+  test("LSH top-k returns a subset consistent with brute force on the fixture") {
+    val sf = TestSession.sf
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val bf = Similarity.bruteForceTopK(e, col("vec_id") < 3, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(e, col("vec_id") < 3, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(lsh.nonEmpty) // bucket contains some neighbors
+    // every LSH hit that brute force also ranked must agree on membership rules
+    assert(lsh.forall { case (q, n) => q != n })
+    assert(bf.forall { case (q, n) => q != n })
+  }
+}
