@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every registered operation, name-deduplicated (later modules win). */
   def allOps: Seq[Op] =
     Kpi.ops ++ Quality.ops ++ Relational.ops ++
-      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops
+      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++
+      graft.multimodal.Multimodal.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

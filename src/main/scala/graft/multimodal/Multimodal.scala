@@ -1,0 +1,129 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Multimodal column plumbing (north-star extension): image/audio/video as
+  * opaque `binary` payloads with typed metadata, processed by batched
+  * executor-side functions.
+  *
+  * The actual media codecs are STUBBED ([[decodeStub]] — this container has no
+  * image/audio libraries): the decode produces deterministic fake dimensions
+  * from the bytes. Everything around the stub is real and tested: the binary
+  * schema, the `mapPartitions` batching (the Scala analog of `mapInPandas` —
+  * the executor processes fixed-size record batches, amortizing per-batch
+  * setup like model load), frame sampling, and feature extraction, all of
+  * which survive unchanged when the stub is swapped for a real codec.
+  *
+  * Scale: payloads never shuffle — every op here is a narrow map over the
+  * scan; features (small) are what downstream joins/aggregations consume.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Int,
+      width: Int, height: Int, mean_byte: Double, entropy: Double,
+      frame_checksums: Seq[Long])
+
+  /** Synthesizes a media table from `documents` (payload = utf-8 bytes) —
+    * the fixture set has no real binaries; schema and plumbing are the point.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(lit("media/"), col("source")).as("media_type"),
+      encode(col("text"), "utf-8").as("payload"))
+
+  /** STUB decode — deterministic fake dimensions derived from the payload.
+    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings) without
+    * touching any caller: the signature is bytes → (width, height).
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    val n = payload.length
+    (64 + (n % 193), 64 + ((n * 31) % 149))
+  }
+
+  /** Evenly frame-samples a payload into `n` slices (video frame extraction
+    * shape); returns a cheap checksum per frame.
+    */
+  def frameChecksums(payload: Array[Byte], n: Int): Seq[Long] = {
+    if (payload.isEmpty) return Seq.fill(n)(0L)
+    val step = math.max(1, payload.length / n)
+    (0 until n).map { i =>
+      val from = math.min(i * step, payload.length)
+      val until = math.min(from + step, payload.length)
+      var h = 1125899906842597L // FNV-ish rolling checksum
+      var j = from
+      while (j < until) { h = 31 * h + (payload(j) & 0xff); j += 1 }
+      h
+    }
+  }
+
+  private def shannonEntropy(payload: Array[Byte]): Double = {
+    if (payload.isEmpty) return 0.0
+    val counts = new Array[Int](256)
+    payload.foreach(b => counts(b & 0xff) += 1)
+    val n = payload.length.toDouble
+    counts.filter(_ > 0).map { c =>
+      val p = c / n; -p * math.log(p) / math.log(2)
+    }.sum
+  }
+
+  /** Batched feature extraction over binary payloads — `mapPartitions` with
+    * explicit record batches of `batchSize` (the `mapInPandas` batch shape:
+    * per-batch setup happens once per batch, not once per record).
+    */
+  def extractFeatures(media: Dataset[MediaRecord], nFrames: Int = 4,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would go here (codec init, model load, ...)
+        batch.iterator.map { r =>
+          val (w, h) = decodeStub(r.payload)
+          val mean =
+            if (r.payload.isEmpty) 0.0
+            else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / r.payload.length
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h,
+            mean, shannonEntropy(r.payload), frameChecksums(r.payload, nFrames))
+        }
+      }
+    }
+  }
+
+  /** The typed media dataset from the fixture documents. */
+  def mediaDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaFromDocuments(Tables.documents(spark, dir)).as[MediaRecord]
+  }
+
+  // --------------------------------------------------------------------------
+  // Registered ops
+  // --------------------------------------------------------------------------
+
+  def ops: Seq[Op] = Seq(
+    // Catalog view: binary payload metadata — oracle-checkable (byte lengths
+    // and digests are engine-portable for utf-8 payloads).
+    Op.sql("media_catalog",
+      """SELECT doc_id, 'media/' || source AS media_type,
+        |       octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("media/"), col("source")).as("media_type"),
+        octet_length(encode(col("text"), "utf-8")).as("n_bytes"),
+        md5(col("text")).as("content_md5"))
+    },
+
+    // Feature extraction through the stubbed decode — driver records a
+    // rows-only check (not SQL-expressible; the mechanism is unit-tested).
+    Op.rowsOnly("media_features") { (s, d) =>
+      extractFeatures(mediaDataset(s, d)).toDF()
+    },
+  )
+}

@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Kpi
+import graft.sinks.KeyValueSink
+import graft.sources.Csv
+
+/** End-to-end batch pipeline (reference: Lambda coordinator + Step Function +
+  * two ECS tasks — SURVEY.md §3). The AWS control plane becomes driver-side
+  * Scala; the data plane is pure Spark plans.
+  *
+  * Layout under a root directory (the reference's S3 prefix lifecycle, §1.4):
+  * {{{
+  *   raw/products/products.csv
+  *   raw/orders/<date>/orders_part*.csv
+  *   raw/order_items/<date>/order_items_part*.csv
+  *   validated/... processed/... invalid/...   (lifecycle stages)
+  *   kpis/category_kpis/  kpis/daily_kpis/     (partitioned parquet KV sinks)
+  * }}}
+  *
+  * Stages: completeness check (O1) → validate (gate, O2) → transform →
+  * KPI upsert (S4/S5 as dynamic partition overwrite) → archive. Failures move
+  * the whole batch to invalid/ with `<name>_reason.json` manifests (§2.2.6-7);
+  * retry with backoff wraps each stage (O3).
+  */
+object Pipeline {
+
+  sealed trait Result
+  final case class Succeeded(batchDate: String, categoryRows: Long, dailyRows: Long) extends Result
+  final case class Rejected(batchDate: String, reasons: Seq[Validator.Rejection]) extends Result
+  final case class Incomplete(batchDate: String, missing: Seq[String]) extends Result
+
+  /** O3: retry with exponential backoff (reference step-function retry policy:
+    * 2 retries, 3 s interval, 2.0 backoff — here parameterized and testable).
+    */
+  def withRetry[T](attempts: Int = 3, initialDelayMs: Long = 3000, backoff: Double = 2.0)(
+      body: => T): T = {
+    var delay = initialDelayMs
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: Exception if left > 1 =>
+          left -= 1
+          Thread.sleep(delay)
+          delay = (delay * backoff).toLong
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** O1: batch completeness — products master + both fact prefixes non-empty
+    * for the date (reference lambda_function.py:198-222).
+    */
+  def completeness(spark: SparkSession, root: String, date: String): Either[Seq[String], BatchFiles] = {
+    val products = Csv.listCsv(spark, s"$root/raw/products")
+    val orders = Csv.listCsv(spark, s"$root/raw/orders/$date")
+    val items = Csv.listCsv(spark, s"$root/raw/order_items/$date")
+    val missing =
+      (if (products.isEmpty) Seq("products master data") else Nil) ++
+        (if (orders.isEmpty) Seq(s"orders for $date") else Nil) ++
+        (if (items.isEmpty) Seq(s"order_items for $date") else Nil)
+    if (missing.nonEmpty) Left(missing) else Right(BatchFiles(products, orders, items))
+  }
+
+  final case class BatchFiles(products: Seq[String], orders: Seq[String], items: Seq[String]) {
+    def all: Seq[String] = products ++ orders ++ items
+  }
+
+  /** Validation stage: per-file V1/V2/A5 + batch J5; any failure ⇒ move the
+    * ENTIRE batch to invalid/ with reason manifests and reject (§2.2.6).
+    */
+  def validate(spark: SparkSession, root: String, files: BatchFiles): Validator.Report = {
+    def typed(schema: org.apache.spark.sql.types.StructType, paths: Seq[String]) =
+      Csv.read(spark, schema, paths)
+
+    val perFile =
+      files.products.flatMap(f => Validator.validateFile(spark, f,
+        typed(Csv.productsSchema, Seq(f)), Validator.productsContract)) ++
+        files.orders.flatMap(f => Validator.validateFile(spark, f,
+          typed(Csv.ordersSchema, Seq(f)), Validator.ordersContract)) ++
+        files.items.flatMap(f => Validator.validateFile(spark, f,
+          typed(Csv.orderItemsSchema, Seq(f)), Validator.orderItemsContract))
+
+    val integrity =
+      if (perFile.nonEmpty) Nil
+      else Validator.validateIntegrity(
+        typed(Csv.productsSchema, files.products),
+        typed(Csv.ordersSchema, files.orders),
+        typed(Csv.orderItemsSchema, files.items))
+        .map(r => Validator.Rejection("<batch>", r))
+
+    Validator.Report(perFile ++ integrity)
+  }
+
+  private def rejectBatch(spark: SparkSession, root: String, files: BatchFiles,
+      report: Validator.Report): Unit = {
+    val reasons = report.rejections
+    files.all.foreach { f =>
+      Csv.moveFile(spark, s"$root/raw", s"$root/invalid", f)
+      val rel = Csv.stripScheme(f).stripPrefix(s"${Csv.stripScheme(root)}/raw/")
+      val manifest =
+        s"""{"original_key": "$f",
+           |"rejected_to": "$root/invalid/$rel",
+           |"reasons": [${reasons.map(r => "\"" + r.reason.replace("\"", "'") + "\"").mkString(", ")}],
+           |"timestamp": "${Instant.now()}"}""".stripMargin
+      Csv.writeTextFile(spark, s"$root/invalid/${rel}_reason.json", manifest)
+    }
+  }
+
+  /** Transformation stage (reference transform_task.py:349-447): load ALL
+    * validated history, compute KPIs only for the batch's new dates (D1/F1
+    * incremental recompute), upsert by date partition.
+    */
+  def transform(spark: SparkSession, root: String, newOrdersPaths: Seq[String]): (Long, Long) = {
+    // D1: distinct dates present in the NEW orders files drive the recompute.
+    val newDates = Csv.read(spark, Csv.ordersSchema, newOrdersPaths)
+      .select(to_date(col("created_at")).as("d")).distinct()
+      .collect().map(_.getDate(0)).toSeq
+    if (newDates.isEmpty) return (0L, 0L)
+
+    val products = Csv.read(spark, Csv.productsSchema,
+      Csv.listCsv(spark, s"$root/validated/products"))
+    val orders = Csv.read(spark, Csv.ordersSchema,
+      Csv.listCsv(spark, s"$root/validated/orders"))
+    val items = Csv.read(spark, Csv.orderItemsSchema,
+      Csv.listCsv(spark, s"$root/validated/order_items"))
+
+    val consolidated = Kpi.consolidated(products, orders, items)
+    val category = Kpi.categoryKpis(consolidated, Some(newDates))
+      .withColumn("date_key", col("order_date")).drop("order_date")
+    val daily = Kpi.orderKpis(consolidated, orders, Some(newDates))
+
+    KeyValueSink.upsertPartitioned(category, s"$root/kpis/category_kpis", "date_key")
+    KeyValueSink.upsertPartitioned(daily, s"$root/kpis/daily_kpis", "date_key")
+    (category.count(), daily.count())
+  }
+
+  /** Full run for one batch date. */
+  def run(spark: SparkSession, root: String, date: String): Result = {
+    completeness(spark, root, date) match {
+      case Left(missing) => Incomplete(date, missing)
+      case Right(files) =>
+        val report = validate(spark, root, files)
+        if (!report.ok) {
+          rejectBatch(spark, root, files, report)
+          Rejected(date, report.rejections)
+        } else {
+          // raw/ → validated/
+          files.all.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
+          def toValidated(f: String): String =
+            Csv.stripScheme(f).replace(s"${Csv.stripScheme(root)}/raw/",
+              s"${Csv.stripScheme(root)}/validated/")
+          val (c, d) = transform(spark, root, files.orders.map(toValidated))
+          // validated/ → processed/ (products master stays in validated/)
+          (files.orders ++ files.items).map(toValidated)
+            .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/processed", f))
+          Succeeded(date, c, d)
+        }
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (north-star extension; the reference's
+  * "real-time" is Lambda-poll micro-batching at the orchestration level —
+  * SURVEY.md §1.3 — which maps exactly to file-source streaming with
+  * `Trigger.AvailableNow`).
+  *
+  * The batch operators ([[graft.operators.EventOps]], [[graft.operators.Kpi]])
+  * and these streaming shapes share aggregation logic: Spark runs the same
+  * hash aggregates incrementally with watermark-bounded state, so correctness
+  * is established once by the batch DuckDB oracle and the streaming specs only
+  * need to assert convergence to the batch answer.
+  */
+object StreamingOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source event stream — new files under `dir` become micro-batches
+    * (the reference's batch-arrival model, S3 prefix ⇒ directory).
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Streaming hourly rollup: same shape as EventOps.hourlyRollup plus a
+    * 2-hour watermark bounding state — late events beyond it are dropped and
+    * window state is evicted, so state size is O(active windows), not O(data).
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+      last_seen: Timestamp)
+
+  /** Custom streaming state: per-user running totals via mapGroupsWithState —
+    * the KeyValueGroupedDataset stateful path for semantics windows/aggs can't
+    * express. State is one small record per user; timeout-free here (profile
+    * state lives as long as the user).
+    */
+  def userRunningStats(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, new Timestamp(0)))
+          val evs = batch.toSeq
+          val next = UserRunning(
+            userId,
+            prev.n_events + evs.size,
+            // decimal accumulation (quantized like the batch dsum's
+            // DECIMAL(18,4)) keeps the running sum exact across batches and
+            // bit-identical to the batch aggregate
+            (BigDecimal(prev.total_value) +
+              evs.map(e => BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum).toDouble,
+            evs.map(_.ts).foldLeft(prev.last_seen)((a, b) => if (b.after(a)) b else a))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drains all currently-available input and stops (the reference's
+    * poll-then-process batch trigger, as a streaming query).
+    */
+  def runAvailableNow(df: DataFrame, queryName: String, checkpoint: String,
+      outputMode: String = "complete"): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Pipeline, Validator}
+import graft.sinks.KeyValueSink
+
+/** End-to-end batch lifecycle tests (reference README.md:330-453 "Simulation
+  * Steps", automated — the reference has no tests at all, SURVEY.md §5.1).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def write(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private val productsCsv =
+    """id,sku,cost,category,retail_price
+      |1,sku1,1.0,CAT_A,2.0
+      |2,sku2,1.0,CAT_B,2.0""".stripMargin
+
+  private val ordersCsv =
+    """order_id,user_id,created_at,returned_at
+      |10,100,2024-01-01 00:00:00,
+      |20,200,2024-01-01 00:00:00,2024-01-05 00:00:00""".stripMargin
+
+  private val itemsCsv =
+    """order_id,product_id,sale_price,returned_at,created_at
+      |10,1,10.0,,2024-01-01 00:00:00
+      |10,2,30.0,2024-01-03 00:00:00,2024-01-01 00:00:00
+      |20,1,5.0,,2024-01-01 00:00:00""".stripMargin
+
+  private def setupBatch(tag: String): Path = {
+    val root = Files.createTempDirectory(s"graft-pipe-$tag")
+    write(root, "raw/products/products.csv", productsCsv)
+    write(root, "raw/orders/2024-01-01/orders_part0.csv", ordersCsv)
+    write(root, "raw/order_items/2024-01-01/order_items_part0.csv", itemsCsv)
+    root
+  }
+
+  test("happy path: validate → transform → archive; KPIs written and idempotent") {
+    val root = setupBatch("ok")
+    val r = Pipeline.run(spark, root.toString, "2024-01-01")
+    assert(r.isInstanceOf[Pipeline.Succeeded], s"got $r")
+
+    // lifecycle: raw empty, facts archived to processed/, products in validated/
+    assert(!Files.exists(root.resolve("raw/orders/2024-01-01/orders_part0.csv")))
+    assert(Files.exists(root.resolve("processed/orders/2024-01-01/orders_part0.csv")))
+    assert(Files.exists(root.resolve("validated/products/products.csv")))
+
+    val cat = KeyValueSink.readTable(spark, s"$root/kpis/category_kpis")
+    assert(cat.count() == 2) // CAT_A and CAT_B on 2024-01-01
+    val daily = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis").collect()
+    assert(daily.length == 1)
+    assert(daily.head.getAs[Long]("total_orders") == 2L)
+    assert(daily.head.getAs[Double]("total_revenue") == 45.0)
+
+    // idempotent upsert: re-running the same date overwrites, not duplicates
+    write(root, "raw/products/products.csv", productsCsv)
+    write(root, "raw/orders/2024-01-01/orders_part0.csv", ordersCsv)
+    write(root, "raw/order_items/2024-01-01/order_items_part0.csv", itemsCsv)
+    val r2 = Pipeline.run(spark, root.toString, "2024-01-01")
+    assert(r2.isInstanceOf[Pipeline.Succeeded])
+    assert(KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis").count() == 1)
+  }
+
+  test("missing required column rejects the whole batch with manifests") {
+    val root = setupBatch("badcol")
+    write(root, "raw/orders/2024-01-01/orders_part0.csv",
+      "user_id,created_at\n100,2024-01-01 00:00:00")
+    val r = Pipeline.run(spark, root.toString, "2024-01-01")
+    val rej = r.asInstanceOf[Pipeline.Rejected]
+    assert(rej.reasons.exists(_.reason.contains("Missing required columns: order_id")))
+    // whole batch (including valid products) moved to invalid/ with manifests
+    assert(Files.exists(root.resolve("invalid/products/products.csv")))
+    assert(Files.exists(root.resolve("invalid/orders/2024-01-01/orders_part0.csv")))
+    assert(Files.exists(root.resolve("invalid/products/products.csv_reason.json")))
+    assert(!Files.exists(root.resolve("validated/products/products.csv")))
+  }
+
+  test("nulls in critical columns reject the batch") {
+    val root = setupBatch("badnull")
+    write(root, "raw/orders/2024-01-01/orders_part0.csv",
+      "order_id,user_id,created_at\n10,100,\n20,200,2024-01-01 00:00:00")
+    val r = Pipeline.run(spark, root.toString, "2024-01-01")
+    val rej = r.asInstanceOf[Pipeline.Rejected]
+    assert(rej.reasons.exists(_.reason.contains("Null values in critical columns: created_at=1")))
+  }
+
+  test("referential integrity violation rejects the batch, first 5 ids reported") {
+    val root = setupBatch("badfk")
+    write(root, "raw/order_items/2024-01-01/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |99,1,5.0,,2024-01-01 00:00:00
+        |10,77,5.0,,2024-01-01 00:00:00""".stripMargin)
+    val r = Pipeline.run(spark, root.toString, "2024-01-01")
+    val rej = r.asInstanceOf[Pipeline.Rejected]
+    assert(rej.reasons.exists(_.reason.contains("order_items.order_id not in orders (first 5): 99")))
+    assert(rej.reasons.exists(_.reason.contains("order_items.product_id not in products (first 5): 77")))
+  }
+
+  test("incomplete batch reports what is missing and touches nothing") {
+    val root = Files.createTempDirectory("graft-pipe-inc")
+    write(root, "raw/products/products.csv", productsCsv)
+    val r = Pipeline.run(spark, root.toString, "2024-01-01")
+    val inc = r.asInstanceOf[Pipeline.Incomplete]
+    assert(inc.missing.toSet == Set("orders for 2024-01-01", "order_items for 2024-01-01"))
+  }
+
+  test("retry wrapper retries with backoff then succeeds") {
+    var calls = 0
+    val out = Pipeline.withRetry(attempts = 3, initialDelayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Pipeline.withRetry(attempts = 2, initialDelayMs = 1) { calls2 += 1; throw new RuntimeException("always") }
+    }
+    assert(calls2 == 2)
+  }
+
+  test("foreachPartition KV write: no driver collect, upsert semantics") {
+    import spark.implicits._
+    KeyValueSink.InMemoryStore.clear("t")
+    val df = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("date_key", "v")
+    KeyValueSink.foreachPartitionWrite(df, Seq("date_key"),
+      () => KeyValueSink.InMemoryStore.client("t"))
+    val snap = KeyValueSink.InMemoryStore.snapshot("t")
+    assert(snap.size == 2 && snap("2024-01-01")("v") == "1.0")
+    // upsert: second write with same key overwrites
+    val df2 = Seq(("2024-01-01", 9.0)).toDF("date_key", "v")
+    KeyValueSink.foreachPartitionWrite(df2, Seq("date_key"),
+      () => KeyValueSink.InMemoryStore.client("t"))
+    assert(KeyValueSink.InMemoryStore.snapshot("t")("2024-01-01")("v") == "9.0")
+  }
+}
