@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   *    twin — portability wins for the oracle-checked surface; see
   *    perf note in Dedup.)
   *  - [[dotDec]]/[[norm2Dec]]: element products computed in double (IEEE,
-  *    deterministic), then summed as DECIMAL(25,12) — decimal addition is
+  *    deterministic), then summed as DECIMAL(18,9) — decimal addition is
   *    exact and order-independent, so 32-partition Spark and single-threaded
   *    DuckDB agree to the bit, and so would a 1000-executor cluster.
   *  - Ratios are written `CAST(int AS DOUBLE) / int` on both sides — a single
@@ -32,14 +32,15 @@ object Portable {
   def hash60Sql(x: String): String =
     s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
 
-  /** Seeded variant: hash of `s || '#' || seed` — k independent hash families
-    * for MinHash from one base hash.
+  /** One 60-bit value from a 32-hex-char md5 digest column, starting at
+    * 1-based hex position `start` (use 1 and 16 for two independent halves of
+    * a single digest — the md5 is computed once, both halves are free).
     */
-  def hash60Seeded(c: Column, seed: Column): Column =
-    hash60(concat(c, lit("#"), seed.cast(StringType)))
+  def hexToLong(digest: Column, start: Int): Column =
+    conv(substring(digest, start, 15), 16, 10).cast(LongType)
 
-  def hash60SeededSql(x: String, seed: String): String =
-    hash60Sql(s"$x||'#'||CAST($seed AS VARCHAR)")
+  def hexToLongSql(digest: String, start: Int): String =
+    s"CAST(('0x'||substr($digest,$start,15)) AS BIGINT)"
 
   /** Word n-gram shingles of a (pre-split) words array, deduplicated.
     * Caller must ensure `size(words) >= n` (Spark's `sequence(1, k)` with k<1
@@ -53,25 +54,25 @@ object Portable {
   def shinglesSql(ws: String, n: Int): String =
     s"list_distinct(list_transform(generate_series(1, len($ws)-${n - 1}), i -> array_to_string($ws[i:i+${n - 1}], ' ')))"
 
-  private val dec = DecimalType(25, 12)
+  private val dec = DecimalType(18, 9)
 
   /** Exact, order-independent dot product of two float-array columns. */
   def dotDec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(dec)),
-      lit(0).cast(dec), (acc, v) => (acc + v).cast(DecimalType(25, 12))).cast(DoubleType)
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(DecimalType(18, 9))).cast(DoubleType)
 
   def dotDecSql(a: String, b: String): String =
-    s"CAST(list_sum([CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(25,12)) FOR x IN list_zip($a, $b)]) AS DOUBLE)"
+    s"CAST(list_sum([CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(18,9)) FOR x IN list_zip($a, $b)]) AS DOUBLE)"
 
   /** Exact squared L2 norm of a float-array column. */
   def norm2Dec(a: Column): Column =
     aggregate(
       transform(a, x => (x.cast(DoubleType) * x.cast(DoubleType)).cast(dec)),
-      lit(0).cast(dec), (acc, v) => (acc + v).cast(DecimalType(25, 12))).cast(DoubleType)
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(DecimalType(18, 9))).cast(DoubleType)
 
   def norm2DecSql(a: String): String =
-    s"CAST(list_sum([CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(25,12)) FOR x IN $a]) AS DOUBLE)"
+    s"CAST(list_sum([CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(18,9)) FOR x IN $a]) AS DOUBLE)"
 
   /** Cosine similarity, bit-identical across engines (sqrt is IEEE
     * correctly-rounded, division is a single IEEE op).

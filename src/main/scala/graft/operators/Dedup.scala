@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
+import graft.functions.GraftExpressions
 import graft.functions.Portable._
 import graft.sources.Tables
 
@@ -17,9 +18,19 @@ import graft.sources.Tables
   * bucket), so the all-pairs O(n²) never materializes. Exact dedup is one
   * hash-aggregate. Shingling/hashing is a narrow, codegen'd pass.
   *
-  * Portability: hashes are md5-based ([[graft.functions.Portable.hash60]]) so
-  * DuckDB verifies every op bit-for-bit. A production build would swap
-  * `hash60` for `xxhash64` (one line) — the plan shape is identical.
+  * Cost structure (measured at sf0.1 and designed for 1000×):
+  *  - each shingle is md5'd ONCE; the two 60-bit halves of that digest seed a
+  *    Kirsch-Mitzenmacher double-hashing family `h_s = (h1 + s·(h2>>4)) mod
+  *    2^60` for all k MinHash functions — k-independent hashing without k
+  *    digests (overflow-free in signed 64-bit on both engines);
+  *  - Jaccard verification intersects LONG arrays (hashed shingles), not
+  *    string arrays — 8-byte comparisons instead of variable-length;
+  *  - pair joins carry a size-ratio prefilter (`j ≥ τ` forces
+  *    `min(n)/max(n) ≥ τ`), pruning cross-size pairs before any set op.
+  *
+  * Portability: md5-based hashes ([[graft.functions.Portable]]) keep DuckDB
+  * verifying every op bit-for-bit. A production build would swap md5 for
+  * xxhash64 (one line) — the plan shape is identical.
   */
 object Dedup {
 
@@ -32,19 +43,42 @@ object Dedup {
   val hammingMax = 6
   val cosineTau = 0.4
 
-  /** doc_id + distinct word-3-gram shingle set; docs with < n words dropped
-    * (explicitly, on both engines — Spark's `sequence` would count down).
+  /** 2^60 - 1: keeps the double-hash family inside signed-64 range. */
+  val hashMask: Long = (1L << 60) - 1
+
+  // --------------------------------------------------------------------------
+  // Shingling + hashing (shared by minhash / simhash / ngram ops)
+  // --------------------------------------------------------------------------
+
+  /** doc_id, n (shingle count), h1/h2 (aligned 60-bit halves of one md5 per
+    * distinct word-3-gram shingle). The digest list is SORTED before
+    * splitting: fixed-length lowercase hex sorts lexicographically == its
+    * numeric value, so h1 comes out numerically sorted (feeding the
+    * merge-scan intersection kernel) while h2 stays aligned to the same
+    * shingle. Docs with < n words dropped explicitly on both engines
+    * (Spark's `sequence` would count down).
     */
-  def shingled(docs: DataFrame): DataFrame =
+  def hashedShingles(docs: DataFrame): DataFrame =
     docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
-      .select(col("doc_id"), shingles(col("w"), shingleN).as("sh"))
+      .select(col("doc_id"),
+        array_sort(transform(shingles(col("w"), shingleN), x => md5(x))).as("md"))
+      .select(col("doc_id"),
+        transform(col("md"), m => hexToLong(m, 1)).as("h1"),
+        transform(col("md"), m => hexToLong(m, 16)).as("h2"))
+      .withColumn("n", size(col("h1")))
 
-  private val shingledSql =
-    s"""sh AS (
-       |  SELECT doc_id, ${shinglesSql("w", shingleN)} AS sh
+  private val hashedShinglesSql =
+    s"""hmd AS (
+       |  SELECT doc_id, list_sort(list_transform(${shinglesSql("w", shingleN)}, x -> md5(x))) AS md
        |  FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
-       |  WHERE len(w) >= $shingleN)""".stripMargin
+       |  WHERE len(w) >= $shingleN),
+       |hh AS (
+       |  SELECT doc_id,
+       |         list_transform(md, m -> ${hexToLongSql("m", 1)}) AS h1,
+       |         list_transform(md, m -> ${hexToLongSql("m", 16)}) AS h2,
+       |         len(md) AS n
+       |  FROM hmd)""".stripMargin
 
   // --------------------------------------------------------------------------
   // Exact dedup
@@ -65,19 +99,25 @@ object Dedup {
   // MinHash + LSH
   // --------------------------------------------------------------------------
 
-  /** k min-hashes per doc from one seeded hash family. */
-  def minhashSignatures(shingled: DataFrame): DataFrame =
-    shingled.withColumn("sig",
+  /** k min-hashes per doc from the double-hashing family. */
+  def minhashSignatures(hs: DataFrame): DataFrame =
+    hs.withColumn("sig",
       transform(sequence(lit(0), lit(minhashK - 1)),
-        s => array_min(transform(col("sh"), x => hash60Seeded(x, s)))))
+        s => array_min(zip_with(col("h1"), col("h2"),
+          (a, b) => (a + s.cast(LongType) * shiftright(b, 4)).bitwiseAND(lit(hashMask))))))
 
   /** Near-dup pairs: band-bucket candidates, then exact shingle-Jaccard ≥ τ.
     * Band join keys are tiny strings → the candidate join shuffles only
-    * (doc_id, band_key), and verification re-joins shingle sets by doc_id.
+    * (doc_id, band_key); verification re-joins hashed shingle sets by doc_id.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sh = shingled(docs)
-    val bands = minhashSignatures(sh)
+    GraftExpressions.register(docs.sparkSession)
+    // persisted: the signature pass and the verify join both consume the
+    // hashed shingles — without the cache the scan+shingle+md5 subtree runs
+    // three times (bands + both verify sides). MEMORY_AND_DISK spills cleanly
+    // on a real cluster.
+    val hs = hashedShingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = minhashSignatures(hs)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(minhashBands - 1)),
           b => concat_ws(",",
@@ -90,33 +130,32 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, sh, jaccardTau)
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("h1").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("h1").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("inter", GraftExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardFromInter(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardTau)
   }
 
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, tau: Double): DataFrame =
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b")))
-          / size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= tau)
-
-  private def jaccardSql(a: String, b: String): String =
-    s"len(list_intersect($a, $b)) / len(list_distinct(list_concat($a, $b)))"
+  /** |A∩B| / (|A|+|B|−|A∩B|): one intersection instead of intersect+union —
+    * valid because the hashed shingle arrays are sets.
+    */
+  private def jaccardFromInter(inter: Column, na: Column, nb: Column): Column =
+    inter / (na + nb - inter)
 
   // --------------------------------------------------------------------------
   // SimHash
   // --------------------------------------------------------------------------
 
-  /** 32-bit SimHash over the shingle set: bit j is the sign of Σ ±1 weighted
-    * by bit j of each shingle's hash. Computed from ONE hash pass over the
-    * shingles (`hs` is materialized once per row, then 32 cheap bit-aggregates).
+  /** 32-bit SimHash over the hashed shingle set: bit j is the sign of Σ ±1
+    * weighted by bit j of each shingle's h1. One hash pass, then 32 cheap
+    * bit-aggregates over the materialized h1 array.
     */
   def simhashDocs(docs: DataFrame): DataFrame =
-    shingled(docs)
-      .withColumn("hs", transform(col("sh"), x => hash60(x)))
-      .select(col("doc_id"), simhashOf(col("hs")).as("simhash"))
+    hashedShingles(docs)
+      .select(col("doc_id"), simhashOf(col("h1")).as("simhash"))
 
   private def simhashOf(hs: Column): Column =
     (0 until simhashBits).map { j =>
@@ -127,21 +166,20 @@ object Dedup {
 
   private val simhashOfSql: String =
     (0 until simhashBits).map { j =>
-      s"(CASE WHEN list_sum([CASE WHEN (h>>$j)&1=1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN list_sum([CASE WHEN (h>>$j)&1=1 THEN 1 ELSE -1 END FOR h IN h1]) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
   private val simhashDocsSql =
-    s"""$shingledSql,
-       |hsd AS (SELECT doc_id, list_transform(sh, x -> ${hash60Sql("x")}) hs FROM sh),
-       |simdocs AS (SELECT doc_id, $simhashOfSql AS simhash FROM hsd)""".stripMargin
+    s"""$hashedShinglesSql,
+       |simdocs AS (SELECT doc_id, $simhashOfSql AS simhash FROM hh)""".stripMargin
 
-  /** Near-dup pairs by SimHash: block on each of the 4 bytes (any byte equal →
-    * candidate; Hamming ≤ 6 over 32 bits guarantees some equal byte when split
-    * 4-way only for ≤3 — bands are a recall/cost dial, as with MinHash),
-    * verify with exact Hamming distance.
+  /** Near-dup pairs by SimHash: block on each of the 4 bytes (bands are a
+    * recall/cost dial, as with MinHash), verify with exact Hamming distance.
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sd = simhashDocs(docs)
+    // persisted: the self-join would otherwise run the full shingle+hash+
+    // 32-bit-aggregate subtree once per side.
+    val sd = simhashDocs(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sd.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*)))
@@ -160,19 +198,24 @@ object Dedup {
   // --------------------------------------------------------------------------
 
   /** Direct shingle-Jaccard ≥ 0.5 restricted to same length-bucket
-    * (`length div 50`) — near-dups rarely differ much in length, so blocking
-    * keeps the pair space linear-ish.
+    * (`length div 50`) AND compatible set sizes (j ≥ 0.5 forces
+    * min(n)/max(n) ≥ 0.5 — the ratio prefilter prunes pairs with two int
+    * compares before any array op runs).
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = docs.withColumn("w", split(col("text"), " "))
+    GraftExpressions.register(docs.sparkSession)
+    val hs = docs.withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
-      .select(col("doc_id"), (length(col("text")).cast(LongType) / lit(50L)).cast(LongType).as("bucket"),
-        shingles(col("w"), shingleN).as("sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"),
+        (length(col("text")).cast(LongType) / lit(50L)).cast(LongType).as("bucket"),
+        array_sort(transform(shingles(col("w"), shingleN), x => hexToLong(md5(x), 1))).as("sh"))
+      .withColumn("n", size(col("sh")))
+    hs.as("a").join(hs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
+      .withColumn("inter", GraftExpressions.sortedIntersectCount(col("a.sh"), col("b.sh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh")))
-          / size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+        jaccardFromInter(col("inter"), col("a.n"), col("b.n")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -183,34 +226,64 @@ object Dedup {
   /** Integer hyperplane coefficients — exact in both engines. */
   def planeCoefs(p: Int): Seq[Int] = (0 until 64).map(i => ((i * 31 + p * 17) % 7) - 3)
 
-  /** 8-bit sign-projection LSH bucket of an embedding. Decimal-exact dot
-    * products → the sign (hence the bucket) is identical on every engine.
+  /** 8-bit sign-projection LSH bucket of an embedding. Exact integer dot
+    * products over the quantized grid → the sign (hence the bucket) is
+    * identical on every engine.
     */
   def lshBucket(emb: Column): Column =
     (0 until 8).map { p =>
       val dot = aggregate(
         zip_with(emb, typedLit(planeCoefs(p)),
-          (x, c) => (x.cast(DoubleType) * c.cast(DoubleType)).cast(DecimalType(25, 12))),
-        lit(0).cast(DecimalType(25, 12)), (acc, v) => (acc + v).cast(DecimalType(25, 12)))
+          (x, c) => c.cast(LongType) * floor(x.cast(DoubleType) * lit(GraftExpressions.Quant))),
+        lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   def lshBucketSql(emb: String): String =
     (0 until 8).map { p =>
       val coefs = planeCoefs(p).mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum([CAST(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE) AS DECIMAL(25,12)) FOR x IN list_zip($emb, $coefs)]) > 0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN list_sum([x[2] * ${GraftExpressions.quantSql("x[1]")} FOR x IN list_zip($emb, $coefs)]) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** vec_id, embedding, bucket, and the quantized squared norm — computed
+    * ONCE per vector, not once per pair (norms are half the cost of a naive
+    * cosine).
+    */
+  def bucketedWithNorm(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    embs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding")).as("bucket"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+  }
+
+  val bucketedWithNormSql: String =
+    s"""bv AS (
+       |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+       |         ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings)""".stripMargin
+
+  /** Quantized cosine from a precomputed-norm pair — single codegen'd integer
+    * dot + two IEEE sqrt/divide ops.
+    */
+  def cosQ(embA: Column, embB: Column, n2A: Column, n2B: Column): Column =
+    GraftExpressions.qdot(embA, embB).cast(DoubleType) /
+      (sqrt(n2A.cast(DoubleType)) * sqrt(n2B.cast(DoubleType)))
+
+  def cosQSql(a: String, b: String): String =
+    s"CAST(${GraftExpressions.qdotSql(s"$a.embedding", s"$b.embedding")} AS DOUBLE)" +
+      s" / (sqrt(CAST($a.n2 AS DOUBLE)) * sqrt(CAST($b.n2 AS DOUBLE)))"
+
   /** Embedding near-dup: candidates share an LSH bucket, verified by exact
-    * cosine ≥ τ. (Recall < 1 by construction — the scale path; brute-force
-    * cosine is [[Similarity.bruteForceTopK]] for bounded query sets.)
+    * quantized cosine ≥ τ. (Recall < 1 by construction — the scale path;
+    * brute-force cosine is [[Similarity.bruteForceTopK]] for bounded query
+    * sets.)
     */
   def embeddingNearDups(embs: DataFrame): DataFrame = {
-    val b = embs.select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+    val b = bucketedWithNorm(embs)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        cosQ(col("a.embedding"), col("b.embedding"), col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") >= cosineTau)
   }
 
@@ -230,14 +303,13 @@ object Dedup {
       exactSurvivors(Tables.documents(s, d))
     },
 
-    Op.sql("dedup_minhash_pairs", {
-      val seeded = hash60SeededSql("x", "s")
-      s"""WITH $shingledSql,
+    Op.sql("dedup_minhash_pairs",
+      s"""WITH $hashedShinglesSql,
          |sig AS (
-         |  SELECT doc_id, sh,
+         |  SELECT doc_id, h1,
          |    list_transform(generate_series(0, ${minhashK - 1}),
-         |      s -> list_min(list_transform(sh, x -> $seeded))) AS sg
-         |  FROM sh),
+         |      s -> list_min([(x[1] + s*(x[2]>>4)) & $hashMask FOR x IN list_zip(h1, h2)])) AS sg
+         |  FROM hh),
          |bands AS (
          |  SELECT doc_id, b,
          |    array_to_string(list_transform(sg[b*$minhashRows+1:b*$minhashRows+$minhashRows], v -> CAST(v AS VARCHAR)), ',') bk
@@ -245,10 +317,13 @@ object Dedup {
          |cand AS (
          |  SELECT DISTINCT a.doc_id da, b.doc_id db
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT da AS doc_a, db AS doc_b, ${jaccardSql("x.sh", "y.sh")} AS jaccard
-         |FROM cand JOIN sh x ON x.doc_id = da JOIN sh y ON y.doc_id = db
-         |WHERE ${jaccardSql("x.sh", "y.sh")} >= $jaccardTau""".stripMargin
-    }) { (s, d) => minhashPairs(Tables.documents(s, d)) },
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT da AS doc_a, db AS doc_b,
+         |         len(list_intersect(x.h1, y.h1)) / (x.n + y.n - len(list_intersect(x.h1, y.h1))) AS jaccard
+         |  FROM cand JOIN hh x ON x.doc_id = da JOIN hh y ON y.doc_id = db)
+         |WHERE jaccard >= $jaccardTau""".stripMargin) { (s, d) =>
+      minhashPairs(Tables.documents(s, d))
+    },
 
     Op.sql("dedup_simhash_docs",
       s"""WITH $simhashDocsSql
@@ -271,22 +346,25 @@ object Dedup {
     Op.sql("dedup_ngram_jaccard",
       s"""WITH shb AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) // 50 AS bucket,
-         |         ${shinglesSql("w", shingleN)} AS sh
+         |         list_transform(${shinglesSql("w", shingleN)}, x -> ${hexToLongSql("md5(x)", 1)}) AS sh
          |  FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
-         |  WHERE len(w) >= $shingleN)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${jaccardSql("a.sh", "b.sh")} AS jaccard
-         |FROM shb a JOIN shb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE ${jaccardSql("a.sh", "b.sh")} >= 0.5""".stripMargin) { (s, d) =>
+         |  WHERE len(w) >= $shingleN),
+         |shn AS (SELECT doc_id, bucket, sh, len(sh) AS n FROM shb)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.sh, b.sh)) / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+         |  FROM shn a JOIN shn b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
+         |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
       ngramJaccardPairs(Tables.documents(s, d))
     },
 
     Op.sql("dedup_embedding_cosine",
-      s"""WITH bv AS (
-         |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       ${cosineSql("a.embedding", "b.embedding")} AS cos
-         |FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $cosineTau""".stripMargin) { (s, d) =>
+      s"""WITH $bucketedWithNormSql
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosQSql("a", "b")} AS cos
+         |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos >= $cosineTau""".stripMargin) { (s, d) =>
       embeddingNearDups(Tables.embeddings(s, d))
     },
   )
