@@ -97,8 +97,15 @@ object Kpi {
     * customers, items sold (transform_task.py:231-274 intent; README.md:167-175).
     * Orders with no items survive the left join with revenue 0 (SURVEY §2.2.4);
     * `total_items_sold` counts item rows by *item-level* created_at (§2.2.3).
+    *
+    * Takes the RAW items frame, not the consolidated one: the reference
+    * derives A2/A3 from its fully-joined frame (transform_task.py:244,254),
+    * but neither aggregate reads any joined column, and the dim keys are
+    * unique so the left joins never change cardinality — identical results,
+    * two fewer scans of the fact table plus no join work. At 100 TB that is
+    * the difference between 2 and 4 passes over the largest table.
     */
-  def orderKpis(consolidated: DataFrame, orders: DataFrame,
+  def orderKpis(orders: DataFrame, items: DataFrame,
       targetDates: Option[Seq[Date]] = None): DataFrame = {
     val ordersDated = withOptionalReturnedAt(orders, "returned_at_order")
       .withColumn("order_date", to_date(col("created_at")))
@@ -109,9 +116,11 @@ object Kpi {
       case None     => ordersDated
     }
 
+    val itemsCast = items.withColumn("sale_price", col("sale_price").cast(DoubleType))
+
     // A2: pre-aggregate item revenue to order grain before joining (keeps the
     // join input small; Catalyst won't invent this).
-    val revenuePerOrder = consolidated.groupBy(col("order_id"))
+    val revenuePerOrder = itemsCast.groupBy(col("order_id"))
       .agg(dsum(col("sale_price")).as("order_revenue"))
 
     val ordersWithRevenue = ordersFiltered
@@ -119,7 +128,7 @@ object Kpi {
       .na.fill(0.0, Seq("order_revenue"))
 
     // A3: item rows per item-level created_at date.
-    val itemsPerDate = consolidated
+    val itemsPerDate = itemsCast
       .groupBy(to_date(col("created_at")).as("date_key"))
       .agg(count(col("order_id")).as("total_items_sold_daily"))
 
@@ -180,21 +189,21 @@ object Kpi {
        |GROUP BY category, order_date""".stripMargin
 
   private def orderKpiSql(where: String) =
-    s"""$consolidatedSql,
+    s"""${Tables.domainCtes},
        |orders_flagged AS (
        |  SELECT order_id, user_id, CAST(created_at AS DATE) AS order_date,
        |         CAST(CASE WHEN returned_at IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS returned_order_flag
        |  FROM orders_v $where),
        |rev AS (
        |  SELECT order_id, ${dsumSql("sale_price")} AS order_revenue
-       |  FROM consolidated GROUP BY order_id),
+       |  FROM order_items GROUP BY order_id),
        |owr AS (
        |  SELECT o.*, COALESCE(r.order_revenue, 0.0) AS order_revenue
        |  FROM orders_flagged o LEFT JOIN rev r ON o.order_id = r.order_id),
        |ipd AS (
        |  SELECT CAST(created_at AS DATE) AS date_key,
        |         COUNT(order_id) AS total_items_sold_daily
-       |  FROM consolidated GROUP BY 1),
+       |  FROM order_items GROUP BY 1),
        |kpi AS (
        |  SELECT order_date AS date_key,
        |    COUNT(DISTINCT order_id) AS total_orders,
@@ -225,14 +234,14 @@ object Kpi {
     },
 
     Op.sql("kpi_daily", orderKpiSql("")) { (s, d) =>
-      val (_, o, _) = domain(s, d)
-      orderKpis(consolidatedOf(s, d), o)
+      val (_, o, i) = domain(s, d)
+      orderKpis(o, i)
     },
 
     Op.sql("kpi_daily_incremental",
       orderKpiSql(s"WHERE CAST(created_at AS DATE) IN $incrementalDatesSqlList")) { (s, d) =>
-      val (_, o, _) = domain(s, d)
-      orderKpis(consolidatedOf(s, d), o, Some(incrementalDates))
+      val (_, o, i) = domain(s, d)
+      orderKpis(o, i, Some(incrementalDates))
     },
 
     Op.sql("agg_revenue_per_order",

@@ -133,7 +133,7 @@ object Pipeline {
     val consolidated = Kpi.consolidated(products, orders, items)
     val category = Kpi.categoryKpis(consolidated, Some(newDates))
       .withColumn("date_key", col("order_date")).drop("order_date")
-    val daily = Kpi.orderKpis(consolidated, orders, Some(newDates))
+    val daily = Kpi.orderKpis(orders, items, Some(newDates))
 
     KeyValueSink.upsertPartitioned(category, s"$root/kpis/category_kpis", "date_key")
     KeyValueSink.upsertPartitioned(daily, s"$root/kpis/daily_kpis", "date_key")

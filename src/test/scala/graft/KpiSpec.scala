@@ -68,7 +68,7 @@ class KpiSpec extends AnyFunSuite {
   }
 
   test("daily KPIs: itemless orders count; items counted as rows by item date (§2.2.3/4)") {
-    val k = Kpi.orderKpis(Kpi.consolidated(products, orders, items), orders).cache()
+    val k = Kpi.orderKpis(orders, items).cache()
     val d1 = k.filter($"date_key" === Date.valueOf("2024-01-01")).head()
     // orders 10 and 20 on day 1; order 20 has no items → revenue 0 survives
     assert(d1.getAs[Long]("total_orders") == 2L)
