@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Every registered operation, name-deduplicated (later modules win). */
   def allOps: Seq[Op] =
-    Kpi.ops ++ Quality.ops ++ Relational.ops ++
+    Kpi.ops ++ Quality.ops ++ Relational.ops ++ Analytics.ops ++
       TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++
       graft.multimodal.Multimodal.ops
 

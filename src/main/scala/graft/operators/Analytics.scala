@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Analytics operators beyond the reference's inventory (it has no sorts,
+  * windows, or grouping sets — SURVEY.md §2.1 coverage notes): multi-level
+  * aggregation, windowed trends, and the approximate-distinct variant that
+  * replaces exact countDistinct at 100 TB.
+  */
+object Analytics {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Category revenue with ROLLUP subtotals: (category, date), per-category,
+    * and grand total in ONE pass — Catalyst expands grouping sets without
+    * rescanning the fact table.
+    */
+  def categoryRollup(consolidated: DataFrame): DataFrame =
+    consolidated
+      .rollup(col("category"), col("order_date"))
+      .agg(dsum(col("sale_price")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Per-category daily revenue trends: rank within each date and a 7-row
+    * moving average along each category's time series — one shuffle, then
+    * in-partition sorted window evaluation.
+    */
+  def categoryTrends(consolidated: DataFrame): DataFrame = {
+    val daily = consolidated.groupBy(col("category"), col("order_date"))
+      .agg(dsum(col("sale_price")).as("revenue"))
+    val byDate = Window.partitionBy("order_date")
+      .orderBy(col("revenue").desc, col("category"))
+    val trail = Window.partitionBy("category").orderBy("order_date")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("rank_in_date", rank().over(byDate))
+      .withColumn("trailing7_avg",
+        (sum(col("revenue").cast(DecimalType(18, 4))).over(trail).cast(DoubleType)
+          / count(lit(1)).over(trail)))
+  }
+
+  /** The 100 TB variant of A4's exact countDistinct: HyperLogLog++ sketches
+    * merge associatively, so uniques come from the same single shuffle as the
+    * other aggregates instead of a distinct-expand. Not oracle-comparable
+    * (approximate by design) — accuracy is spec-tested against the exact op.
+    */
+  def dailyUniquesApprox(orders: DataFrame, rsd: Double = 0.05): DataFrame =
+    orders
+      .withColumn("order_date", to_date(col("created_at")))
+      .groupBy(col("order_date"))
+      .agg(
+        approx_count_distinct(col("order_id"), rsd).as("total_orders_approx"),
+        approx_count_distinct(col("user_id"), rsd).as("unique_customers_approx"))
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  def ops: Seq[Op] = Seq(
+    Op.sql("analytics_category_rollup",
+      s"""${Tables.domainCtes},
+         |c AS (
+         |  SELECT p.category, CAST(o.created_at AS DATE) AS order_date, i.sale_price
+         |  FROM order_items i
+         |  LEFT JOIN products p ON i.product_id = p.id
+         |  LEFT JOIN orders_v o ON i.order_id = o.order_id)
+         |SELECT category, order_date, ${dsumSql("sale_price")} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM c GROUP BY ROLLUP (category, order_date)""".stripMargin) { (s, d) =>
+      categoryRollup(Kpi.consolidatedOf(s, d))
+    },
+
+    Op.sql("analytics_category_trends",
+      s"""${Tables.domainCtes},
+         |c AS (
+         |  SELECT p.category, CAST(o.created_at AS DATE) AS order_date, i.sale_price
+         |  FROM order_items i
+         |  LEFT JOIN products p ON i.product_id = p.id
+         |  LEFT JOIN orders_v o ON i.order_id = o.order_id),
+         |daily AS (
+         |  SELECT category, order_date, ${dsumSql("sale_price")} AS revenue
+         |  FROM c GROUP BY category, order_date)
+         |SELECT category, order_date, revenue,
+         |  RANK() OVER (PARTITION BY order_date ORDER BY revenue DESC, category) AS rank_in_date,
+         |  CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS trailing7_avg
+         |FROM daily
+         |WINDOW w7 AS (PARTITION BY category ORDER BY order_date
+         |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      categoryTrends(Kpi.consolidatedOf(s, d))
+    },
+
+    // Approximate — driver records a rows-only check; accuracy is spec-tested.
+    Op.rowsOnly("analytics_daily_uniques_approx") { (s, d) =>
+      dailyUniquesApprox(Tables.ordersDomain(s, d))
+    },
+  )
+}

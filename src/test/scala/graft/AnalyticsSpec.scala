@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Kpi}
+import graft.sources.Tables
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("rollup: grand total equals sum of leaf rows") {
+    val r = Analytics.categoryRollup(Kpi.consolidatedOf(spark, TestSession.sf)).cache()
+    val leaves = r.filter($"category".isNotNull && $"order_date".isNotNull)
+    val grand = r.filter($"category".isNull && $"order_date".isNull).head()
+    val leafSum = leaves.agg(org.apache.spark.sql.functions.sum($"n_items")).head().getLong(0)
+    assert(grand.getAs[Long]("n_items") == leafSum)
+  }
+
+  test("trends: rank 1 is the max-revenue category of each date") {
+    val t = Analytics.categoryTrends(Kpi.consolidatedOf(spark, TestSession.sf)).cache()
+    val top = t.filter($"rank_in_date" === 1).select("order_date", "revenue")
+    val max = t.groupBy("order_date")
+      .agg(org.apache.spark.sql.functions.max($"revenue").as("revenue"))
+    assert(top.exceptAll(max).isEmpty)
+  }
+
+  test("approx uniques within 15% of exact counts per date") {
+    val approx = Analytics.dailyUniquesApprox(Tables.ordersDomain(spark, TestSession.sf))
+      .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.ordersDomain(spark, TestSession.sf)
+      .withColumn("order_date", org.apache.spark.sql.functions.to_date($"created_at"))
+      .groupBy("order_date")
+      .agg(org.apache.spark.sql.functions.countDistinct($"order_id").as("o"),
+        org.apache.spark.sql.functions.countDistinct($"user_id").as("u"))
+      .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (d, (o, u)) =>
+      val (ao, au) = approx(d)
+      assert(math.abs(ao - o).toDouble / o <= 0.15, s"orders off at $d: $ao vs $o")
+      assert(math.abs(au - u).toDouble / u <= 0.15, s"users off at $d: $au vs $u")
+    }
+  }
+}
