@@ -36,6 +36,23 @@ object Relational {
   def unionParts(parts: Seq[DataFrame]): DataFrame =
     parts.reduce(_ unionByName _)
 
+  /** Skew-mitigating left equi-join: each left row gets one of `buckets`
+    * salts, the (small) right side is replicated once per salt, and the join
+    * key becomes (key, salt) — a single hot key spreads over `buckets`
+    * reducers instead of one straggler. Result is row-identical to the plain
+    * join. (AQE's skew-join handles most cases at runtime; this is the
+    * explicit tool for the pathological ones AQE can't split, e.g. one key
+    * with billions of rows.)
+    */
+  def saltedLeftJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt"), "left").drop("_salt")
+  }
+
   /** L1 made deterministic: top-N categories by exact decimal revenue.
     * (The reference's `show(5)` is an arbitrary-order sample; a defined ordering
     * is the useful capability.)

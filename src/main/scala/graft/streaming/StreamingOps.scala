@@ -91,4 +91,34 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The reference's incremental-recompute loop as a streaming query
+    * (SURVEY.md §2.2.5): each micro-batch of newly-arrived order files drives
+    * a date-scoped KPI recompute over the full static tables, upserted by
+    * dynamic partition overwrite. Recomputing a date is idempotent, so
+    * at-least-once micro-batch semantics still yield exactly-once KPI rows —
+    * the same argument the reference makes for its DynamoDB put-item upserts.
+    */
+  def incrementalDailyKpis(spark: SparkSession, ordersStreamDir: String,
+      staticOrders: DataFrame, staticItems: DataFrame,
+      kpiPath: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(graft.sources.Csv.ordersSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(ordersStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // D1 on the micro-batch only: the arrived files' dates drive recompute.
+        val dates = batch.select(to_date(col("created_at")).as("d"))
+          .distinct().collect().map(_.getDate(0)).toSeq
+        if (dates.nonEmpty) {
+          val daily = graft.operators.Kpi.orderKpis(staticOrders, staticItems, Some(dates))
+          graft.sinks.KeyValueSink.upsertPartitioned(daily, kpiPath, "date_key")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

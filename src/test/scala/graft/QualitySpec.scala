@@ -44,6 +44,16 @@ class QualitySpec extends AnyFunSuite {
     assert(parts.exceptAll(whole).isEmpty && whole.exceptAll(parts).isEmpty)
   }
 
+  test("salted join equals plain join on skewed data") {
+    val skewed = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, i))
+      .toDF("k", "v") // 90% of rows share key 1
+    val dim = Seq((1L, "hot"), (460L, "cold")).toDF("k", "name")
+    val salted = Relational.saltedLeftJoin(skewed, dim, "k", 8)
+    val plain = skewed.join(dim, Seq("k"), "left")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == 500)
+  }
+
   test("top-N is deterministic under ties (revenue desc, category asc)") {
     val c = Seq(("a", 1.0), ("b", 1.0), ("c", 2.0)).toDF("category", "sale_price")
     val top = Relational.topCategoriesByRevenue(c, 2).collect().map(_.getString(0))

@@ -33,6 +33,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("incremental streaming KPI upsert converges to the batch answer") {
+    import graft.operators.Kpi
+    import graft.sources.Tables
+    val sf = TestSession.sf
+    val ordersDir = Files.createTempDirectory("graft-orders-in").toString
+    val kpiPath = Files.createTempDirectory("graft-kpi-out").toString + "/daily"
+    val orders = Tables.ordersDomain(spark, sf)
+    val items = Tables.orderItems(spark, sf)
+    // two "arrival waves" of order files → at least two micro-batches
+    orders.filter(col("order_id") % 2 === 0).write.mode("append").parquet(ordersDir)
+    orders.filter(col("order_id") % 2 === 1).write.mode("append").parquet(ordersDir)
+    val staticOrders = spark.read.schema(graft.sources.Csv.ordersSchema).parquet(ordersDir)
+    val q = StreamingOps.incrementalDailyKpis(spark, ordersDir, staticOrders, items,
+      kpiPath, Files.createTempDirectory("graft-ckpt3").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    val streamed = spark.read.parquet(kpiPath)
+      .select("date_key", "total_orders", "total_revenue", "return_rate",
+        "unique_customers", "total_items_sold")
+    val batch = Kpi.orderKpis(staticOrders, items)
+      .select("date_key", "total_orders", "total_revenue", "return_rate",
+        "unique_customers", "total_items_sold")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("mapGroupsWithState running user stats equal batch per-user totals") {
     import spark.implicits._
     val dir = stageEvents()
