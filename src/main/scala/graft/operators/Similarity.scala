@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Op
-import graft.functions.GraftExpressions
+import graft.functions.{GraftExpressions, Scored, TopKAggregator}
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -65,11 +65,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[bruteForceTopK]] recomputed through the bounded [[TopKAggregator]]:
+    * identical results (same score, same tie-break), but candidates reduce to
+    * ≤ k per task map-side before any shuffle — the formulation that survives
+    * a 100 TB corpus where the window version would shuffle and sort every
+    * scored row.
+    */
+  def bruteForceTopKAgg(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .agg(new TopKAggregator[(Long, Long, Double)](k,
+        { case (_, id, cos) => Scored(id, cos) }).toColumn)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) => (q, s.id, s.score, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
+  private def bruteForceOracle(kExpr: String): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+       |  FROM ev q JOIN ev v ON v.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $kExpr""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    // Same query through the bounded aggregator — must equal the window
+    // formulation's oracle exactly (same scores, same tie-break).
+    Op.sql("sim_topk_agg", bruteForceOracle(defaultK.toString)) { (s, d) =>
+      bruteForceTopKAgg(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
     Op.sql("sim_topk_bruteforce",
       s"""WITH ev AS (
          |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2

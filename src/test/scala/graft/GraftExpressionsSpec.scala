@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExpressions
+
+/** Property tests (deterministic ScalaCheck sampling): the custom codegen
+  * expressions must agree with their built-in / model formulations on
+  * arbitrary inputs.
+  */
+class GraftExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val sortedSetGen: Gen[Seq[Long]] =
+    Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toSeq)
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f)).map(_.toSeq)
+
+  test("SortedIntersectCount == size(array_intersect) on sorted long sets") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val pairs = samples(Gen.zip(sortedSetGen, sortedSetGen), 200)
+    val rows = pairs.toDF("a", "b").select(
+      GraftExpressions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    assert(rows.length == pairs.length)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("QuantizedDot equals the floor-quantized integer model; symmetric; self >= 0") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val pairs = samples(Gen.zip(vecGen, vecGen), 100)
+    val got = pairs.toDF("a", "b").select(
+      GraftExpressions.qdot(col("a"), col("b")),
+      GraftExpressions.qdot(col("b"), col("a")),
+      GraftExpressions.qdot(col("a"), col("a"))).collect()
+    pairs.zip(got).foreach { case ((a, b), r) =>
+      val want = a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * GraftExpressions.Quant).toLong *
+          math.floor(y.toDouble * GraftExpressions.Quant).toLong
+      }.sum
+      assert(r.getLong(0) == want)
+      assert(r.getLong(0) == r.getLong(1)) // symmetric
+      assert(r.getLong(2) >= 0L) // self-dot non-negative
+    }
+  }
+
+  test("codegen and interpreted eval agree") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1L, 5L, 9L), Seq(5L, 9L, 11L))).toDF("a", "b")
+    val on = df.select(GraftExpressions.sortedIntersectCount(col("a"), col("b"))).head().getInt(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off =
+      try df.select(GraftExpressions.sortedIntersectCount(col("a"), col("b"))).head().getInt(0)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == 2 && off == 2)
+  }
+}
