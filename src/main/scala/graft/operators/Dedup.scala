@@ -59,7 +59,12 @@ object Dedup {
     * (Spark's `sequence` would count down).
     */
   def hashedShingles(docs: DataFrame): DataFrame =
-    docs.withColumn("w", split(col("text"), " "))
+    docs
+      // the fixture table arrives as one file = one partition; the shingle+md5
+      // projection is the expensive pass, so spread it across the cluster
+      // first (a 5k-row shuffle is free next to 2M digests)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
         array_sort(transform(shingles(col("w"), shingleN), x => md5(x))).as("md"))
@@ -204,13 +209,20 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame): DataFrame = {
     GraftExpressions.register(docs.sparkSession)
-    val hs = docs.withColumn("w", split(col("text"), " "))
+    val hs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
         (length(col("text")).cast(LongType) / lit(50L)).cast(LongType).as("bucket"),
         array_sort(transform(shingles(col("w"), shingleN), x => hexToLong(md5(x), 1))).as("sh"))
       .withColumn("n", size(col("sh")))
-    hs.as("a").join(hs.as("b"),
+    // broadcast: the bucket key has ~|length range|/50 distinct values, so a
+    // shuffle join would hand all pair generation to a handful of reducers;
+    // broadcasting the right side spreads it across the left's partitions.
+    // (Beyond broadcast size, the tool is salting — Relational.saltedLeftJoin
+    // — or AQE skew-split.)
+    hs.as("a").join(broadcast(hs.as("b")),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
           && col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
       .withColumn("inter", GraftExpressions.sortedIntersectCount(col("a.sh"), col("b.sh")))
@@ -251,7 +263,9 @@ object Dedup {
     */
   def bucketedWithNorm(embs: DataFrame): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
-    embs.select(col("vec_id"), col("embedding"),
+    embs
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding")).as("bucket"),
       GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
   }
