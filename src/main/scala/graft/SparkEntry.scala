@@ -13,7 +13,7 @@ object SparkEntry {
   /** Every registered operation, name-deduplicated (later modules win). */
   def allOps: Seq[Op] =
     Kpi.ops ++ Quality.ops ++ Relational.ops ++ Analytics.ops ++
-      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++
+      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++ Temporal.ops ++
       graft.multimodal.Multimodal.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
