@@ -97,6 +97,44 @@ object Similarity {
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
+  /** IVF cell count (coarse quantizer size). */
+  val ivfCells = 16
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the first `ivfCells`
+    * vectors serve as centroids — a k-means iteration would refine them, but
+    * the index/probe mechanics are identical) assigns every vector to the
+    * cell whose centroid maximizes the quantized dot; queries score only
+    * their own cell. The inverted-file analog of [[lshTopK]]: cost
+    * O(|Q|·N/cells), recall measured against brute force in tests.
+    */
+  def ivfAssign(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val centroids = embs.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(
+      GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
+    embs
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+  }
+
+  /** Top-k within the query's IVF cell. */
+  def ivfTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    val assigned = ivfAssign(embs)
+    val queries = assigned.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"), col("n2").as("q_n2"))
+    val scored = assigned.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   private def bruteForceOracle(kExpr: String): String =
     s"""WITH ev AS (
        |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
@@ -132,6 +170,29 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    Op.sql("sim_topk_ivf",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCells),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell, n2 FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           ${GraftExpressions.qdotSql("e.embedding", "e.embedding")} AS n2,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM assigned q JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      ivfTopK(Tables.embeddings(s, d), col("vec_id") < 20)
     },
 
     Op.sql("sim_topk_lsh",

@@ -87,6 +87,19 @@ class DedupSpec extends AnyFunSuite {
     assert(first.getAs[Long]("neighbor_id") == 1L && first.getAs[Double]("cos") > 0.99)
   }
 
+  test("IVF top-k: cells partition the corpus; no self-matches; ranks contiguous") {
+    val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val assigned = Similarity.ivfAssign(e).cache()
+    assert(assigned.count() == e.count()) // every vector lands in exactly one cell
+    assert(assigned.select("cell").distinct().count() <= Similarity.ivfCells)
+    val top = Similarity.ivfTopK(e, col("vec_id") < 3, k = 5).collect()
+    assert(top.nonEmpty)
+    assert(top.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+    val ranks = top.groupBy(_.getAs[Long]("query_id"))
+      .values.map(_.map(_.getAs[Int]("rank")).sorted.toSeq)
+    assert(ranks.forall(rs => rs == (1 to rs.size)))
+  }
+
   test("LSH top-k returns a subset consistent with brute force on the fixture") {
     val sf = TestSession.sf
     val e = graft.sources.Tables.embeddings(spark, sf)
