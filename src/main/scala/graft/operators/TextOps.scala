@@ -104,6 +104,27 @@ object TextOps {
       hash60(array_join(array_sort(array_distinct(words(col("text")))), " "))
         .as("fp_normalized"))
 
+  /** The composite curation pipeline a training-data run would execute:
+    * keep documents that (a) survive exact dedup (canonical copy only),
+    * (b) classify as the target language, and (c) clear the quality bar —
+    * emitting the curation decision trail per document. One scan + one
+    * dedup aggregate; filters are conjunctive column predicates Catalyst
+    * pushes together.
+    */
+  def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5): DataFrame = {
+    val survivors = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).withColumn("is_canonical", lit(true))
+    val scored = qualityScore(docs).select(col("doc_id"), col("quality"))
+    val langs = langId(docs).select(col("doc_id"), col("lang_pred"))
+    docs.select(col("doc_id"))
+      .join(survivors, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .withColumn("is_canonical", coalesce(col("is_canonical"), lit(false)))
+      .withColumn("keep",
+        col("is_canonical") && col("lang_pred") === lang && col("quality") >= minQuality)
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -147,6 +168,36 @@ object TextOps {
          |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents))""".stripMargin) { (s, d) =>
       qualityScore(Tables.documents(s, d))
     },
+
+    Op.sql("text_curate", {
+      val langCase =
+        """CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+          |     WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+          |     WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+          |     WHEN fr_ct > 0 THEN 'fr'
+          |     ELSE 'unknown' END""".stripMargin
+      val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(", ")
+      s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |q AS (
+         |  SELECT doc_id,
+         |    (least(CAST(${markerCountSql("ws", "en")} AS DOUBLE) * 5 / len(ws), CAST(1 AS DOUBLE))
+         |     + least(CAST(length(text) AS DOUBLE) / 500, CAST(1 AS DOUBLE))
+         |     + CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) / 3 AS quality
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)),
+         |l AS (
+         |  SELECT doc_id, $langCase AS lang_pred
+         |  FROM (SELECT doc_id, $cts
+         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))),
+         |flags AS (
+         |  SELECT d.doc_id, s.doc_id IS NOT NULL AS is_canonical, q.quality, l.lang_pred
+         |  FROM documents d
+         |  LEFT JOIN surv s ON d.doc_id = s.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN l ON l.doc_id = d.doc_id)
+         |SELECT doc_id, is_canonical, quality, lang_pred,
+         |       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep
+         |FROM flags""".stripMargin
+    }) { (s, d) => curate(Tables.documents(s, d)) },
 
     Op.sql("text_fingerprints",
       s"""SELECT doc_id, ${hash60Sql("text")} AS fp_exact,
