@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query at the given SF, one JSON
   * line to stdout (driver contract). An untimed warm-up query absorbs
   * session/codegen startup so per-query numbers reflect steady state.
+  * Failing queries are reported in a "failed" array and timed as -1 —
+  * never silently folded into the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,13 +24,19 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      spark.catalog.clearCache() // drop op-internal persists between queries
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"${Json.quote(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filterNot(_._3).map(r => Json.quote(r._1)).mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

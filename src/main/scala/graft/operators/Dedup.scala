@@ -217,12 +217,12 @@ object Dedup {
         (length(col("text")).cast(LongType) / lit(50L)).cast(LongType).as("bucket"),
         array_sort(transform(shingles(col("w"), shingleN), x => hexToLong(md5(x), 1))).as("sh"))
       .withColumn("n", size(col("sh")))
-    // broadcast: the bucket key has ~|length range|/50 distinct values, so a
-    // shuffle join would hand all pair generation to a handful of reducers;
-    // broadcasting the right side spreads it across the left's partitions.
-    // (Beyond broadcast size, the tool is salting — Relational.saltedLeftJoin
-    // — or AQE skew-split.)
-    hs.as("a").join(broadcast(hs.as("b")),
+    // NOTE the bucket key has only ~|length range|/50 distinct values — at
+    // fixture scale Spark already plans this small self-join well, and at
+    // corpus scale the right side must NOT be broadcast (it is the whole
+    // corpus, not a dim); skew beyond AQE's split goes through salting
+    // (Relational.saltedLeftJoin shape).
+    hs.as("a").join(hs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
           && col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
       .withColumn("inter", GraftExpressions.sortedIntersectCount(col("a.sh"), col("b.sh")))

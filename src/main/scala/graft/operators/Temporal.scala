@@ -24,6 +24,11 @@ object Temporal {
     * and `rightTime <= leftTime` within `toleranceUs`. Ties on time break by
     * highest right id. Left rows with no match are dropped (inner as-of).
     *
+    * The equi-join key is (key, time band of width `toleranceUs`): a right
+    * row can only serve left rows in its own or the next band, so it is
+    * replicated to exactly those two band keys — candidates per reducer are
+    * bounded by band population, not by the key's full history.
+    *
     * `leftId` must uniquely identify left rows (winner selection partitions
     * on it).
     */
@@ -32,25 +37,41 @@ object Temporal {
       toleranceUs: Long): DataFrame = {
     val lt = unix_micros(col(s"l.$leftTime"))
     val rt = unix_micros(col(s"r.$rightTime"))
-    val cand = left.as("l").join(right.as("r"),
-      col(s"l.$key") === col(s"r.$key") && rt <= lt && lt - rt <= toleranceUs)
+    val banded = right.withColumn("_band",
+      explode(array(bandOf(col(rightTime), toleranceUs),
+        bandOf(col(rightTime), toleranceUs) + 1)))
+    val cand = left.as("l").join(banded.as("r"),
+      col(s"l.$key") === col(s"r.$key")
+        && bandOf(col(s"l.$leftTime"), toleranceUs) === col(s"r._band")
+        && rt <= lt && lt - rt <= toleranceUs)
     val w = Window.partitionBy(col(s"l.$leftId"))
       .orderBy(col(s"r.$rightTime").desc, col(s"r.$rightId").desc)
     cand.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn", "_band")
   }
 
+  private def bandOf(time: Column, widthUs: Long): Column =
+    floor(unix_micros(time) / lit(widthUs))
+
   /** Range-join aggregation: per left row, counts right rows with the same
-    * key within ±`windowUs`.
+    * key within ±`windowUs`. Banded like [[asofJoin]] (a ± window spans at
+    * most the band and both neighbors → 3 replicas), left rows surviving
+    * with count 0.
     */
   def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
       leftId: String, leftTime: String, rightTime: String,
       windowUs: Long): DataFrame = {
     val lt = unix_micros(col(s"l.$leftTime"))
     val rt = unix_micros(col(s"r.$rightTime"))
-    left.as("l").join(right.as("r"),
-        col(s"l.$key") === col(s"r.$key") && abs(rt - lt) <= windowUs, "left")
+    val banded = right.withColumn("_band",
+      explode(array(bandOf(col(rightTime), windowUs) - 1,
+        bandOf(col(rightTime), windowUs),
+        bandOf(col(rightTime), windowUs) + 1)))
+    left.as("l").join(banded.as("r"),
+        col(s"l.$key") === col(s"r.$key")
+          && bandOf(col(s"l.$leftTime"), windowUs) === col(s"r._band")
+          && abs(rt - lt) <= windowUs, "left")
       .groupBy(col(s"l.$leftId").as(leftId), col(s"l.$key").as(key))
       .agg(count(col(s"r.$rightTime")).as("n_in_window"))
   }

@@ -112,8 +112,7 @@ object TextOps {
     * pushes together.
     */
   def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5): DataFrame = {
-    val survivors = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id")).withColumn("is_canonical", lit(true))
+    val survivors = Dedup.exactSurvivors(docs).withColumn("is_canonical", lit(true))
     val scored = qualityScore(docs).select(col("doc_id"), col("quality"))
     val langs = langId(docs).select(col("doc_id"), col("lang_pred"))
     docs.select(col("doc_id"))

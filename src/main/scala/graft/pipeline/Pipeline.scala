@@ -5,6 +5,7 @@ import java.time.Instant
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Json
 import graft.operators.Kpi
 import graft.sinks.KeyValueSink
 import graft.sources.Csv
@@ -102,15 +103,19 @@ object Pipeline {
     val reasons = report.rejections
     files.all.foreach { f =>
       Csv.moveFile(spark, s"$root/raw", s"$root/invalid", f)
-      val rel = Csv.stripScheme(f).stripPrefix(s"${Csv.stripScheme(root)}/raw/")
+      val rel = relUnderRaw(root, f)
       val manifest =
-        s"""{"original_key": "$f",
-           |"rejected_to": "$root/invalid/$rel",
-           |"reasons": [${reasons.map(r => "\"" + r.reason.replace("\"", "'") + "\"").mkString(", ")}],
+        s"""{"original_key": ${Json.quote(f)},
+           |"rejected_to": ${Json.quote(s"$root/invalid/$rel")},
+           |"reasons": [${reasons.map(r => Json.quote(r.reason)).mkString(", ")}],
            |"timestamp": "${Instant.now()}"}""".stripMargin
       Csv.writeTextFile(spark, s"$root/invalid/${rel}_reason.json", manifest)
     }
   }
+
+  /** Path of `file` relative to `root`/raw, scheme-insensitively. */
+  private def relUnderRaw(root: String, file: String): String =
+    Csv.stripScheme(file).stripPrefix(s"${Csv.stripScheme(root)}/raw/")
 
   /** Transformation stage (reference transform_task.py:349-447): load ALL
     * validated history, compute KPIs only for the batch's new dates (D1/F1
@@ -133,11 +138,19 @@ object Pipeline {
     val consolidated = Kpi.consolidated(products, orders, items)
     val category = Kpi.categoryKpis(consolidated, Some(newDates))
       .withColumn("date_key", col("order_date")).drop("order_date")
-    val daily = Kpi.orderKpis(orders, items, Some(newDates))
+      .persist()
+    val daily = Kpi.orderKpis(orders, items, Some(newDates)).persist()
 
-    KeyValueSink.upsertPartitioned(category, s"$root/kpis/category_kpis", "date_key")
-    KeyValueSink.upsertPartitioned(daily, s"$root/kpis/daily_kpis", "date_key")
-    (category.count(), daily.count())
+    try {
+      KeyValueSink.upsertPartitioned(category, s"$root/kpis/category_kpis", "date_key")
+      KeyValueSink.upsertPartitioned(daily, s"$root/kpis/daily_kpis", "date_key")
+      // counts come from the cached frames — without the persist they would
+      // re-run the whole KPI DAG a second time
+      (category.count(), daily.count())
+    } finally {
+      category.unpersist(false)
+      daily.unpersist(false)
+    }
   }
 
   /** Full run for one batch date. */
@@ -145,17 +158,20 @@ object Pipeline {
     completeness(spark, root, date) match {
       case Left(missing) => Incomplete(date, missing)
       case Right(files) =>
-        val report = validate(spark, root, files)
+        // O3: transient failures (FS hiccups) retry with backoff; a Rejected
+        // REPORT is a value, not an exception, so rejection never retries.
+        val report = withRetry()(validate(spark, root, files))
         if (!report.ok) {
           rejectBatch(spark, root, files, report)
           Rejected(date, report.rejections)
         } else {
           // raw/ → validated/
           files.all.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
-          def toValidated(f: String): String =
-            Csv.stripScheme(f).replace(s"${Csv.stripScheme(root)}/raw/",
-              s"${Csv.stripScheme(root)}/validated/")
-          val (c, d) = transform(spark, root, files.orders.map(toValidated))
+          // rebuild destination paths on ROOT (which carries the scheme and
+          // authority) — stripping the scheme from the file alone would point
+          // an s3a:// root at the default filesystem
+          def toValidated(f: String): String = s"$root/validated/${relUnderRaw(root, f)}"
+          val (c, d) = withRetry()(transform(spark, root, files.orders.map(toValidated)))
           // validated/ → processed/ (products master stays in validated/)
           (files.orders ++ files.items).map(toValidated)
             .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/processed", f))

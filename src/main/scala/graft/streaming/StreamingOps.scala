@@ -53,29 +53,35 @@ object StreamingOps {
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
       last_seen: Timestamp)
 
+  /** Internal state record: the running sum is carried as UNSCALED 1e-4
+    * units in a long (exact up to ~9·10^14, like the batch DECIMAL(18,4)) —
+    * storing a rounded double would re-round every micro-batch and drift
+    * from the batch aggregate for large totals.
+    */
+  final case class UserState(n_events: Long, total_scaled: Long, last_seen: Timestamp)
+
   /** Custom streaming state: per-user running totals via mapGroupsWithState —
     * the KeyValueGroupedDataset stateful path for semantics windows/aggs can't
     * express. State is one small record per user; timeout-free here (profile
-    * state lives as long as the user).
+    * state lives as long as the user). Emitted totals are bit-identical to
+    * the batch `dsum` (same DECIMAL(18,4) quantization, exact integer sum).
     */
   def userRunningStats(events: Dataset[Event]): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout()) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, new Timestamp(0)))
+      .mapGroupsWithState[UserState, UserRunning](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, new Timestamp(0)))
           val evs = batch.toSeq
-          val next = UserRunning(
-            userId,
+          val addScaled = evs.iterator.map(e =>
+            (BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact).sum
+          val next = UserState(
             prev.n_events + evs.size,
-            // decimal accumulation (quantized like the batch dsum's
-            // DECIMAL(18,4)) keeps the running sum exact across batches and
-            // bit-identical to the batch aggregate
-            (BigDecimal(prev.total_value) +
-              evs.map(e => BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum).toDouble,
+            prev.total_scaled + addScaled,
             evs.map(_.ts).foldLeft(prev.last_seen)((a, b) => if (b.after(a)) b else a))
           state.update(next)
-          next
+          UserRunning(userId, next.n_events,
+            (BigDecimal(next.total_scaled) / 10000).toDouble, next.last_seen)
       }
   }
 
