@@ -69,7 +69,7 @@ object EventOps {
   // --------------------------------------------------------------------------
 
   private val eventsCte =
-    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
   def ops: Seq[Op] = Seq(
     Op.sql("events_hourly",
@@ -98,6 +98,19 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionize(Tables.events(s, d))
+    },
+
+    // JSON scalar extraction from the props column (codegen'd
+    // get_json_object; no UDF), aggregated per event type.
+    Op.sql("events_props_ksum",
+      s"""WITH $eventsCte
+         |SELECT event_type, SUM(CAST(props->>'$$.k' AS BIGINT)) AS k_sum,
+         |       COUNT(*) AS n_events
+         |FROM ev GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_sum"),
+          count(lit(1)).as("n_events"))
     },
 
     Op.sql("events_user_stats",

@@ -102,6 +102,41 @@ object Relational {
         li.filter(col("l_linenumber") % 2 === 1)))
     },
 
+    // S2: deterministic row-limited sample (the reference's SAMPLE_SIZE read;
+    // ordered so the sampled SET is well-defined).
+    Op.sql("sample_orders_limit",
+      s"""${Tables.domainCtes}
+         |SELECT order_id, user_id, CAST(created_at AS DATE) AS order_date
+         |FROM orders_v ORDER BY order_id LIMIT 100""".stripMargin) { (s, d) =>
+      Tables.ordersDomain(s, d)
+        .select(col("order_id"), col("user_id"), to_date(col("created_at")).as("order_date"))
+        .orderBy(col("order_id")).limit(100)
+    },
+
+    // Set operations (EXCEPT/INTERSECT): customers active in 1995 but not
+    // 1996, and in both — capabilities the reference lacks entirely.
+    Op.sql("set_customers_churned",
+      s"""${Tables.domainCtes}
+         |SELECT DISTINCT user_id FROM orders_v WHERE CAST(created_at AS DATE) < DATE '1996-01-01'
+         |EXCEPT
+         |SELECT DISTINCT user_id FROM orders_v WHERE CAST(created_at AS DATE) >= DATE '1996-01-01'""".stripMargin) { (s, d) =>
+      val o = Tables.ordersDomain(s, d)
+        .select(col("user_id"), to_date(col("created_at")).as("d"))
+      o.filter(col("d") < "1996-01-01").select("user_id").distinct()
+        .except(o.filter(col("d") >= "1996-01-01").select("user_id").distinct())
+    },
+
+    Op.sql("set_customers_retained",
+      s"""${Tables.domainCtes}
+         |SELECT DISTINCT user_id FROM orders_v WHERE CAST(created_at AS DATE) < DATE '1996-01-01'
+         |INTERSECT
+         |SELECT DISTINCT user_id FROM orders_v WHERE CAST(created_at AS DATE) >= DATE '1996-01-01'""".stripMargin) { (s, d) =>
+      val o = Tables.ordersDomain(s, d)
+        .select(col("user_id"), to_date(col("created_at")).as("d"))
+      o.filter(col("d") < "1996-01-01").select("user_id").distinct()
+        .intersect(o.filter(col("d") >= "1996-01-01").select("user_id").distinct())
+    },
+
     Op.sql("topn_categories",
       s"""${Tables.domainCtes},
          |consolidated AS (
