@@ -86,9 +86,11 @@ object Quality {
     // Violating FK with a real payoff: events.user_id is not constrained to
     // customers — exercises the non-empty branch + first-5 report shape.
     Op.sql("quality_fk_report_event_users",
+      // NULLS FIRST pins DuckDB to Spark's default asc ordering, so the
+      // LIMIT picks the same set even if null child keys ever appear
       """SELECT DISTINCT e.user_id FROM events e
         |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
-        |ORDER BY e.user_id LIMIT 5""".stripMargin) { (s, d) =>
+        |ORDER BY e.user_id NULLS FIRST LIMIT 5""".stripMargin) { (s, d) =>
       fkViolationReport(Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey")
     },
   )

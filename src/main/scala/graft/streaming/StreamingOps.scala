@@ -98,6 +98,17 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: drops events whose `event_id` was already seen
+    * within the watermark horizon — the streaming half of the Dedup family
+    * (an at-least-once source becomes effectively-once downstream). State is
+    * bounded by the watermark: ids older than the horizon are evicted, which
+    * is what makes this run forever at scale.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The reference's incremental-recompute loop as a streaming query
     * (SURVEY.md §2.2.5): each micro-batch of newly-arrived order files drives
     * a date-scoped KPI recompute over the full static tables, upserted by

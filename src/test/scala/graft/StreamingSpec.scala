@@ -58,6 +58,22 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.count()} batch=${batch.count()}")
   }
 
+  test("streaming dedup: duplicated arrivals collapse to distinct event ids") {
+    val dir = Files.createTempDirectory("graft-dup-in").toString
+    val ev = Tables.events(spark, TestSession.sf).limit(200)
+    // the same 200 events arrive twice (two files) → dedup must emit 200
+    ev.write.mode("append").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val q = StreamingOps.dedupStream(StreamingOps.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt4").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_test")
+    assert(got.count() == 200)
+    assert(got.select("event_id").distinct().count() == 200)
+  }
+
   test("mapGroupsWithState running user stats equal batch per-user totals") {
     import spark.implicits._
     val dir = stageEvents()
