@@ -91,6 +91,9 @@ object Csv {
       val rel = stripScheme(file).stripPrefix(stripScheme(srcRoot).stripSuffix("/") + "/")
       val dest = new Path(destRoot.stripSuffix("/") + "/" + rel)
       fs.mkdirs(dest.getParent)
+      // a re-arrived file replaces its previous lifecycle copy (the
+      // reference's S3 copy overwrites; Hadoop rename refuses instead)
+      if (fs.exists(dest)) fs.delete(dest, false)
       fs.rename(src, dest)
     }
   }

@@ -69,6 +69,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis").count() == 1)
   }
 
+  test("multi-batch incremental: new dates append, recomputed dates overwrite, others untouched") {
+    val root = setupBatch("multi")
+    assert(Pipeline.run(spark, root.toString, "2024-01-01").isInstanceOf[Pipeline.Succeeded])
+    val day1 = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis")
+      .filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-01").collect()
+    assert(day1.length == 1 && day1.head.getAs[Double]("total_revenue") == 45.0)
+
+    // batch 2: a different date arrives → its partition appends, day 1 stays
+    write(root, "raw/orders/2024-01-02/orders_part0.csv",
+      """order_id,user_id,created_at,returned_at
+        |30,300,2024-01-02 00:00:00,""".stripMargin)
+    write(root, "raw/order_items/2024-01-02/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |30,1,7.0,,2024-01-02 00:00:00""".stripMargin)
+    write(root, "raw/products/products.csv", productsCsv)
+    assert(Pipeline.run(spark, root.toString, "2024-01-02").isInstanceOf[Pipeline.Succeeded])
+    val daily = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis")
+    assert(daily.count() == 2)
+    assert(daily.filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-01")
+      .head().getAs[Double]("total_revenue") == 45.0) // untouched
+
+    // batch 3: day 2 REARRIVES with corrected data → only day 2 overwritten
+    write(root, "raw/orders/2024-01-02/orders_part0.csv",
+      """order_id,user_id,created_at,returned_at
+        |30,300,2024-01-02 00:00:00,
+        |31,301,2024-01-02 00:00:00,""".stripMargin)
+    write(root, "raw/order_items/2024-01-02/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |30,1,7.0,,2024-01-02 00:00:00
+        |31,2,13.0,,2024-01-02 00:00:00""".stripMargin)
+    write(root, "raw/products/products.csv", productsCsv)
+    assert(Pipeline.run(spark, root.toString, "2024-01-02").isInstanceOf[Pipeline.Succeeded])
+    val after = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis")
+    assert(after.count() == 2)
+    val d2 = after.filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-02").head()
+    assert(d2.getAs[Long]("total_orders") == 2L && d2.getAs[Double]("total_revenue") == 20.0)
+    assert(after.filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-01")
+      .head().getAs[Double]("total_revenue") == 45.0)
+  }
+
   test("missing required column rejects the whole batch with manifests") {
     val root = setupBatch("badcol")
     write(root, "raw/orders/2024-01-01/orders_part0.csv",
