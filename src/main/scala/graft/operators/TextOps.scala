@@ -107,19 +107,37 @@ object TextOps {
   /** The composite curation pipeline a training-data run would execute:
     * keep documents that (a) survive exact dedup (canonical copy only),
     * (b) classify as the target language, and (c) clear the quality bar —
-    * emitting the curation decision trail per document. One scan + one
-    * dedup aggregate; filters are conjunctive column predicates Catalyst
-    * pushes together.
+    * emitting the curation decision trail per document.
+    *
+    * ONE scan: survivorship is `doc_id == min(doc_id) over (partition by
+    * text)` — same semantics as joining [[Dedup.exactSurvivors]] back, minus
+    * three self-joins and three rescans of the corpus.
     */
   def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5): DataFrame = {
-    val survivors = Dedup.exactSurvivors(docs).withColumn("is_canonical", lit(true))
-    val scored = qualityScore(docs).select(col("doc_id"), col("quality"))
-    val langs = langId(docs).select(col("doc_id"), col("lang_pred"))
-    docs.select(col("doc_id"))
-      .join(survivors, Seq("doc_id"), "left")
-      .join(scored, Seq("doc_id"))
-      .join(langs, Seq("doc_id"))
-      .withColumn("is_canonical", coalesce(col("is_canonical"), lit(false)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val Seq(en, de, es, fr) = markers.map { case (l, _) => col(s"${l}_ct") }
+    docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("len_score",
+        least(length(col("text")).cast(DoubleType) / lit(500), lit(1).cast(DoubleType)))
+      .withColumn("stop_score",
+        markerCount(col("ws"), "en").cast(DoubleType) * lit(5) / col("n_tokens"))
+      .withColumn("diversity_score",
+        size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality",
+        (least(col("stop_score"), lit(1).cast(DoubleType))
+          + col("len_score") + col("diversity_score")) / lit(3))
+      .select(Seq(col("doc_id"), col("is_canonical"), col("quality")) ++
+        markers.map { case (l, _) => markerCount(col("ws"), l).as(s"${l}_ct") }: _*)
+      .withColumn("lang_pred",
+        when(en >= de && en >= es && en >= fr && en > 0, "en")
+          .when(de >= es && de >= fr && de > 0, "de")
+          .when(es >= fr && es > 0, "es")
+          .when(fr > 0, "fr")
+          .otherwise("unknown"))
+      .select(col("doc_id"), col("is_canonical"), col("quality"), col("lang_pred"))
       .withColumn("keep",
         col("is_canonical") && col("lang_pred") === lang && col("quality") >= minQuality)
   }
