@@ -55,6 +55,19 @@ object EventOps {
         dsum(col("value")).as("total_value"))
   }
 
+  /** Sessionization via Spark's native `session_window` grouping — the
+    * streaming-compatible formulation (state merges windows incrementally;
+    * [[sessionize]] is the window-function batch formulation). Boundary
+    * semantics: an event exactly `gap` after its predecessor starts a NEW
+    * session here (window is half-open), where the lag formulation keeps it.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Per-user activity profile: one hash aggregate with a distinct. */
   def userStats(events: DataFrame): DataFrame =
     events.groupBy(col("user_id")).agg(
@@ -98,6 +111,28 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionize(Tables.events(s, d))
+    },
+
+    // Native session_window grouping; oracle = the lag/cumsum formulation
+    // with the half-open boundary (>= gap starts a new session).
+    Op.sql("events_session_windows",
+      s"""WITH $eventsCte,
+         |gapped AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) >= $sessionGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM gapped),
+         |numbered AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      sessionWindows(Tables.events(s, d))
     },
 
     // JSON scalar extraction from the props column (codegen'd

@@ -102,6 +102,22 @@ object Relational {
         li.filter(col("l_linenumber") % 2 === 1)))
     },
 
+    // S1 as an oracle-checked op: the schema-enforced multi-part CSV scan
+    // must reproduce the source table exactly after a write/read round trip
+    // (types, nulls, timestamps — the reference's whole ingestion surface).
+    Op.sql("csv_roundtrip_orders",
+      s"""${Tables.domainCtes}
+         |SELECT order_id, user_id, created_at, returned_at FROM orders_v""".stripMargin) { (s, d) =>
+      val out = s"/tmp/graft_csv_cache/${d.replaceAll("[^A-Za-z0-9.]", "_")}/orders"
+      if (!new java.io.File(out).exists()) {
+        Tables.ordersDomain(s, d).write.mode("overwrite")
+          .option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(out)
+      }
+      graft.sources.Csv.read(s, graft.sources.Csv.ordersSchema, Seq(out))
+    },
+
     // S2: deterministic row-limited sample (the reference's SAMPLE_SIZE read;
     // ordered so the sampled SET is well-defined).
     Op.sql("sample_orders_limit",

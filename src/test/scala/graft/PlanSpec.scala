@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Kpi
+import graft.sources.Tables
+
+/** Plan-quality assertions: the properties `.explain` review established are
+  * locked in as tests so a regression in plan shape fails CI, not a 100 TB
+  * run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("products view prunes the parquet scan to the referenced columns") {
+    val s = scans(Tables.products(spark, TestSession.sf))
+    assert(s.nonEmpty)
+    val readCols = s.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("p_partkey", "p_name", "p_type", "p_retailprice"),
+      s"scan read $readCols — projection did not reach the scan")
+  }
+
+  test("consolidated plan broadcasts the dims; fact scan stays pruned") {
+    val df = Kpi.consolidatedOf(spark, TestSession.sf)
+    // sparkPlan = the statically chosen physical plan (AQE hides exchanges
+    // in executedPlan until runtime); the broadcast() hint must already have
+    // selected a BroadcastHashJoin here
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "products must reach the join as a broadcast")
+    val itemScan = scans(df).find(_.requiredSchema.fieldNames.contains("l_extendedprice"))
+    assert(itemScan.isDefined)
+    assert(!itemScan.get.requiredSchema.fieldNames.contains("l_quantity"),
+      "fact scan reads columns the query never uses")
+  }
+
+  test("null-intolerant join keys push IsNotNull filters into the scans") {
+    val df = Kpi.consolidatedOf(spark, TestSession.sf)
+    val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("IsNotNull"), s"no pushed filters found: $pushed")
+  }
+}
