@@ -94,6 +94,18 @@ object TextOps {
         (least(col("stop_score"), lit(1).cast(DoubleType))
           + col("len_score") + col("diversity_score")) / lit(3))
 
+  /** Canonical text normalization: lowercase, strip non-alphanumerics to
+    * spaces, collapse whitespace runs, trim — the cleanup pass that precedes
+    * tokenization in a real corpus (fixture text is already clean; the
+    * transform chain is the capability).
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")).as("text_norm"))
+
   /** Document fingerprints: exact (hash of raw text) and normalized (hash of
     * the sorted distinct token set — order/duplication-insensitive).
     */
@@ -184,6 +196,13 @@ object TextOps {
          |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS diversity_score
          |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents))""".stripMargin) { (s, d) =>
       qualityScore(Tables.documents(s, d))
+    },
+
+    Op.sql("text_normalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+        |FROM documents""".stripMargin) { (s, d) =>
+      normalize(Tables.documents(s, d))
     },
 
     Op.sql("text_curate", {
