@@ -138,8 +138,9 @@ object EventOps {
     // JSON scalar extraction from the props column (codegen'd
     // get_json_object; no UDF), aggregated per event type.
     Op.sql("events_props_ksum",
+      // TRY_CAST matches Spark's null-on-malformed cast semantics
       s"""WITH $eventsCte
-         |SELECT event_type, SUM(CAST(props->>'$$.k' AS BIGINT)) AS k_sum,
+         |SELECT event_type, SUM(TRY_CAST(props->>'$$.k' AS BIGINT)) AS k_sum,
          |       COUNT(*) AS n_events
          |FROM ev GROUP BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)

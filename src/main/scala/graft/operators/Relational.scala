@@ -108,8 +108,12 @@ object Relational {
     Op.sql("csv_roundtrip_orders",
       s"""${Tables.domainCtes}
          |SELECT order_id, user_id, created_at, returned_at FROM orders_v""".stripMargin) { (s, d) =>
-      val out = s"/tmp/graft_csv_cache/${d.replaceAll("[^A-Za-z0-9.]", "_")}/orders"
-      if (!new java.io.File(out).exists()) {
+      // collision-free cache key + _SUCCESS marker: a crashed or partial
+      // export is rewritten, never silently reused
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = s"/tmp/graft_csv_cache/$key/orders"
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
         Tables.ordersDomain(s, d).write.mode("overwrite")
           .option("header", "true")
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")

@@ -60,6 +60,30 @@ object TextOps {
       size(split(col("text"), " ")).as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0))).as("bpe_tokens"))
 
+  /** The single source of truth for the langid decision: argmax over marker
+    * counts with the fixed en→de→es→fr tie-break.
+    */
+  def langPredFromCounts(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr && en > 0, "en")
+      .when(de >= es && de >= fr && de > 0, "de")
+      .when(es >= fr && es > 0, "es")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+
+  /** The single source of truth for the quality components: length score,
+    * stopword density, lexical diversity, and their equal-weight mean —
+    * identical expression tree on both engines.
+    */
+  def qualityExprs(text: Column, ws: Column): Seq[(String, Column)] = {
+    val nTokens = size(ws)
+    val len = least(length(text).cast(DoubleType) / lit(500), lit(1).cast(DoubleType))
+    val stop = markerCount(ws, "en").cast(DoubleType) * lit(5) / nTokens
+    val div = size(array_distinct(ws)).cast(DoubleType) / nTokens
+    val quality = (least(stop, lit(1).cast(DoubleType)) + len + div) / lit(3)
+    Seq("len_score" -> len, "stop_score" -> stop, "diversity_score" -> div,
+      "quality" -> quality)
+  }
+
   /** Marker-stopword language ID with deterministic tie-break. */
   def langId(docs: DataFrame): DataFrame = {
     val withCounts = docs
@@ -67,32 +91,15 @@ object TextOps {
       .select(Seq(col("doc_id"), col("lang").as("lang_label")) ++
         markers.map { case (l, _) => markerCount(col("ws"), l).as(s"${l}_ct") }: _*)
     val Seq(en, de, es, fr) = markers.map { case (l, _) => col(s"${l}_ct") }
-    withCounts.withColumn("lang_pred",
-      when(en >= de && en >= es && en >= fr && en > 0, "en")
-        .when(de >= es && de >= fr && de > 0, "de")
-        .when(es >= fr && es > 0, "es")
-        .when(fr > 0, "fr")
-        .otherwise("unknown"))
+    withCounts.withColumn("lang_pred", langPredFromCounts(en, de, es, fr))
   }
 
-  /** Composite quality score in [0,1]: length, stopword density, lexical
-    * diversity — equal-weight mean, identical expression tree on both engines.
-    */
+  /** Composite quality score in [0,1] (see [[qualityExprs]]). */
   def qualityScore(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", words(col("text")))
-      .withColumn("n_tokens", size(col("ws")))
-      .select(
-        col("doc_id"),
-        least(length(col("text")).cast(DoubleType) / lit(500), lit(1).cast(DoubleType))
-          .as("len_score"),
-        (markerCount(col("ws"), "en").cast(DoubleType) * lit(5) / col("n_tokens"))
-          .as("stop_score"),
-        (size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tokens"))
-          .as("diversity_score"))
-      .withColumn("quality",
-        (least(col("stop_score"), lit(1).cast(DoubleType))
-          + col("len_score") + col("diversity_score")) / lit(3))
+      .select(col("doc_id") +:
+        qualityExprs(col("text"), col("ws")).map { case (n, c) => c.as(n) }: _*)
 
   /** Canonical text normalization: lowercase, strip non-alphanumerics to
     * spaces, collapse whitespace runs, trim — the cleanup pass that precedes
@@ -127,29 +134,14 @@ object TextOps {
     */
   def curate(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
-    val Seq(en, de, es, fr) = markers.map { case (l, _) => col(s"${l}_ct") }
+    val Seq(enC, deC, esC, frC) = markers.map { case (l, _) => markerCount(col("ws"), l) }
     docs
       .withColumn("ws", words(col("text")))
-      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
-      .withColumn("n_tokens", size(col("ws")))
-      .withColumn("len_score",
-        least(length(col("text")).cast(DoubleType) / lit(500), lit(1).cast(DoubleType)))
-      .withColumn("stop_score",
-        markerCount(col("ws"), "en").cast(DoubleType) * lit(5) / col("n_tokens"))
-      .withColumn("diversity_score",
-        size(array_distinct(col("ws"))).cast(DoubleType) / col("n_tokens"))
-      .withColumn("quality",
-        (least(col("stop_score"), lit(1).cast(DoubleType))
-          + col("len_score") + col("diversity_score")) / lit(3))
-      .select(Seq(col("doc_id"), col("is_canonical"), col("quality")) ++
-        markers.map { case (l, _) => markerCount(col("ws"), l).as(s"${l}_ct") }: _*)
-      .withColumn("lang_pred",
-        when(en >= de && en >= es && en >= fr && en > 0, "en")
-          .when(de >= es && de >= fr && de > 0, "de")
-          .when(es >= fr && es > 0, "es")
-          .when(fr > 0, "fr")
-          .otherwise("unknown"))
-      .select(col("doc_id"), col("is_canonical"), col("quality"), col("lang_pred"))
+      .select(
+        col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"),
+        qualityExprs(col("text"), col("ws")).toMap.apply("quality").as("quality"),
+        langPredFromCounts(enC, deC, esC, frC).as("lang_pred"))
       .withColumn("keep",
         col("is_canonical") && col("lang_pred") === lang && col("quality") >= minQuality)
   }

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Bucketed-table support: pre-shuffling fact tables into N buckets on the
@@ -20,7 +22,16 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
 
-  /** True if the physical plan of `df` contains any shuffle exchange. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }.nonEmpty
+  /** True if the physical plan of `df` contains any shuffle exchange.
+    * AQE wraps plans in a LEAF `AdaptiveSparkPlanExec` — collecting on the
+    * wrapper alone would never see a shuffle, so unwrap it first.
+    */
+  def hasShuffle(df: DataFrame): Boolean = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }.nonEmpty
+  }
 }

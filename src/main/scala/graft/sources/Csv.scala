@@ -92,9 +92,13 @@ object Csv {
       val dest = new Path(destRoot.stripSuffix("/") + "/" + rel)
       fs.mkdirs(dest.getParent)
       // a re-arrived file replaces its previous lifecycle copy (the
-      // reference's S3 copy overwrites; Hadoop rename refuses instead)
-      if (fs.exists(dest)) fs.delete(dest, false)
-      fs.rename(src, dest)
+      // reference's S3 copy overwrites); FileContext's OVERWRITE rename does
+      // this without a delete-then-rename window that could lose the old
+      // copy if the rename fails
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        src.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(src, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      true
     }
   }
 

@@ -60,7 +60,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming dedup: duplicated arrivals collapse to distinct event ids") {
     val dir = Files.createTempDirectory("graft-dup-in").toString
-    val ev = Tables.events(spark, TestSession.sf).limit(200)
+    // deterministic subset (unordered limit could pick different rows per job)
+    val ev = Tables.events(spark, TestSession.sf)
+      .orderBy(col("event_id")).limit(200)
     // the same 200 events arrive twice (two files) → dedup must emit 200
     ev.write.mode("append").parquet(dir)
     ev.write.mode("append").parquet(dir)
