@@ -97,9 +97,29 @@ object Analytics {
       categoryTrends(Kpi.consolidatedOf(s, d))
     },
 
+    // Pivot to wide format: per-user event counts, one column per known
+    // event type (the oracle's conditional-count formulation is exactly what
+    // Catalyst rewrites pivot into).
+    Op.sql("analytics_user_event_pivot", {
+      val cols = eventTypes.map(t => s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t")
+      s"""SELECT user_id, ${cols.mkString(", ")}
+         |FROM events GROUP BY user_id""".stripMargin
+    }) { (s, d) => userEventPivot(Tables.events(s, d)) },
+
     // Approximate — driver records a rows-only check; accuracy is spec-tested.
     Op.rowsOnly("analytics_daily_uniques_approx") { (s, d) =>
       dailyUniquesApprox(Tables.ordersDomain(s, d))
     },
   )
+
+  val eventTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Wide per-user activity matrix via pivot (explicit value list keeps the
+    * schema static — no extra distinct-values job, mandatory at scale).
+    */
+  def userEventPivot(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .count()
+      .na.fill(0, eventTypes)
 }
