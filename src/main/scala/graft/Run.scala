@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Pipeline
+
+/** CLI entry point for the batch pipeline — the reference's Lambda + Step
+  * Function control plane as one command:
+  *
+  * {{{ sbt "runMain graft.Run /data/lake 2024-01-01" }}}
+  *
+  * Exit code 0 on success, 1 on rejection/incompleteness (the reference's
+  * error channel — its Step Function branches on the container exit code;
+  * SURVEY.md §2.2.8).
+  */
+object Run {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: graft.Run <root> <batch-date YYYY-MM-DD>")
+    val Array(root, date) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val result = try Pipeline.run(spark, root, date) finally spark.stop()
+    result match {
+      case Pipeline.Succeeded(d, c, k) =>
+        println(s"[graft] batch $d succeeded: $c category rows, $k daily rows")
+      case Pipeline.Rejected(d, reasons) =>
+        System.err.println(s"[graft] batch $d REJECTED:")
+        reasons.foreach(r => System.err.println(s"  ${r.file}: ${r.reason}"))
+        sys.exit(1)
+      case Pipeline.Incomplete(d, missing) =>
+        System.err.println(s"[graft] batch $d incomplete, missing: ${missing.mkString(", ")}")
+        sys.exit(1)
+    }
+  }
+}

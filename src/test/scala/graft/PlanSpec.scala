@@ -15,6 +15,13 @@ import graft.sources.Tables
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
+  // other specs may have cached overlapping subtrees; a cached plan resolves
+  // to InMemoryTableScan and would hide the file scans asserted on here
+  override protected def withFixture(test: NoArgTest) = {
+    spark.catalog.clearCache()
+    super.withFixture(test)
+  }
+
   private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
