@@ -20,14 +20,20 @@ object Analytics {
   private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** Category revenue with ROLLUP subtotals: (category, date), per-category,
-    * and grand total in ONE pass — Catalyst expands grouping sets without
-    * rescanning the fact table.
+    * and grand total. Two-level: the fact table first reduces to (category,
+    * date) leaves, and the grouping-set EXPAND runs over those few thousand
+    * leaf rows — not ×3 over every item row. Bit-exact versus a direct
+    * rollup: leaf revenues carry ≤ 4 decimal places (exactly representable
+    * doubles), so re-summing them as DECIMAL(18,4) is lossless and
+    * order-independent.
     */
   def categoryRollup(consolidated: DataFrame): DataFrame =
     consolidated
+      .groupBy(col("category"), col("order_date"))
+      .agg(dsum(col("sale_price")).as("leaf_rev"), count(lit(1)).as("leaf_n"))
       .rollup(col("category"), col("order_date"))
-      .agg(dsum(col("sale_price")).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(dsum(col("leaf_rev")).as("revenue"),
+        sum(col("leaf_n")).as("n_items"))
 
   /** Per-category daily revenue trends: rank within each date and a 7-row
     * moving average along each category's time series — one shuffle, then
