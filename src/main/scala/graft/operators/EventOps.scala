@@ -55,6 +55,16 @@ object EventOps {
         dsum(col("value")).as("total_value"))
   }
 
+  /** Sliding event-time windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly 2 overlapping windows (length/slide), computed by
+    * Spark's `window(ts, len, slide)` without materializing the overlap join.
+    */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Sessionization via Spark's native `session_window` grouping — the
     * streaming-compatible formulation (state merges windows incrementally;
     * [[sessionize]] is the window-function batch formulation). Boundary
@@ -111,6 +121,21 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionize(Tables.events(s, d))
+    },
+
+    // Sliding windows: the oracle replicates each event to its two covering
+    // 30-min-grid window starts (µs arithmetic — exact on both engines).
+    Op.sql("events_sliding_rollup",
+      s"""WITH $eventsCte,
+         |cand AS (
+         |  SELECT event_type, value,
+         |         unnest([(epoch_us(ts)//1800000000)*1800000000,
+         |                 (epoch_us(ts)//1800000000)*1800000000 - 1800000000]) AS sus
+         |  FROM ev)
+         |SELECT make_timestamp(sus) AS window_start, event_type,
+         |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM cand GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      slidingRollup(Tables.events(s, d))
     },
 
     // Native session_window grouping; oracle = the lag/cumsum formulation
