@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -45,7 +45,8 @@ object GraftExpressions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
-    "graft_qdot" -> { args => QuantizedDot(args(0), args(1)) })
+    "graft_qdot" -> { args => QuantizedDot(args(0), args(1)) },
+    "graft_simhash32" -> { args => SimHash32(args(0)) })
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
@@ -61,6 +62,9 @@ object GraftExpressions {
 
   /** Exact integer dot product of two float arrays on the 2^-20 grid. */
   def qdot(a: Column, b: Column): Column = call_function("graft_qdot", a, b)
+
+  /** 32-bit SimHash of a long-array of feature hashes, in ONE array pass. */
+  def simhash32(a: Column): Column = call_function("graft_simhash32", a)
 }
 
 /** `SparkSessionExtensions` hook so external users get the functions via
@@ -76,6 +80,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_qdot"),
       new ExpressionInfo(classOf[QuantizedDot].getName, "graft_qdot"),
       (args: Seq[Expression]) => QuantizedDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (args: Seq[Expression]) => SimHash32(args(0))))
   }
 }
 
@@ -174,4 +181,60 @@ case class QuantizedDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): QuantizedDot = copy(left = newLeft, right = newRight)
+}
+
+/** 32-bit SimHash over an array of 64-bit feature hashes: bit j of the result
+  * is set iff more elements have bit j set than clear (the sign of Σ ±1 over
+  * bit j of each element). Replaces the 32-`aggregate`-HOF formulation — HOFs
+  * don't participate in codegen, so that shape re-traversed the array 32× in
+  * interpreted eval; this is ONE pass with a 32-slot counter, inlined into
+  * whole-stage codegen. Empty array → 0 (no bitsum is > 0).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val cnt = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = x.getLong(i)
+      var j = 0
+      while (j < 32) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    // bit j set iff bitsum = 2*cnt - n > 0
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (2 * cnt(j) > n) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, cnt, i, j, h, out) = (ctx.freshName("n"), ctx.freshName("cnt"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("h"), ctx.freshName("out"))
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[32];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 32; $j++) { $cnt[$j] += (int) (($h >>> $j) & 1L); }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 32; $j++) { if (2 * $cnt[$j] > $n) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
 }

@@ -122,8 +122,14 @@ object Multimodal {
 
     // Feature extraction through the stubbed decode — driver records a
     // rows-only check (not SQL-expressible; the mechanism is unit-tested).
+    // The per-frame checksum array stays on the typed API for specs; the
+    // registered output serializes it to a scalar md5 digest so the dump is
+    // sortable/hashable by any downstream harness (arrays aren't).
     Op.rowsOnly("media_features") { (s, d) =>
       extractFeatures(mediaDataset(s, d)).toDF()
+        .withColumn("frames_digest",
+          md5(concat_ws(",", transform(col("frame_checksums"), _.cast("string")))))
+        .drop("frame_checksums")
     },
   )
 }

@@ -155,19 +155,16 @@ object Dedup {
   // --------------------------------------------------------------------------
 
   /** 32-bit SimHash over the hashed shingle set: bit j is the sign of Σ ±1
-    * weighted by bit j of each shingle's h1. One hash pass, then 32 cheap
-    * bit-aggregates over the materialized h1 array.
+    * weighted by bit j of each shingle's h1. ONE codegen'd pass over the h1
+    * array ([[graft.functions.SimHash32]]) — the earlier 32-`aggregate`-HOF
+    * formulation re-traversed every shingle array 32× in interpreted eval and
+    * was the bench's single hottest query.
     */
-  def simhashDocs(docs: DataFrame): DataFrame =
+  def simhashDocs(docs: DataFrame): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
     hashedShingles(docs)
-      .select(col("doc_id"), simhashOf(col("h1")).as("simhash"))
-
-  private def simhashOf(hs: Column): Column =
-    (0 until simhashBits).map { j =>
-      val bitsum = aggregate(hs, lit(0),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(bitsum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+      .select(col("doc_id"), GraftExpressions.simhash32(col("h1")).as("simhash"))
+  }
 
   private val simhashOfSql: String =
     (0 until simhashBits).map { j =>

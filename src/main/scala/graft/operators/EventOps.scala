@@ -117,7 +117,8 @@ object EventOps {
          |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                                ROWS UNBOUNDED PRECEDING) AS session_seq
          |  FROM flagged)
-         |SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |       MIN(ts) AS session_start, MAX(ts) AS session_end,
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionize(Tables.events(s, d))
@@ -163,9 +164,10 @@ object EventOps {
     // JSON scalar extraction from the props column (codegen'd
     // get_json_object; no UDF), aggregated per event type.
     Op.sql("events_props_ksum",
-      // TRY_CAST matches Spark's null-on-malformed cast semantics
+      // TRY_CAST matches Spark's null-on-malformed cast semantics; the outer
+      // CAST pins DuckDB's HUGEINT sum back to BIGINT == Spark LongType.
       s"""WITH $eventsCte
-         |SELECT event_type, SUM(TRY_CAST(props->>'$$.k' AS BIGINT)) AS k_sum,
+         |SELECT event_type, CAST(SUM(TRY_CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS k_sum,
          |       COUNT(*) AS n_events
          |FROM ev GROUP BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)

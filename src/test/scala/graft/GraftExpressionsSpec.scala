@@ -53,15 +53,37 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash32 equals the per-bit majority model on arbitrary hash sets") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val sets = samples(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)).map(_.toSeq), 200)
+    val got = sets.toDF("h").select(GraftExpressions.simhash32(col("h"))).collect()
+    sets.zip(got).foreach { case (hs, r) =>
+      val want = (0 until 32).map { j =>
+        val bitsum = hs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (bitsum > 0) 1L << j else 0L
+      }.sum
+      assert(r.getLong(0) == want, s"simhash mismatch for $hs")
+    }
+    // empty set → 0
+    assert(Seq(Seq.empty[Long]).toDF("h")
+      .select(GraftExpressions.simhash32(col("h"))).head().getLong(0) == 0L)
+  }
+
   test("codegen and interpreted eval agree") {
     import spark.implicits._
     GraftExpressions.register(spark)
     val df = Seq((Seq(1L, 5L, 9L), Seq(5L, 9L, 11L))).toDF("a", "b")
-    val on = df.select(GraftExpressions.sortedIntersectCount(col("a"), col("b"))).head().getInt(0)
+    def run() = df.select(
+      GraftExpressions.sortedIntersectCount(col("a"), col("b")),
+      GraftExpressions.simhash32(col("a"))).head()
+    val on = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val off =
-      try df.select(GraftExpressions.sortedIntersectCount(col("a"), col("b"))).head().getInt(0)
+      try run()
       finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    assert(on == 2 && off == 2)
+    assert(on.getInt(0) == 2 && off.getInt(0) == 2)
+    // 1,5,9: bit 0 set in all three (majority); bits 2 and 3 set in one of three each
+    assert(on.getLong(1) == off.getLong(1) && on.getLong(1) == 1L)
   }
 }
