@@ -29,8 +29,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache() // drop op-internal persists between queries
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (ok) elapsed else -1.0, ok)
     }
     val qs = results.map { case (k, v, _) => s"${Json.quote(k)}:$v" }
       .mkString("{", ",", "}")

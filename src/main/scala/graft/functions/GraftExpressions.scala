@@ -46,7 +46,8 @@ object GraftExpressions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
     "graft_qdot" -> { args => QuantizedDot(args(0), args(1)) },
-    "graft_simhash32" -> { args => SimHash32(args(0)) })
+    "graft_simhash32" -> { args => SimHash32(args(0)) },
+    "graft_minhash" -> { args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2))) })
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
@@ -65,6 +66,12 @@ object GraftExpressions {
 
   /** 32-bit SimHash of a long-array of feature hashes, in ONE array pass. */
   def simhash32(a: Column): Column = call_function("graft_simhash32", a)
+
+  /** k MinHash minima of the double-hash family (h1 + s·(h2>>4)) & 2^60-1,
+    * s = 0..k-1, in ONE pass over the aligned hash arrays.
+    */
+  def minhashSig(h1: Column, h2: Column, k: Int): Column =
+    call_function("graft_minhash", h1, h2, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` hook so external users get the functions via
@@ -83,6 +90,9 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
     ext.injectFunction((FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
       (args: Seq[Expression]) => SimHash32(args(0))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))))
   }
 }
 
@@ -237,4 +247,89 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
+}
+
+object MinHashSig {
+  /** 2^60 - 1: keeps the double-hash family inside signed-64 range. */
+  val Mask: Long = (1L << 60) - 1
+
+  /** The k argument must be a foldable int literal (it shapes the output). */
+  def literalK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash k must be an int literal, got $other")
+  }
+}
+
+/** The k MinHash minima of the Kirsch-Mitzenmacher double-hash family
+  * `h_s = (h1 + s·(h2 >> 4)) & (2^60-1)`, s = 0..k-1, over two ALIGNED
+  * long arrays (the two md5 halves of each shingle), computed in ONE pass.
+  * Replaces `transform(sequence(0,k-1), s -> array_min(zip_with(...)))` —
+  * k interpreted traversals plus k zipped temp arrays per document.
+  * Empty inputs yield null (min of nothing is undefined; callers filter
+  * empty shingle sets upstream).
+  */
+case class MinHashSig(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) if k > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>) and k > 0, got " +
+        s"(${left.dataType}, ${right.dataType}), k=$k")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // empty inputs yield null
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h1 = x.getLong(i)
+      val d = y.getLong(i) >> 4
+      var s = 0
+      while (s < k) {
+        val v = (h1 + s * d) & MinHashSig.Mask
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, mins, i, s, h1, d, v) = (ctx.freshName("n"), ctx.freshName("mins"),
+        ctx.freshName("i"), ctx.freshName("s"), ctx.freshName("h1"),
+        ctx.freshName("d"), ctx.freshName("v"))
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h1 = $a.getLong($i);
+         |    long $d = $b.getLong($i) >> 4;
+         |    for (int $s = 0; $s < $k; $s++) {
+         |      long $v = ($h1 + $s * $d) & ${MinHashSig.Mask}L;
+         |      if ($v < $mins[$s]) $mins[$s] = $v;
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MinHashSig = copy(left = newLeft, right = newRight)
 }

@@ -104,12 +104,17 @@ object Dedup {
   // MinHash + LSH
   // --------------------------------------------------------------------------
 
-  /** k min-hashes per doc from the double-hashing family. */
-  def minhashSignatures(hs: DataFrame): DataFrame =
+  /** k min-hashes per doc from the double-hashing family — ONE codegen'd
+    * pass over the aligned (h1, h2) arrays ([[graft.functions.MinHashSig]]);
+    * the `transform(sequence, s -> array_min(zip_with(...)))` formulation
+    * re-traversed both arrays k times in interpreted eval and allocated k
+    * zipped temporaries per document.
+    */
+  def minhashSignatures(hs: DataFrame): DataFrame = {
+    GraftExpressions.register(hs.sparkSession)
     hs.withColumn("sig",
-      transform(sequence(lit(0), lit(minhashK - 1)),
-        s => array_min(zip_with(col("h1"), col("h2"),
-          (a, b) => (a + s.cast(LongType) * shiftright(b, 4)).bitwiseAND(lit(hashMask))))))
+      GraftExpressions.minhashSig(col("h1"), col("h2"), minhashK))
+  }
 
   /** Near-dup pairs: band-bucket candidates, then exact shingle-Jaccard ≥ τ.
     * Band join keys are tiny strings → the candidate join shuffles only

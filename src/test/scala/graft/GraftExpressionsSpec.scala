@@ -70,6 +70,22 @@ class GraftExpressionsSpec extends AnyFunSuite {
       .select(GraftExpressions.simhash32(col("h"))).head().getLong(0) == 0L)
   }
 
+  test("MinHashSig equals the per-s array_min(zip_with) model") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val mask = graft.functions.MinHashSig.Mask
+    val pairGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.chooseNum(0L, mask)), Gen.listOfN(n, Gen.chooseNum(0L, mask))))
+    val sets = samples(pairGen, 100)
+    val got = sets.toDF("h1", "h2")
+      .select(GraftExpressions.minhashSig(col("h1"), col("h2"), 12)).collect()
+    sets.zip(got).foreach { case ((h1, h2), r) =>
+      val want = (0 until 12).map(s =>
+        h1.zip(h2).map { case (a, b) => (a + s * (b >> 4)) & mask }.min)
+      assert(r.getSeq[Long](0) == want)
+    }
+  }
+
   test("codegen and interpreted eval agree") {
     import spark.implicits._
     GraftExpressions.register(spark)
