@@ -24,6 +24,10 @@ object Run {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-FS directory listing is cheap; a distributed listing job for a
+      // few thousand partition dirs costs more than it saves (store reads
+      // resolve partitions from catalog metadata anyway)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val result = try Pipeline.run(spark, root, date) finally spark.stop()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.Json
 import graft.operators.Kpi
 import graft.sinks.KeyValueSink
-import graft.sources.Csv
+import graft.sources.{Csv, FactStore}
 
 /** End-to-end batch pipeline (reference: Lambda coordinator + Step Function +
   * two ECS tasks — SURVEY.md §3). The AWS control plane becomes driver-side
@@ -117,9 +117,17 @@ object Pipeline {
   private def relUnderRaw(root: String, file: String): String =
     Csv.stripScheme(file).stripPrefix(s"${Csv.stripScheme(root)}/raw/")
 
-  /** Transformation stage (reference transform_task.py:349-447): load ALL
-    * validated history, compute KPIs only for the batch's new dates (D1/F1
-    * incremental recompute), upsert by date partition.
+  /** Transformation stage (reference transform_task.py:349-447): validate the
+    * batch into the date-partitioned fact store, then compute KPIs for the
+    * batch's new dates (D1/F1 incremental recompute) from FILE-PRUNED reads
+    * of that store, and upsert by date partition.
+    *
+    * The reference loads its full validated history and filters the target
+    * dates late (transform_task.py:409-413) — a full-history scan per daily
+    * batch. Here the store upsert rewrites only the batch's date partitions
+    * (dynamic partition overwrite ⇒ idempotent reruns) and the KPI reads
+    * open only those partitions (`PartitionFilters`), so a daily batch costs
+    * one day of data no matter how much history has accumulated.
     */
   def transform(spark: SparkSession, root: String, newOrdersPaths: Seq[String]): (Long, Long) = {
     // D1: distinct dates present in the NEW orders files drive the recompute.
@@ -135,11 +143,17 @@ object Pipeline {
     val items = Csv.read(spark, Csv.orderItemsSchema,
       Csv.listCsv(spark, s"$root/validated/order_items"))
 
-    val consolidated = Kpi.consolidated(products, orders, items)
-    val category = Kpi.categoryKpis(consolidated, Some(newDates))
+    val factsDir = s"$root/facts"
+    FactStore.upsertBatch(
+      Kpi.consolidated(products, orders, items),
+      Kpi.ordersEnriched(orders, items),
+      Kpi.itemsDaily(items),
+      factsDir)
+
+    val category = Kpi.categoryKpisFromStore(spark, factsDir, newDates)
       .withColumn("date_key", col("order_date")).drop("order_date")
       .persist()
-    val daily = Kpi.orderKpis(orders, items, Some(newDates)).persist()
+    val daily = Kpi.orderKpisFromStore(spark, factsDir, newDates).persist()
 
     try {
       KeyValueSink.upsertPartitioned(category, s"$root/kpis/category_kpis", "date_key")

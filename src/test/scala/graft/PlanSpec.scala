@@ -57,4 +57,24 @@ class PlanSpec extends AnyFunSuite {
     val pushed = scans(df).flatMap(_.metadata.get("PushedFilters")).mkString
     assert(pushed.contains("IsNotNull"), s"no pushed filters found: $pushed")
   }
+
+  test("incremental KPI reads prune at the FILE level via PartitionFilters") {
+    val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
+
+    val cat = Kpi.categoryKpisFromStore(spark, store, Kpi.incrementalDates)
+    val catScan = scans(cat).find(_.metadata.get("Location").exists(_.contains("consolidated")))
+    assert(catScan.isDefined, "no consolidated-store scan in the category plan")
+    assert(catScan.get.partitionFilters.exists(_.references.exists(_.name == "order_date")),
+      s"order_date isin did not become a PartitionFilter: ${catScan.get.partitionFilters}")
+    // the pruned scan must open only the target dates' partitions
+    assert(catScan.get.relation.location.listFiles(catScan.get.partitionFilters, Nil)
+      .flatMap(_.files).size < 10,
+      "partition pruning did not reduce the file set to the target dates")
+
+    val daily = Kpi.orderKpisFromStore(spark, store, Kpi.incrementalDates)
+    val dailyScan = scans(daily).find(_.metadata.get("Location").exists(_.contains("orders_enriched")))
+    assert(dailyScan.isDefined, "no orders_enriched-store scan in the daily plan")
+    assert(dailyScan.get.partitionFilters.exists(_.references.exists(_.name == "order_date")),
+      s"order_date isin did not become a PartitionFilter: ${dailyScan.get.partitionFilters}")
+  }
 }
