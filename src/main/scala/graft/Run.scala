@@ -30,10 +30,14 @@ object Run {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val result = try Pipeline.run(spark, root, date) finally spark.stop()
+    // the coordinated entry: ledger poll + exactly-once trigger guard
+    // (re-running a completed batch is a no-op, like the reference Lambda)
+    val result = try Pipeline.runTracked(spark, root, date) finally spark.stop()
     result match {
       case Pipeline.Succeeded(d, c, k) =>
         println(s"[graft] batch $d succeeded: $c category rows, $k daily rows")
+      case Pipeline.AlreadyTriggered(d) =>
+        println(s"[graft] batch $d already triggered — exactly-once guard declined the rerun")
       case Pipeline.Rejected(d, reasons) =>
         System.err.println(s"[graft] batch $d REJECTED:")
         reasons.foreach(r => System.err.println(s"  ${r.file}: ${r.reason}"))

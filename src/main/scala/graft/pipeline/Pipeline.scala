@@ -34,6 +34,8 @@ object Pipeline {
   final case class Succeeded(batchDate: String, categoryRows: Long, dailyRows: Long) extends Result
   final case class Rejected(batchDate: String, reasons: Seq[Validator.Rejection]) extends Result
   final case class Incomplete(batchDate: String, missing: Seq[String]) extends Result
+  /** The exactly-once guard declined: this batch was already triggered. */
+  final case class AlreadyTriggered(batchDate: String) extends Result
 
   /** O3: retry with exponential backoff (reference step-function retry policy:
     * 2 retries, 3 s interval, 2.0 backoff — here parameterized and testable).
@@ -167,18 +169,59 @@ object Pipeline {
     }
   }
 
-  /** Full run for one batch date. */
+  /** Coordinated run with the persistent batch tracker (the reference
+    * Lambda's poll→trigger cycle, lambda_function.py:198-265): record the
+    * poll in the ledger, then process ONLY if this caller wins the atomic
+    * trigger mark. Re-running a completed batch is a no-op
+    * ([[AlreadyTriggered]]); two concurrent runs admit exactly one. [[run]]
+    * remains the unguarded "container" entry the Step Function would invoke.
+    */
+  def runTracked(spark: SparkSession, root: String, date: String): Result = {
+    val st = BatchTracker.recordPoll(spark, root, date)
+    if (st.triggered) AlreadyTriggered(date)
+    else if (!st.complete) Incomplete(date, st.missing)
+    else if (!BatchTracker.tryMarkTriggered(spark, root, date)) AlreadyTriggered(date)
+    else {
+      val result = run(spark, root, date)
+      BatchTracker.recordOutcome(spark, root, date, result match {
+        case _: Succeeded => "SUCCEEDED"
+        case _: Rejected => "REJECTED"
+        case _ => "TRIGGERED"
+      })
+      result
+    }
+  }
+
+  /** Full run for one batch date. A per-run log artifact lands under
+    * `logs/pipeline/` whatever the outcome (S7; validate_task.py:45-61).
+    */
   def run(spark: SparkSession, root: String, date: String): Result = {
+    val log = new RunLog(spark, root, "pipeline")
+    log.info(s"batch $date: run started")
+    val result =
+      try runStages(spark, root, date, log)
+      catch { case e: Throwable => log.error(s"batch $date: failed: ${e.getMessage}"); throw e }
+      finally log.flush()
+    result
+  }
+
+  private def runStages(spark: SparkSession, root: String, date: String,
+      log: RunLog): Result = {
     completeness(spark, root, date) match {
-      case Left(missing) => Incomplete(date, missing)
+      case Left(missing) =>
+        log.warn(s"batch $date: incomplete, missing ${missing.mkString(", ")}")
+        Incomplete(date, missing)
       case Right(files) =>
+        log.info(s"batch $date: complete (${files.all.size} files), validating")
         // O3: transient failures (FS hiccups) retry with backoff; a Rejected
         // REPORT is a value, not an exception, so rejection never retries.
         val report = withRetry()(validate(spark, root, files))
         if (!report.ok) {
+          report.rejections.foreach(r => log.error(s"batch $date: REJECTED ${r.file}: ${r.reason}"))
           rejectBatch(spark, root, files, report)
           Rejected(date, report.rejections)
         } else {
+          log.info(s"batch $date: validation passed, transforming")
           // raw/ → validated/
           files.all.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
           // rebuild destination paths on ROOT (which carries the scheme and
@@ -189,6 +232,7 @@ object Pipeline {
           // validated/ → processed/ (products master stays in validated/)
           (files.orders ++ files.items).map(toValidated)
             .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/processed", f))
+          log.info(s"batch $date: succeeded ($c category rows, $d daily rows), archived")
           Succeeded(date, c, d)
         }
     }

@@ -167,6 +167,92 @@ class PipelineSpec extends AnyFunSuite {
     assert(calls2 == 2)
   }
 
+  test("tracker: rerun of a completed batch is a no-op; re-arrived files untouched") {
+    val root = setupBatch("trk")
+    val r1 = Pipeline.runTracked(spark, root.toString, "2024-01-01")
+    assert(r1.isInstanceOf[Pipeline.Succeeded], s"got $r1")
+    assert(Files.exists(root.resolve("_tracker/2024-01-01.triggered")))
+
+    // corrected data re-arrives AFTER the batch already triggered: the
+    // exactly-once guard declines, raw files stay where they are
+    write(root, "raw/orders/2024-01-01/orders_part0.csv", ordersCsv)
+    write(root, "raw/order_items/2024-01-01/order_items_part0.csv", itemsCsv)
+    write(root, "raw/products/products.csv", productsCsv)
+    val kpisBefore = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis").collect().toSeq
+    val r2 = Pipeline.runTracked(spark, root.toString, "2024-01-01")
+    assert(r2 == Pipeline.AlreadyTriggered("2024-01-01"))
+    assert(Files.exists(root.resolve("raw/orders/2024-01-01/orders_part0.csv")),
+      "guarded rerun must not consume raw files")
+    assert(KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis").collect().toSeq == kpisBefore)
+
+    // operator reset (the delete-the-ledger-item analog) re-admits the batch
+    graft.pipeline.BatchTracker.reset(spark, root.toString, "2024-01-01")
+    assert(Pipeline.runTracked(spark, root.toString, "2024-01-01")
+      .isInstanceOf[Pipeline.Succeeded])
+  }
+
+  test("tracker: concurrent runs admit exactly one; ledger records arrivals and outcome") {
+    val root = setupBatch("trkconc")
+    // the guard itself: N racers, exactly one winner — ever
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val wins = Await.result(
+      Future.sequence((1 to 16).map(_ => Future(
+        graft.pipeline.BatchTracker.tryMarkTriggered(spark, root.toString, "2099-01-01")))),
+      60.seconds).count(identity)
+    assert(wins == 1, s"exactly-once guard admitted $wins callers")
+
+    // full ledger cycle on the real batch
+    val r = Pipeline.runTracked(spark, root.toString, "2024-01-01")
+    assert(r.isInstanceOf[Pipeline.Succeeded])
+    val st = graft.pipeline.BatchTracker.state(spark, root.toString, "2024-01-01")
+    assert(st.triggered && st.status == "SUCCEEDED")
+    assert(st.ordersKeys.exists(_.endsWith("orders_part0.csv")))
+    assert(st.itemsKeys.exists(_.endsWith("order_items_part0.csv")))
+    assert(st.productsReady && st.productsKeys.nonEmpty)
+  }
+
+  test("tracker: incomplete batch stays untriggered and reports missing sources") {
+    val root = Files.createTempDirectory("graft-trk-inc")
+    write(root, "raw/products/products.csv", productsCsv)
+    val r = Pipeline.runTracked(spark, root.toString, "2024-01-01")
+    assert(r == Pipeline.Incomplete("2024-01-01",
+      Seq("orders for 2024-01-01", "order_items for 2024-01-01")))
+    val st = graft.pipeline.BatchTracker.state(spark, root.toString, "2024-01-01")
+    assert(!st.triggered && st.status == "NOT_TRIGGERED" && st.productsReady)
+    // files then land → next poll flips the flags and triggers
+    write(root, "raw/orders/2024-01-01/orders_part0.csv", ordersCsv)
+    write(root, "raw/order_items/2024-01-01/order_items_part0.csv", itemsCsv)
+    assert(Pipeline.runTracked(spark, root.toString, "2024-01-01")
+      .isInstanceOf[Pipeline.Succeeded])
+  }
+
+  test("every run leaves a log artifact under logs/pipeline/, success or rejection") {
+    val root = setupBatch("log")
+    assert(Pipeline.run(spark, root.toString, "2024-01-01").isInstanceOf[Pipeline.Succeeded])
+    def logs(): Seq[Path] = {
+      val dir = root.resolve("logs/pipeline")
+      if (!Files.exists(dir)) Nil
+      else Files.list(dir).toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".log"))
+    }
+    val afterOk = logs()
+    assert(afterOk.size == 1, s"expected one run log, got $afterOk")
+    val content = Files.readString(afterOk.head)
+    assert(content.contains("[INFO]") && content.contains("succeeded"))
+
+    // a rejected run gets its own artifact with the rejection reasons
+    write(root, "raw/products/products.csv", productsCsv)
+    write(root, "raw/orders/2024-01-01/orders_part0.csv", "user_id,created_at\n1,2024-01-01 00:00:00")
+    write(root, "raw/order_items/2024-01-01/order_items_part0.csv", itemsCsv)
+    assert(Pipeline.run(spark, root.toString, "2024-01-01").isInstanceOf[Pipeline.Rejected])
+    val afterReject = logs()
+    assert(afterReject.size == 2)
+    val rejectLog = (afterReject.toSet -- afterOk.toSet).head
+    assert(Files.readString(rejectLog).contains("REJECTED"))
+  }
+
   test("foreachPartition KV write: no driver collect, upsert semantics") {
     import spark.implicits._
     KeyValueSink.InMemoryStore.clear("t")
