@@ -29,8 +29,14 @@ object Bench {
     // fact-store materialization is ingest-time work (the pipeline maintains
     // it as batches land), not query time — build untimed so the incremental
     // KPI queries measure what they cost in production: the pruned read.
-    try operators.Kpi.ensureFixtureStore(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] store build failed: ${e.getMessage}") }
+    // A warm-up failure is surfaced in the output JSON: the first incremental
+    // query would silently absorb the build cost otherwise.
+    val warmupError: Option[String] =
+      try { operators.Kpi.ensureFixtureStore(spark, sfDir); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] store build failed: ${e.getMessage}")
+        Some(s"store build failed: ${e.getMessage}")
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -46,7 +52,8 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map(r => Json.quote(r._1)).mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val warmup = warmupError.map(e => s""","warmup_error":${Json.quote(e)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,8 +15,10 @@ import graft.pipeline.Pipeline
   */
 object Run {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: graft.Run <root> <batch-date YYYY-MM-DD>")
-    val Array(root, date) = args
+    require(args.length == 2 || (args.length == 3 && args(2) == "--reset"),
+      "usage: graft.Run <root> <batch-date YYYY-MM-DD> [--reset]")
+    val (root, date) = (args(0), args(1))
+    val reset = args.length == 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
@@ -31,8 +33,12 @@ object Run {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the coordinated entry: ledger poll + exactly-once trigger guard
-    // (re-running a completed batch is a no-op, like the reference Lambda)
-    val result = try Pipeline.runTracked(spark, root, date) finally spark.stop()
+    // (re-running a completed batch is a no-op, like the reference Lambda);
+    // --reset is the operator escape hatch to re-admit a batch
+    val result = try {
+      if (reset) graft.pipeline.BatchTracker.reset(spark, root, date)
+      Pipeline.runTracked(spark, root, date)
+    } finally spark.stop()
     result match {
       case Pipeline.Succeeded(d, c, k) =>
         println(s"[graft] batch $d succeeded: $c category rows, $k daily rows")

@@ -267,7 +267,8 @@ object MinHashSig {
   * Replaces `transform(sequence(0,k-1), s -> array_min(zip_with(...)))` —
   * k interpreted traversals plus k zipped temp arrays per document.
   * Empty inputs yield null (min of nothing is undefined; callers filter
-  * empty shingle sets upstream).
+  * empty shingle sets upstream); null ELEMENTS are skipped like array_min
+  * skips them (an all-null array degenerates to MaxValue sentinels).
   */
 case class MinHashSig(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
@@ -291,13 +292,16 @@ case class MinHashSig(left: Expression, right: Expression, k: Int)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h1 = x.getLong(i)
-      val d = y.getLong(i) >> 4
-      var s = 0
-      while (s < k) {
-        val v = (h1 + s * d) & MinHashSig.Mask
-        if (v < mins(s)) mins(s) = v
-        s += 1
+      // skip null slots like the array_min(zip_with(...)) formulation did
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val h1 = x.getLong(i)
+        val d = y.getLong(i) >> 4
+        var s = 0
+        while (s < k) {
+          val v = (h1 + s * d) & MinHashSig.Mask
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
       }
       i += 1
     }
@@ -317,6 +321,7 @@ case class MinHashSig(left: Expression, right: Expression, k: Int)
          |  long[] $mins = new long[$k];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
          |    long $h1 = $a.getLong($i);
          |    long $d = $b.getLong($i) >> 4;
          |    for (int $s = 0; $s < $k; $s++) {

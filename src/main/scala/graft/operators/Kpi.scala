@@ -107,43 +107,31 @@ object Kpi {
     */
   def orderKpis(orders: DataFrame, items: DataFrame,
       targetDates: Option[Seq[Date]] = None): DataFrame = {
-    val ordersDated = withOptionalReturnedAt(orders, "returned_at_order")
-      .withColumn("order_date", to_date(col("created_at")))
-      .withColumn("returned_order_flag",
-        when(col("returned_at_order").isNotNull, 1).otherwise(0).cast(IntegerType))
-    val ordersFiltered = targetDates match {
-      case Some(ds) => ordersDated.filter(col("order_date").isin(ds: _*))
-      case None     => ordersDated
+    val enriched = ordersEnriched(orders, items)
+    val filtered = targetDates match {
+      case Some(ds) => enriched.filter(col("order_date").isin(ds: _*))
+      case None     => enriched
     }
+    dailyKpis(filtered, itemsDaily(items))
+  }
 
-    val itemsCast = items.withColumn("sale_price", col("sale_price").cast(DoubleType))
-
-    // A2: pre-aggregate item revenue to order grain before joining (keeps the
-    // join input small; Catalyst won't invent this).
-    val revenuePerOrder = itemsCast.groupBy(col("order_id"))
-      .agg(dsum(col("sale_price")).as("order_revenue"))
-
-    val ordersWithRevenue = ordersFiltered
-      .join(revenuePerOrder, Seq("order_id"), "left")
-      .na.fill(0.0, Seq("order_revenue"))
-
-    // A3: item rows per item-level created_at date.
-    val itemsPerDate = itemsCast
-      .groupBy(to_date(col("created_at")).as("date_key"))
-      .agg(count(col("order_id")).as("total_items_sold_daily"))
-
-    ordersWithRevenue
+  /** The shared DailyKPIs aggregation over an order-grain enriched frame and
+    * a date-grain item-count frame — the single definition both the direct
+    * path ([[orderKpis]]) and the partitioned-store path
+    * ([[orderKpisFromStore]]) compute, so they cannot drift apart.
+    */
+  private def dailyKpis(ordersEnriched: DataFrame, itemsDaily: DataFrame): DataFrame =
+    ordersEnriched
       .groupBy(col("order_date").as("date_key"))
       .agg(
         countDistinct(col("order_id")).as("total_orders"),
         dsum(col("order_revenue")).as("total_revenue"),
         avg(col("returned_order_flag")).as("return_rate"),
         countDistinct(col("user_id")).as("unique_customers"))
-      .join(itemsPerDate, Seq("date_key"), "left")
+      .join(itemsDaily, Seq("date_key"), "left")
       .withColumnRenamed("total_items_sold_daily", "total_items_sold")
       .withColumn("total_items_sold", col("total_items_sold").cast(IntegerType))
       .na.fill(0, Seq("total_items_sold"))
-  }
 
   // --------------------------------------------------------------------------
   // Date-partitioned fact store (the incremental-recompute scale path)
@@ -181,21 +169,15 @@ object Kpi {
       targetDates: Seq[Date]): DataFrame = {
     val orders = FactStore.ordersEnriched(spark, storeDir)
       .filter(col("order_date").isin(targetDates: _*))
-    // pruning items_daily to the same dates is exact: the left join below
-    // keeps only the (already filtered) left side's date keys
+    // pruning items_daily to the same dates is exact: the left join inside
+    // dailyKpis keeps only the (already filtered) left side's date keys.
+    // The store keeps one count layer per (date, batch); layers of one date
+    // are disjoint item sets, so they SUM.
     val ipd = FactStore.itemsDaily(spark, storeDir)
       .filter(col("date_key").isin(targetDates: _*))
-    orders
-      .groupBy(col("order_date").as("date_key"))
-      .agg(
-        countDistinct(col("order_id")).as("total_orders"),
-        dsum(col("order_revenue")).as("total_revenue"),
-        avg(col("returned_order_flag")).as("return_rate"),
-        countDistinct(col("user_id")).as("unique_customers"))
-      .join(ipd, Seq("date_key"), "left")
-      .withColumnRenamed("total_items_sold_daily", "total_items_sold")
-      .withColumn("total_items_sold", col("total_items_sold").cast(IntegerType))
-      .na.fill(0, Seq("total_items_sold"))
+      .groupBy(col("date_key"))
+      .agg(sum(col("total_items_sold_daily")).as("total_items_sold_daily"))
+    dailyKpis(orders, ipd)
   }
 
   /** CategoryKPIs from the partitioned store — the pruned scan feeds the

@@ -130,6 +130,16 @@ object BatchTracker {
     }
   }
 
+  /** Roll back the trigger mark — for a holder whose run did NOT consume the
+    * batch (crash, vanished files), so the next poll can retry. Only the
+    * marker's winner may call this.
+    */
+  def unmarkTriggered(spark: SparkSession, root: String, date: String): Unit = {
+    val p = new Path(markerPath(root, date))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   def isTriggered(spark: SparkSession, root: String, date: String): Boolean = {
     val p = new Path(markerPath(root, date))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

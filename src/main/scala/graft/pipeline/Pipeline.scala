@@ -131,7 +131,8 @@ object Pipeline {
     * open only those partitions (`PartitionFilters`), so a daily batch costs
     * one day of data no matter how much history has accumulated.
     */
-  def transform(spark: SparkSession, root: String, newOrdersPaths: Seq[String]): (Long, Long) = {
+  def transform(spark: SparkSession, root: String, batchId: String,
+      newOrdersPaths: Seq[String]): (Long, Long) = {
     // D1: distinct dates present in the NEW orders files drive the recompute.
     val newDates = Csv.read(spark, Csv.ordersSchema, newOrdersPaths)
       .select(to_date(col("created_at")).as("d")).distinct()
@@ -146,7 +147,7 @@ object Pipeline {
       Csv.listCsv(spark, s"$root/validated/order_items"))
 
     val factsDir = s"$root/facts"
-    FactStore.upsertBatch(
+    FactStore.upsertBatch(batchId,
       Kpi.consolidated(products, orders, items),
       Kpi.ordersEnriched(orders, items),
       Kpi.itemsDaily(items),
@@ -182,32 +183,49 @@ object Pipeline {
     else if (!st.complete) Incomplete(date, st.missing)
     else if (!BatchTracker.tryMarkTriggered(spark, root, date)) AlreadyTriggered(date)
     else {
-      val result = run(spark, root, date)
-      BatchTracker.recordOutcome(spark, root, date, result match {
-        case _: Succeeded => "SUCCEEDED"
-        case _: Rejected => "REJECTED"
-        case _ => "TRIGGERED"
-      })
+      // the poll already listed the batch's files — don't list again
+      val files = BatchFiles(st.productsKeys, st.ordersKeys, st.itemsKeys)
+      // a run that DIDN'T consume the batch must not leave it locked: roll
+      // the marker back on crash (exception) or vanished files (Incomplete),
+      // so a transient failure is retryable on the next poll. A Rejected
+      // batch stays triggered — its files moved to invalid/, like the
+      // reference's failed-but-triggered Step Function execution.
+      val result =
+        try run(spark, root, date, Some(files))
+        catch { case e: Throwable =>
+          BatchTracker.unmarkTriggered(spark, root, date); throw e
+        }
+      result match {
+        case _: Succeeded => BatchTracker.recordOutcome(spark, root, date, "SUCCEEDED")
+        case _: Rejected => BatchTracker.recordOutcome(spark, root, date, "REJECTED")
+        case _ => BatchTracker.unmarkTriggered(spark, root, date)
+      }
       result
     }
   }
 
   /** Full run for one batch date. A per-run log artifact lands under
     * `logs/pipeline/` whatever the outcome (S7; validate_task.py:45-61).
+    * `knownFiles` skips the completeness listing when the caller (the
+    * tracker poll) already produced the file lists.
     */
-  def run(spark: SparkSession, root: String, date: String): Result = {
+  def run(spark: SparkSession, root: String, date: String,
+      knownFiles: Option[BatchFiles] = None): Result = {
     val log = new RunLog(spark, root, "pipeline")
     log.info(s"batch $date: run started")
-    val result =
-      try runStages(spark, root, date, log)
-      catch { case e: Throwable => log.error(s"batch $date: failed: ${e.getMessage}"); throw e }
-      finally log.flush()
-    result
+    try runStages(spark, root, date, knownFiles, log)
+    catch { case e: Throwable => log.error(s"batch $date: failed: ${e.getMessage}"); throw e }
+    finally {
+      // the log is observability, not an outcome: a failed flush must not
+      // replace the pipeline result (all side effects already happened)
+      try log.flush()
+      catch { case e: Throwable => System.err.println(s"[graft] log flush failed: ${e.getMessage}") }
+    }
   }
 
   private def runStages(spark: SparkSession, root: String, date: String,
-      log: RunLog): Result = {
-    completeness(spark, root, date) match {
+      knownFiles: Option[BatchFiles], log: RunLog): Result = {
+    knownFiles.map(Right(_)).getOrElse(completeness(spark, root, date)) match {
       case Left(missing) =>
         log.warn(s"batch $date: incomplete, missing ${missing.mkString(", ")}")
         Incomplete(date, missing)
@@ -222,13 +240,23 @@ object Pipeline {
           Rejected(date, report.rejections)
         } else {
           log.info(s"batch $date: validation passed, transforming")
-          // raw/ → validated/
-          files.all.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
           // rebuild destination paths on ROOT (which carries the scheme and
           // authority) — stripping the scheme from the file alone would point
           // an s3a:// root at the default filesystem
           def toValidated(f: String): String = s"$root/validated/${relUnderRaw(root, f)}"
-          val (c, d) = withRetry()(transform(spark, root, files.orders.map(toValidated)))
+          // raw/ → validated/
+          files.all.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
+          val (c, d) =
+            try withRetry()(transform(spark, root, date, files.orders.map(toValidated)))
+            catch { case e: Throwable =>
+              // compensate: a failed transform must leave the batch exactly
+              // as delivered, so the next poll can retry it end-to-end
+              // (moveFile no-ops files a partial compensation already moved)
+              log.error(s"batch $date: transform failed, returning files to raw/: ${e.getMessage}")
+              files.all.map(toValidated)
+                .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/raw", f))
+              throw e
+            }
           // validated/ → processed/ (products master stays in validated/)
           (files.orders ++ files.items).map(toValidated)
             .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/processed", f))

@@ -38,7 +38,9 @@ final class RunLog(spark: SparkSession, root: String, task: String) {
   def flush(): String = synchronized {
     val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss-SSS")
       .format(java.time.LocalDateTime.ofInstant(Instant.now(), java.time.ZoneOffset.UTC))
-    val path = s"$root/logs/$task/${task}_${ts}_${RunLog.seq.incrementAndGet()}.log"
+    // pid + process-local counter: unique even across concurrent drivers
+    val pid = ProcessHandle.current().pid()
+    val path = s"$root/logs/$task/${task}_${ts}_${pid}_${RunLog.seq.incrementAndGet()}.log"
     Csv.writeTextFile(spark, path, lines.mkString("\n"))
     path
   }

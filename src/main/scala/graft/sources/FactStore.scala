@@ -45,28 +45,49 @@ object FactStore {
     .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Deterministic per-fixture-dir store location (system temp; fixture dirs
-    * are read-only).
+    * are local and read-only). The key covers the source files' names, sizes
+    * and mtimes, so regenerated fixture data at the same path can never be
+    * served from a stale store.
     */
-  def fixtureStoreDir(srcDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-factstore-$Version-${md5hex(srcDir)}"
+  def fixtureStoreDir(srcDir: String): String = {
+    val stamp = Option(new java.io.File(srcDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
+      .getOrElse("")
+    s"${sys.props("java.io.tmpdir")}/graft-factstore-$Version-${md5hex(s"$srcDir|$stamp")}"
+  }
 
   private val marker = "_GRAFT_STORE_OK"
   private val builtDirs = scala.collection.mutable.Set[String]()
 
-  /** Write one batch of facts into `storeDir`, REPLACING the partitions for
-    * the dates present in the input (dynamic partition overwrite) — the
-    * pipeline's per-date upsert: re-running a batch rewrites its dates
-    * byte-identically, other dates' partitions are untouched.
+  /** Write one batch of facts into `storeDir`, layered by
+    * `(order_date, batch_id)` with dynamic partition overwrite:
+    *
+    *  - re-running the SAME batch rewrites exactly its own
+    *    `(date, batch_id)` partitions — byte-identical, idempotent;
+    *  - a LATER batch carrying a straggler row for an old date adds its own
+    *    `batch_id=` layer under that date, so earlier batches' facts for the
+    *    date survive and a recompute sees the UNION of all batches — the
+    *    reference's intended full-history semantics (transform_task.py:409)
+    *    without its full-history scan;
+    *  - date-pruned reads are unaffected (`order_date` stays the leading
+    *    partition key).
     */
-  def upsertBatch(consolidated: DataFrame, ordersEnriched: DataFrame,
+  def upsertBatch(batchId: String, consolidated: DataFrame, ordersEnriched: DataFrame,
       itemsDaily: DataFrame, storeDir: String): Unit = {
     val spark = consolidated.sparkSession
+    // a RERUN of this batch may carry a different date set than its previous
+    // run (e.g. a straggler row corrected away) — drop ALL of the batch's
+    // previous layers first so its contribution is replaced, not merged
+    dropBatchLayers(spark, storeDir, batchId)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      writePartitioned(consolidated, s"$storeDir/consolidated", SaveMode.Overwrite)
-      writePartitioned(ordersEnriched, s"$storeDir/orders_enriched", SaveMode.Overwrite)
-      upsertItemsDaily(itemsDaily, storeDir)
+      writePartitioned(consolidated.withColumn("batch_id", lit(batchId)),
+        s"$storeDir/consolidated", SaveMode.Overwrite)
+      writePartitioned(ordersEnriched.withColumn("batch_id", lit(batchId)),
+        s"$storeDir/orders_enriched", SaveMode.Overwrite)
+      upsertItemsDaily(itemsDaily.withColumn("batch_id", lit(batchId)), storeDir)
       syncCatalog(spark, storeDir)
     } finally {
       prev match {
@@ -76,17 +97,28 @@ object FactStore {
     }
   }
 
+  private def dropBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("consolidated" -> "order_date", "orders_enriched" -> "order_date",
+      "items_daily" -> "date_key").foreach { case (t, key) =>
+      val table = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+      val fs = table.getFileSystem(conf)
+      if (fs.exists(table))
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$storeDir/$t/$key=*/batch_id=$batchId"))
+          .foreach(st => fs.delete(st.getPath, true))
+    }
+  }
+
   private def writePartitioned(df: DataFrame, dir: String, mode: SaveMode): Unit =
     df.repartition(col("order_date"))
-      .write.mode(mode).partitionBy("order_date").parquet(dir)
+      .write.mode(mode).partitionBy("order_date", "batch_id").parquet(dir)
 
-  /** items_daily is date-grain (≤ one row per calendar day — bounded, tiny),
-    * stored partitioned by its date key purely so per-date upsert works the
-    * same way as the fact tables.
+  /** items_daily is date-grain PER BATCH (≤ one row per calendar day per
+    * batch — bounded, tiny); readers sum layers per date.
     */
   private def upsertItemsDaily(df: DataFrame, storeDir: String): Unit =
     df.repartition(1)
-      .write.mode(SaveMode.Overwrite).partitionBy("date_key")
+      .write.mode(SaveMode.Overwrite).partitionBy("date_key", "batch_id")
       .parquet(s"$storeDir/items_daily")
 
   // --------------------------------------------------------------------------
@@ -154,10 +186,12 @@ object FactStore {
     val markerPath = new java.io.File(dir, marker)
     if (!markerPath.exists()) {
       val (cons, orders, items) = build(spark)
-      // full-fixture build: plain overwrite, no dynamic mode needed
-      writePartitioned(cons, s"$dir/consolidated", SaveMode.Overwrite)
-      writePartitioned(orders, s"$dir/orders_enriched", SaveMode.Overwrite)
-      upsertItemsDaily(items, dir)
+      // full-fixture build: the whole corpus is one "batch" layer
+      writePartitioned(cons.withColumn("batch_id", lit("full")),
+        s"$dir/consolidated", SaveMode.Overwrite)
+      writePartitioned(orders.withColumn("batch_id", lit("full")),
+        s"$dir/orders_enriched", SaveMode.Overwrite)
+      upsertItemsDaily(items.withColumn("batch_id", lit("full")), dir)
       markerPath.createNewFile()
     }
     // catalog registration (schema inference + partition recovery) is part

@@ -94,10 +94,12 @@ class GraftExpressionsSpec extends AnyFunSuite {
       GraftExpressions.sortedIntersectCount(col("a"), col("b")),
       GraftExpressions.simhash32(col("a"))).head()
     val on = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    // NO_CODEGEN forces the interpreted nullSafeEval path — merely turning
+    // wholeStage off still compiles expressions via fallback codegen
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     val off =
       try run()
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     assert(on.getInt(0) == 2 && off.getInt(0) == 2)
     // 1,5,9: bit 0 set in all three (majority); bits 2 and 3 set in one of three each
     assert(on.getLong(1) == off.getLong(1) && on.getLong(1) == 1L)

@@ -109,6 +109,80 @@ class PipelineSpec extends AnyFunSuite {
       .head().getAs[Double]("total_revenue") == 45.0)
   }
 
+  test("straggler date in a later batch AUGMENTS the earlier batch's facts, not replaces them") {
+    val root = setupBatch("straggler")
+    assert(Pipeline.run(spark, root.toString, "2024-01-01").isInstanceOf[Pipeline.Succeeded])
+
+    // batch 2 carries day-2 data PLUS a straggler order dated day 1
+    write(root, "raw/orders/2024-01-02/orders_part0.csv",
+      """order_id,user_id,created_at,returned_at
+        |30,300,2024-01-02 00:00:00,
+        |40,400,2024-01-01 00:00:00,""".stripMargin)
+    write(root, "raw/order_items/2024-01-02/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |30,1,7.0,,2024-01-02 00:00:00
+        |40,2,100.0,,2024-01-01 00:00:00""".stripMargin)
+    write(root, "raw/products/products.csv", productsCsv)
+    assert(Pipeline.run(spark, root.toString, "2024-01-02").isInstanceOf[Pipeline.Succeeded])
+
+    // day 1 recomputed from the UNION of batch 1's facts and the straggler —
+    // batch 1's day-1 partitions must survive the day-1 rewrite
+    val daily = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis")
+    val d1 = daily.filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-01").head()
+    assert(d1.getAs[Long]("total_orders") == 3L, "batch 1's day-1 orders were lost")
+    assert(d1.getAs[Double]("total_revenue") == 145.0) // 45 (batch 1) + 100 (straggler)
+    assert(d1.getAs[Int]("total_items_sold") == 4)     // 3 (batch 1) + 1 (straggler)
+
+    // rerun of batch 2 stays idempotent: its old layers replaced, day 1 stable
+    write(root, "raw/orders/2024-01-02/orders_part0.csv",
+      """order_id,user_id,created_at,returned_at
+        |30,300,2024-01-02 00:00:00,
+        |40,400,2024-01-01 00:00:00,""".stripMargin)
+    write(root, "raw/order_items/2024-01-02/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |30,1,7.0,,2024-01-02 00:00:00
+        |40,2,100.0,,2024-01-01 00:00:00""".stripMargin)
+    write(root, "raw/products/products.csv", productsCsv)
+    assert(Pipeline.run(spark, root.toString, "2024-01-02").isInstanceOf[Pipeline.Succeeded])
+    val d1again = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis")
+      .filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-01").head()
+    assert(d1again.getAs[Long]("total_orders") == 3L
+      && d1again.getAs[Double]("total_revenue") == 145.0)
+
+    // corrected rerun WITHOUT the straggler drops its contribution entirely
+    write(root, "raw/orders/2024-01-02/orders_part0.csv",
+      """order_id,user_id,created_at,returned_at
+        |30,300,2024-01-02 00:00:00,""".stripMargin)
+    write(root, "raw/order_items/2024-01-02/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |30,1,7.0,,2024-01-02 00:00:00""".stripMargin)
+    write(root, "raw/products/products.csv", productsCsv)
+    assert(Pipeline.run(spark, root.toString, "2024-01-02").isInstanceOf[Pipeline.Succeeded])
+    // note: day 1 is NOT in the corrected batch's date set, so its KPI row
+    // keeps the last computed value — but the FACTS are clean: a manual
+    // day-1 recompute no longer sees order 40
+    val facts = graft.sources.FactStore.ordersEnriched(spark, s"$root/facts")
+    assert(facts.filter(org.apache.spark.sql.functions.col("order_id") === 40L).count() == 0,
+      "rerun without the straggler must drop its old layer")
+  }
+
+  test("tracker: crash after the trigger mark rolls back mark AND file moves (retryable)") {
+    val root = setupBatch("trkcrash")
+    // sabotage: a regular FILE where the fact store directory must go makes
+    // the transform stage throw (works even when tests run as root, unlike
+    // permission tricks)
+    Files.writeString(root.resolve("facts"), "not a directory")
+    intercept[Exception] { Pipeline.runTracked(spark, root.toString, "2024-01-01") }
+    assert(!Files.exists(root.resolve("_tracker/2024-01-01.triggered")),
+      "a crashed run must not leave the batch locked")
+    assert(Files.exists(root.resolve("raw/orders/2024-01-01/orders_part0.csv")),
+      "a crashed run must return the batch files to raw/")
+    // remove the sabotage: the next poll retries end-to-end and succeeds
+    Files.delete(root.resolve("facts"))
+    assert(Pipeline.runTracked(spark, root.toString, "2024-01-01")
+      .isInstanceOf[Pipeline.Succeeded])
+  }
+
   test("missing required column rejects the whole batch with manifests") {
     val root = setupBatch("badcol")
     write(root, "raw/orders/2024-01-01/orders_part0.csv",
