@@ -85,6 +85,30 @@ object Dedup {
        |         len(md) AS n
        |  FROM hmd)""".stripMargin
 
+  /** DuckDB CTE chain ending in `mh_pairs(doc_a, doc_b, jaccard)` — shared by
+    * the minhash-pairs oracle and the clustering oracle's recursive closure.
+    */
+  private val minhashPairsCtes: String =
+    s"""$hashedShinglesSql,
+       |sig AS (
+       |  SELECT doc_id, h1,
+       |    list_transform(generate_series(0, ${minhashK - 1}),
+       |      s -> list_min([(x[1] + s*(x[2]>>4)) & $hashMask FOR x IN list_zip(h1, h2)])) AS sg
+       |  FROM hh),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(list_transform(sg[b*$minhashRows+1:b*$minhashRows+$minhashRows], v -> CAST(v AS VARCHAR)), ',') bk
+       |  FROM sig, generate_series(0, ${minhashBands - 1}) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id da, b.doc_id db
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |mh_pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT da AS doc_a, db AS doc_b,
+       |           len(list_intersect(x.h1, y.h1)) / (x.n + y.n - len(list_intersect(x.h1, y.h1))) AS jaccard
+       |    FROM cand JOIN hh x ON x.doc_id = da JOIN hh y ON y.doc_id = db)
+       |  WHERE jaccard >= $jaccardTau)""".stripMargin
+
   // --------------------------------------------------------------------------
   // Exact dedup
   // --------------------------------------------------------------------------
@@ -234,6 +258,68 @@ object Dedup {
   }
 
   // --------------------------------------------------------------------------
+  // Duplicate clustering (connected components over near-dup pairs)
+  // --------------------------------------------------------------------------
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labeled with its own id; each round every node adopts the minimum
+    * label in its neighborhood; fixpoint in O(graph diameter) rounds.
+    *
+    * Scale design (100 TB): each round is ONE equi-join on node id plus ONE
+    * hash-aggregate — no driver-side graph state, labels never leave the
+    * cluster. Near-dup graphs have tiny components (diameter ≤ a few), so the
+    * round count stays small; for adversarial long-chain graphs the same loop
+    * admits the large-star/small-star optimization (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") which squares-down the diameter.
+    * `localCheckpoint` truncates the growing lineage each round (a real
+    * cluster job would checkpoint to reliable storage instead).
+    *
+    * Convergence check: labels only ever decrease, so the label SUM is
+    * strictly decreasing until fixpoint — one cheap scalar per round instead
+    * of a change-count self-join.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label")).cast(DecimalType(38, 0))).collect()(0).getDecimal(0))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var prev = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = propagated.union(labels.select(col("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One row per document: its duplicate-cluster id (min doc_id of its
+    * MinHash near-dup component; docs with no near-dup are their own cluster).
+    * The downstream curation join: keep `doc_id == cluster_id`.
+    */
+  def clusters(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(connectedComponents(minhashPairs(docs))
+          .select(col("node").as("doc_id"), col("label").as("cid")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+
+  // --------------------------------------------------------------------------
   // Embedding cosine near-dup (LSH-bucketed)
   // --------------------------------------------------------------------------
 
@@ -320,25 +406,24 @@ object Dedup {
     },
 
     Op.sql("dedup_minhash_pairs",
-      s"""WITH $hashedShinglesSql,
-         |sig AS (
-         |  SELECT doc_id, h1,
-         |    list_transform(generate_series(0, ${minhashK - 1}),
-         |      s -> list_min([(x[1] + s*(x[2]>>4)) & $hashMask FOR x IN list_zip(h1, h2)])) AS sg
-         |  FROM hh),
-         |bands AS (
-         |  SELECT doc_id, b,
-         |    array_to_string(list_transform(sg[b*$minhashRows+1:b*$minhashRows+$minhashRows], v -> CAST(v AS VARCHAR)), ',') bk
-         |  FROM sig, generate_series(0, ${minhashBands - 1}) t(b)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id da, b.doc_id db
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT da AS doc_a, db AS doc_b,
-         |         len(list_intersect(x.h1, y.h1)) / (x.n + y.n - len(list_intersect(x.h1, y.h1))) AS jaccard
-         |  FROM cand JOIN hh x ON x.doc_id = da JOIN hh y ON y.doc_id = db)
-         |WHERE jaccard >= $jaccardTau""".stripMargin) { (s, d) =>
+      s"""WITH $minhashPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM mh_pairs""".stripMargin) { (s, d) =>
       minhashPairs(Tables.documents(s, d))
+    },
+
+    Op.sql("dedup_clusters",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin) { (s, d) =>
+      clusters(Tables.documents(s, d))
     },
 
     Op.sql("dedup_simhash_docs",

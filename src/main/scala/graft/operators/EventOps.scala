@@ -87,6 +87,38 @@ object EventOps {
       min(col("ts")).as("first_seen"),
       max(col("ts")).as("last_seen"))
 
+  /** Ordered conversion funnel over the event stream. A user reaches stage
+    * i+1 only with an event of that type STRICTLY AFTER their first stage-i
+    * time (first view → first later click → first later purchase) — the
+    * sequential semantics a product-analytics funnel means, not three
+    * independent existence checks.
+    *
+    * Scale design: one filtered min-aggregate + one equi-join on user_id per
+    * stage — each stage's frame shrinks monotonically, no window over the
+    * full stream, no driver state. The final 3-row window is trivial.
+    */
+  val funnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  def funnel(events: DataFrame, stages: Seq[String] = funnelStages): DataFrame = {
+    val firstByStage = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) {
+      case (prev, stage) =>
+        events.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+          .filter(col("ts") > col("prev_t"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = stages.zip(firstByStage).zipWithIndex.map {
+      case ((stage, reached), i) =>
+        reached.agg(count(lit(1)).as("users"))
+          .select(lit((i + 1).toLong).as("stage_idx"), lit(stage).as("stage"), col("users"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
+    counts.withColumn("conv_from_prev",
+      col("users").cast(DoubleType) / lag(col("users"), 1).over(w))
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -174,6 +206,24 @@ object EventOps {
         .groupBy(col("event_type"))
         .agg(sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_sum"),
           count(lit(1)).as("n_events"))
+    },
+
+    Op.sql("events_funnel",
+      s"""WITH $eventsCte,
+         |s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+         |counts AS (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, COUNT(*) AS users FROM s1
+         |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+         |SELECT stage_idx, stage, users,
+         |       CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage_idx) AS conv_from_prev
+         |FROM counts""".stripMargin) { (s, d) =>
+      funnel(Tables.events(s, d))
     },
 
     Op.sql("events_user_stats",

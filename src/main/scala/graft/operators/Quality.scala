@@ -54,6 +54,31 @@ object Quality {
       parent: DataFrame, parentKey: String, n: Int = 5): DataFrame =
     fkViolations(child, childKey, parent, parentKey).orderBy(col(childKey)).limit(n)
 
+  /** Table profile: row/null counts, min/max, exact distinct, and exact
+    * quartiles of the quantity column — the "describe table" pass a pipeline
+    * runs before training on a new corpus drop.
+    *
+    * Scale notes: everything except the quartiles is one distributed
+    * aggregate. Exact `percentile` funnels the column through a single
+    * reducer — fine for profiling runs; at 100 TB flip to
+    * `approx_percentile` (t-digest, fully distributed) the same way
+    * [[Analytics.dailyUniquesApprox]] swaps exact distinct for HLL.
+    * Quartile determinism across engines: l_quantity holds small integers
+    * and quartile positions have dyadic fractions, so the linear
+    * interpolation is exact in IEEE arithmetic on both sides (no ULP drift).
+    */
+  def profileLineitem(li: DataFrame): DataFrame =
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("n_qty"),
+      (count(lit(1)) - count(col("l_quantity"))).as("n_qty_null"),
+      min(col("l_quantity")).as("qty_min"),
+      max(col("l_quantity")).as("qty_max"),
+      countDistinct(col("l_returnflag")).as("n_flags"),
+      expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+      expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+      expr("percentile(l_quantity, 0.75)").as("qty_p75"))
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -81,6 +106,18 @@ object Quality {
          |SELECT DISTINCT i.product_id FROM order_items i
          |WHERE NOT EXISTS (SELECT 1 FROM products p WHERE p.id = i.product_id)""".stripMargin) { (s, d) =>
       fkViolations(Tables.orderItems(s, d), "product_id", Tables.products(s, d), "id")
+    },
+
+    Op.sql("profile_lineitem",
+      """SELECT COUNT(*) AS n_rows, COUNT(l_quantity) AS n_qty,
+        |       COUNT(*) - COUNT(l_quantity) AS n_qty_null,
+        |       MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+        |       COUNT(DISTINCT l_returnflag) AS n_flags,
+        |       quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |       quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |       quantile_cont(l_quantity, 0.75) AS qty_p75
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      profileLineitem(Tables.lineitem(s, d))
     },
 
     // Violating FK with a real payoff: events.user_id is not constrained to

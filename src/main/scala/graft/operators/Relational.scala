@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
+import graft.functions.Portable._
 import graft.sources.Tables
 
 /** The reference's projection / filter / set-op layer as standalone, oracle-checked
@@ -66,6 +67,32 @@ object Relational {
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
+
+  /** Per-stratum sampling rates in permille (stratum = order status). */
+  val samplingRates: Seq[(String, Int)] = Seq("F" -> 50, "O" -> 200, "P" -> 500)
+
+  /** Deterministic stratified sample: each stratum keeps rows whose md5-derived
+    * bucket (0-999) falls under its permille rate, plus the Horvitz-Thompson
+    * weight (1000/rate) for unbiased downstream estimates.
+    *
+    * Scale design: a pure narrow filter — no shuffle, no RNG state, and the
+    * SAME rows survive on any cluster size or rerun (hash-based sampling is
+    * the reproducible alternative to `df.sample`'s seeded-per-partition RNG,
+    * which changes membership whenever partitioning changes).
+    */
+  def stratifiedSample(orders: DataFrame,
+      rates: Seq[(String, Int)] = samplingRates): DataFrame = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col("o_orderstatus") === k, lit(v)).otherwise(acc)
+    }
+    orders.select(
+        col("o_orderkey").as("order_id"),
+        col("o_orderstatus").as("status"),
+        (hexToLong(md5(col("o_orderkey").cast(StringType)), 1) % 1000).as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .withColumn("weight", lit(1000).cast(DoubleType) / col("rate"))
+  }
 
   def ops: Seq[Op] = Seq(
     // The domain views themselves are the P1/P2 projection layer.
@@ -132,6 +159,19 @@ object Relational {
         .select(col("order_id"), col("user_id"), to_date(col("created_at")).as("order_date"))
         .orderBy(col("order_id")).limit(100)
     },
+
+    Op.sql("sample_stratified_orders", {
+      val rateCase = samplingRates
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString("CASE o_orderstatus ", " ", " ELSE 0 END")
+      s"""SELECT order_id, status, bucket, rate, CAST(1000 AS DOUBLE) / rate AS weight
+         |FROM (
+         |  SELECT o_orderkey AS order_id, o_orderstatus AS status,
+         |         ${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR))", 1)} % 1000 AS bucket,
+         |         $rateCase AS rate
+         |  FROM orders)
+         |WHERE bucket < rate""".stripMargin
+    }) { (s, d) => stratifiedSample(Tables.orders(s, d)) },
 
     // Set operations (EXCEPT/INTERSECT): customers active in 1995 but not
     // 1996, and in both — capabilities the reference lacks entirely.

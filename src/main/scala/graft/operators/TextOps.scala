@@ -147,6 +147,58 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // Corpus vocabulary + per-document characteristic terms
+  // --------------------------------------------------------------------------
+
+  val vocabK = 100
+  val termsPerDoc = 3
+
+  /** (doc_id, token, tf): per-document term frequencies — ONE explode + one
+    * hash-aggregate (map-side combined). The grain every corpus-level term
+    * statistic aggregates from.
+    */
+  def docTermFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  private val docTermFreqSql =
+    """tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token)""".stripMargin
+
+  /** Corpus vocabulary: top-k tokens by document frequency (ties broken by
+    * token), with total term frequency. Two hash-aggregates over the term
+    * grain; the final top-k is a 1-partition sort of |vocab| rows, never of
+    * the corpus.
+    */
+  def vocabulary(docs: DataFrame, k: Int = vocabK): DataFrame =
+    docTermFreq(docs)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document characteristic terms: top `perDoc` tokens by a TF-IDF-style
+    * score `tf/df` — a rational idf surrogate (monotone in 1/df) chosen so
+    * both engines agree bit-for-bit (`ln` is not correctly-rounded across
+    * libms; a single IEEE division of identical integers is). Deterministic
+    * total order per doc: (score desc, token asc).
+    */
+  def topTerms(docs: DataFrame, perDoc: Int = termsPerDoc): DataFrame = {
+    val tf = docTermFreq(docs)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+      .withColumn("term_rank", row_number().over(w).cast(LongType))
+      .filter(col("term_rank") <= perDoc)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("term_rank"))
+  }
+
+  // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
@@ -226,6 +278,28 @@ object TextOps {
          |       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep
          |FROM flags""".stripMargin
     }) { (s, d) => curate(Tables.documents(s, d)) },
+
+    Op.sql("text_vocab",
+      s"""WITH $docTermFreqSql
+         |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf
+         |FROM tf GROUP BY token
+         |ORDER BY df DESC, token ASC LIMIT $vocabK""".stripMargin) { (s, d) =>
+      vocabulary(Tables.documents(s, d))
+    },
+
+    Op.sql("text_top_terms",
+      s"""WITH $docTermFreqSql,
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         |         CAST(tf.tf AS DOUBLE) / dfreq.df AS score,
+         |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.token ASC) AS term_rank
+         |  FROM tf JOIN dfreq USING (token))
+         |SELECT doc_id, token, tf, df, score, term_rank
+         |FROM sc WHERE term_rank <= $termsPerDoc""".stripMargin) { (s, d) =>
+      topTerms(Tables.documents(s, d))
+    },
 
     Op.sql("text_fingerprints",
       s"""SELECT doc_id, ${hash60Sql("text")} AS fp_exact,

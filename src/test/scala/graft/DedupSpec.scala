@@ -57,6 +57,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("connected components: chains collapse to min label, components stay apart") {
+    // path 10-11-12-13 (diameter 3) plus separate pair 20-21: labels must
+    // propagate transitively to the component minimum, never across components
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters: every doc labeled; exact+near dups share a cluster; singletons self-labeled") {
+    val c = Dedup.clusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(c.keySet == Set(0L, 1L, 2L, 3L))
+    assert(c(0L) == 0L && c(1L) == 0L && c(2L) == 0L) // 0~1 exact, 0~2 near
+    assert(c(3L) == 3L)                               // unrelated: own cluster
+  }
+
   test("ngram jaccard with length blocking finds the near-dup pair") {
     val keys = Dedup.ngramJaccardPairs(docs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -39,6 +39,26 @@ class EventSpec extends AnyFunSuite {
       (ts("2024-01-01 10:00:00"), "view", 2L)))
   }
 
+  test("funnel: stages require strictly-later events, in order") {
+    // A: full ordered funnel; B: click BEFORE first view (stage 2 not reached);
+    // C: view then purchase but never clicks (stages 2-3 not reached)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "view", 0.0, ""),
+      (2L, ts("2024-01-01 10:01:00"), 10L, "click", 0.0, ""),
+      (3L, ts("2024-01-01 10:02:00"), 10L, "purchase", 0.0, ""),
+      (4L, ts("2024-01-01 09:00:00"), 20L, "click", 0.0, ""),
+      (5L, ts("2024-01-01 09:30:00"), 20L, "view", 0.0, ""),
+      (6L, ts("2024-01-01 08:00:00"), 30L, "view", 0.0, ""),
+      (7L, ts("2024-01-01 08:30:00"), 30L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f = EventOps.funnel(ev).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("users"), Option(r.getAs[Any]("conv_from_prev")))).toMap
+    assert(f("view") == ((3L, None)))
+    assert(f("click") == ((1L, Some(1.0 / 3))))
+    assert(f("purchase") == ((1L, Some(1.0))))
+  }
+
   test("user stats: counts, distinct types, exact value sum") {
     val u = EventOps.userStats(events).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),

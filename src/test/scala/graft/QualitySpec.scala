@@ -59,4 +59,37 @@ class QualitySpec extends AnyFunSuite {
     val top = Relational.topCategoriesByRevenue(c, 2).collect().map(_.getString(0))
     assert(top.toSeq == Seq("c", "a"))
   }
+
+  test("profile: counts skip nulls; quartiles interpolate linearly") {
+    val li = Seq(
+      (1L, 1L, 1L, 1, Some(1.0), 1.0, 0.0, 0.0, "N", "O", new java.sql.Timestamp(0)),
+      (2L, 1L, 1L, 1, Some(2.0), 1.0, 0.0, 0.0, "N", "O", new java.sql.Timestamp(0)),
+      (3L, 1L, 1L, 1, Some(3.0), 1.0, 0.0, 0.0, "R", "O", new java.sql.Timestamp(0)),
+      (4L, 1L, 1L, 1, Some(4.0), 1.0, 0.0, 0.0, "R", "O", new java.sql.Timestamp(0)),
+      (5L, 1L, 1L, 1, None, 1.0, 0.0, 0.0, "A", "O", new java.sql.Timestamp(0)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val p = graft.operators.Quality.profileLineitem(li).head()
+    assert(p.getAs[Long]("n_rows") == 5 && p.getAs[Long]("n_qty") == 4
+      && p.getAs[Long]("n_qty_null") == 1 && p.getAs[Long]("n_flags") == 3)
+    assert(p.getAs[Double]("qty_p25") == 1.75 && p.getAs[Double]("qty_p50") == 2.5
+      && p.getAs[Double]("qty_p75") == 3.25)
+  }
+
+  test("stratified sample: per-stratum rates approximately hold, membership is stable") {
+    val orders = (1L to 4000L).map(i =>
+      (i, i % 97, if (i % 2 == 0) "F" else "O", 1.0, new java.sql.Timestamp(0), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val s1 = Relational.stratifiedSample(orders).collect()
+    val byStatus = s1.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    // 2000 F rows at 5% and 2000 O rows at 20%; md5 buckets are near-uniform
+    assert(byStatus("F") > 50 && byStatus("F") < 150)
+    assert(byStatus("O") > 300 && byStatus("O") < 500)
+    assert(s1.forall(r => r.getAs[Double]("weight") ==
+      1000.0 / r.getAs[Int]("rate")))
+    // determinism: same membership on a rerun with different partitioning
+    val s2 = Relational.stratifiedSample(orders.repartition(7)).collect()
+    assert(s1.map(_.getAs[Long]("order_id")).sorted.sameElements(
+      s2.map(_.getAs[Long]("order_id")).sorted))
+  }
 }

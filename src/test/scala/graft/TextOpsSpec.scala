@@ -31,6 +31,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cur.size == 3 && !cur(1L)) // empty doc never kept
   }
 
+  test("vocabulary: df counts docs not occurrences; top-k order is (df desc, token asc)") {
+    val d = docs(1L -> "a a b c", 2L -> "a b b", 3L -> "a z")
+    val v = TextOps.vocabulary(d, k = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"), r.getAs[Long]("tf")))
+    // a: df 3 / tf 4; b: df 2 / tf 3; c and z tie at df 1 → 'c' wins on token asc
+    assert(v.toSeq == Seq(("a", 3L, 4L), ("b", 2L, 3L), ("c", 1L, 1L)))
+  }
+
+  test("top terms: rare-but-frequent tokens outrank common ones per doc") {
+    val d = docs(1L -> "x x x the", 2L -> "the y", 3L -> "the z")
+    val top = TextOps.topTerms(d, perDoc = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token")).toMap
+    // 'the' appears in every doc (df 3) so the doc-unique token wins each time
+    assert(top == Map(1L -> "x", 2L -> "y", 3L -> "z"))
+    val ranks = TextOps.topTerms(d, perDoc = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("term_rank")))
+    assert(ranks.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(Array(1L, 2L))))
+  }
+
   test("curate keeps only canonical, on-language, quality-clearing docs") {
     val good = (1 to 60).map(i => if (i % 7 == 0) "the" else s"w$i").mkString(" ") // has stopwords, diverse
     val d = docs(1L -> good, 2L -> good, 3L -> "zz zz zz zz")
