@@ -122,6 +122,33 @@ object Similarity {
         GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
   }
 
+  /** One Lloyd (k-means) refinement step for the IVF coarse quantizer: the
+    * per-cell mean of the assigned vectors, emitted in LONG form
+    * (cell, dim, centroid, n_members) — one row per centroid component, so
+    * the result is flat-schema and driver-checkable.
+    *
+    * Scale design: explode-by-dimension then ONE hash-aggregate keyed
+    * (cell, dim) — cells × dims is tiny, the explode is a narrow map, and
+    * the per-dim sums use the DECIMAL(18,9) accumulator recipe so the means
+    * are exact and order-independent (bit-identical on any partitioning —
+    * the property that makes distributed k-means runs reproducible).
+    * Iterating to convergence is this step in the [[Dedup.connectedComponents]]
+    * loop shape; the assignment mechanics are [[ivfAssign]] unchanged.
+    */
+  def ivfTrainStep(embs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    val assigned = ivfAssign(embs)
+    val members = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("x").cast(org.apache.spark.sql.types.DoubleType).cast(dec)).as("sx"))
+      .join(members, "cell")
+      .select(col("cell"), col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
+        (col("sx").cast(org.apache.spark.sql.types.DoubleType) / col("n_members")).as("centroid"),
+        col("n_members"))
+  }
+
   /** Top-k within the query's IVF cell. */
   def ivfTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val assigned = ivfAssign(embs)
@@ -134,6 +161,21 @@ object Similarity {
         Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** DuckDB CTE chain ending in `assigned(vec_id, embedding, cell, n2)` —
+    * shared by the IVF search oracle and the train-step oracle.
+    */
+  private lazy val ivfAssignedCte: String =
+    s"""cent AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCells),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell, n2 FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           ${GraftExpressions.qdotSql("e.embedding", "e.embedding")} AS n2,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1)""".stripMargin
 
   private def bruteForceOracle(kExpr: String): String =
     s"""WITH ev AS (
@@ -173,16 +215,7 @@ object Similarity {
     },
 
     Op.sql("sim_topk_ivf",
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCells),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cell, n2 FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |           ${GraftExpressions.qdotSql("e.embedding", "e.embedding")} AS n2,
-         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
+      s"""WITH $ivfAssignedCte,
          |scored AS (
          |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
          |  FROM assigned q JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.vec_id
@@ -193,6 +226,21 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       ivfTopK(Tables.embeddings(s, d), col("vec_id") < 20)
+    },
+
+    Op.sql("sim_ivf_train_step",
+      s"""WITH $ivfAssignedCte,
+         |members AS (SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell),
+         |sums AS (
+         |  SELECT cell, i - 1 AS dim,
+         |         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS sx
+         |  FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
+         |               unnest(embedding) AS x
+         |        FROM assigned)
+         |  GROUP BY cell, i)
+         |SELECT s.cell, s.dim, CAST(s.sx AS DOUBLE) / m.n_members AS centroid, m.n_members
+         |FROM sums s JOIN members m USING (cell)""".stripMargin) { (s, d) =>
+      ivfTrainStep(Tables.embeddings(s, d))
     },
 
     Op.sql("sim_topk_lsh",

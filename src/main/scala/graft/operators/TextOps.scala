@@ -198,6 +198,27 @@ object TextOps {
         col("score"), col("term_rank"))
   }
 
+  /** Per-source quota cap: keep at most `quota` documents per source (lowest
+    * doc_id first — deterministic) — the corpus-mixing control that stops one
+    * crawl dump from dominating a training mix.
+    *
+    * Scale note: row_number over (source) partitions puts each source's rows
+    * through one task; with few giant sources, cap map-side state instead via
+    * the bounded [[graft.functions.TopKAggregator]] formulation proven in
+    * `sim_topk_agg` (≤ quota rows per task per key), or pre-thin with the
+    * hash-bucket sampler ([[Relational.stratifiedSample]] shape) before
+    * ranking.
+    */
+  val sourceQuota = 50
+
+  def quotaPerSource(docs: DataFrame, quota: Int = sourceQuota): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast(LongType))
+      .filter(col("src_rank") <= quota)
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -278,6 +299,15 @@ object TextOps {
          |       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep
          |FROM flags""".stripMargin
     }) { (s, d) => curate(Tables.documents(s, d)) },
+
+    Op.sql("sample_quota_per_source",
+      s"""SELECT doc_id, source, src_rank FROM (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+         |  FROM documents)
+         |WHERE src_rank <= $sourceQuota""".stripMargin) { (s, d) =>
+      quotaPerSource(Tables.documents(s, d))
+    },
 
     Op.sql("text_vocab",
       s"""WITH $docTermFreqSql

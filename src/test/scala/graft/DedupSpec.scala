@@ -57,6 +57,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
   }
 
+  test("ivf train step: per-cell means over the actual assignment, exact") {
+    // axis-aligned vectors: v2 assigns to cell 0 (dot 0.9 with c0 beats 0.81
+    // with itself), v3 to cell 1 — the means must follow the assignment
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.0f)), (3L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val step = Similarity.ivfTrainStep(embs).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("dim")) ->
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n_members"))).toMap
+    assert(step.keySet == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    assert(step((0L, 0L))._2 == 2L && step((1L, 1L))._2 == 2L)
+    assert(math.abs(step((0L, 0L))._1 - 0.95) < 1e-6 && step((0L, 1L))._1 == 0.0)
+    assert(math.abs(step((1L, 1L))._1 - 0.95) < 1e-6 && step((1L, 0L))._1 == 0.0)
+  }
+
   test("connected components: chains collapse to min label, components stay apart") {
     // path 10-11-12-13 (diameter 3) plus separate pair 20-21: labels must
     // propagate transitively to the component minimum, never across components

@@ -58,6 +58,26 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("IsNotNull"), s"no pushed filters found: $pushed")
   }
 
+  test("stratified sample is a pure narrow plan: no exchange, pruned scan") {
+    val df = graft.operators.Relational.stratifiedSample(Tables.orders(spark, TestSession.sf))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, "sampling must not shuffle")
+    val readCols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("o_orderkey", "o_orderstatus"),
+      s"sample scan read $readCols — should read only key + stratum")
+  }
+
+  test("vocabulary aggregates partially map-side before the token shuffle") {
+    val df = graft.operators.TextOps.vocabulary(Tables.documents(spark, TestSession.sf))
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a.aggregateExpressions.map(_.mode)
+    }.flatten
+    assert(aggs.contains(org.apache.spark.sql.catalyst.expressions.aggregate.Partial),
+      s"no map-side partial aggregation in vocabulary plan: $aggs")
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 

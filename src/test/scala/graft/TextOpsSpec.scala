@@ -31,6 +31,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cur.size == 3 && !cur(1L)) // empty doc never kept
   }
 
+  test("quota per source: caps each source at the quota, keeps lowest ids") {
+    val d = Seq((1L, "big"), (2L, "big"), (3L, "big"), (4L, "small"))
+      .map { case (id, src) => (id, "t", "en", src, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = TextOps.quotaPerSource(d, quota = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("src_rank")))
+    assert(q.sortBy(_._1).toSeq == Seq((1L, "big", 1L), (2L, "big", 2L), (4L, "small", 1L)))
+  }
+
   test("vocabulary: df counts docs not occurrences; top-k order is (df desc, token asc)") {
     val d = docs(1L -> "a a b c", 2L -> "a b b", 3L -> "a z")
     val v = TextOps.vocabulary(d, k = 3).collect()
