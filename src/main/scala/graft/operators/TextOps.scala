@@ -300,6 +300,21 @@ object TextOps {
          |FROM flags""".stripMargin
     }) { (s, d) => curate(Tables.documents(s, d)) },
 
+    // JSONL ingestion as an oracle-checked op: schema-enforced multi-part
+    // JSON-lines scan must reproduce the corpus table exactly after a
+    // write/read round trip (the interchange format corpus drops arrive in).
+    Op.sql("jsonl_roundtrip_documents",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
+      import graft.sources.Jsonl
+      // collision-free cache key + _SUCCESS marker, as in csv_roundtrip_orders
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = s"/tmp/graft_jsonl_cache/$key/documents"
+      if (!new java.io.File(s"$out/_SUCCESS").exists())
+        Jsonl.write(Tables.documents(s, d), out)
+      Jsonl.clean(Jsonl.read(s, Jsonl.documentsSchema, Seq(out)))
+    },
+
     Op.sql("sample_quota_per_source",
       s"""SELECT doc_id, source, src_rank FROM (
          |  SELECT doc_id, source,
