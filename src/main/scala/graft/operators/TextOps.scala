@@ -312,7 +312,7 @@ object TextOps {
       val out = s"/tmp/graft_jsonl_cache/$key/documents"
       if (!new java.io.File(s"$out/_SUCCESS").exists())
         Jsonl.write(Tables.documents(s, d), out)
-      Jsonl.clean(Jsonl.read(s, Jsonl.documentsSchema, Seq(out)))
+      Jsonl.readStrict(s, Jsonl.documentsSchema, Seq(out))
     },
 
     Op.sql("sample_quota_per_source",

@@ -40,6 +40,16 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(paths: _*)
 
+  /** Strict scan for trusted data (e.g. re-reading our own exports): no
+    * corrupt-record column, malformed lines dropped at the parser. Unlike
+    * [[clean]] this stays legal under ANY projection — an aggregate-only
+    * query over a [[read]]+[[clean]] chain prunes every data column and
+    * leaves the corrupt-column filter as the scan's sole reference, which
+    * Spark rejects (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    */
+  def readStrict(spark: SparkSession, schema: StructType, paths: Seq[String]): DataFrame =
+    spark.read.schema(schema).option("mode", "DROPMALFORMED").json(paths: _*)
+
   /** The clean rows of a PERMISSIVE read (data columns only). */
   def clean(df: DataFrame): DataFrame =
     df.filter(col(corruptCol).isNull).drop(corruptCol)

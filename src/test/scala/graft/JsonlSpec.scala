@@ -22,6 +22,9 @@ class JsonlSpec extends AnyFunSuite {
     assert(clean.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L)))
     val bad = Jsonl.corrupt(df).collect().map(_.getString(0))
     assert(bad.length == 1 && bad.head.contains("truncated"))
+    // strict read drops the malformed line and stays legal under count()'s
+    // aggressive column pruning (the PERMISSIVE chain would not)
+    assert(Jsonl.readStrict(spark, Jsonl.documentsSchema, Seq(dir)).count() == 2)
   }
 
   test("write/read round trip preserves rows, types, and nulls") {
