@@ -43,16 +43,22 @@ object GraftExpressions {
   // Registration (per-session runtime registry + SparkSessionExtensions)
   // --------------------------------------------------------------------------
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
-    "graft_qdot" -> { args => QuantizedDot(args(0), args(1)) },
-    "graft_simhash32" -> { args => SimHash32(args(0)) },
-    "graft_minhash" -> { args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2))) })
+  /** THE single registration list — the runtime registry ([[register]]) and
+    * the [[GraftSparkExtensions]] hook both derive from it, so a new
+    * expression is added in exactly one place.
+    */
+  private[functions] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      args => SortedIntersectCount(args(0), args(1))),
+    ("graft_qdot", classOf[QuantizedDot], args => QuantizedDot(args(0), args(1))),
+    ("graft_simhash32", classOf[SimHash32], args => SimHash32(args(0))),
+    ("graft_minhash", classOf[MinHashSig],
+      args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))))
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
     */
-  def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
+  def register(spark: SparkSession): Unit = builders.foreach { case (name, _, b) =>
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, b, "built-in")
   }
@@ -81,18 +87,10 @@ class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("graft_qdot"),
-      new ExpressionInfo(classOf[QuantizedDot].getName, "graft_qdot"),
-      (args: Seq[Expression]) => QuantizedDot(args(0), args(1))))
-    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
-      (args: Seq[Expression]) => SimHash32(args(0))))
-    ext.injectFunction((FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))))
+    GraftExpressions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
   }
 }
 

@@ -308,6 +308,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // an unconverged exit would silently report one real component as several
+    // clusters — fail loudly instead (recovery: raise maxIter, or switch the
+    // loop body to large-star/small-star, which converges in O(log² n))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          "(component diameter exceeds the round budget)")
     edges.unpersist()
     labels
   }

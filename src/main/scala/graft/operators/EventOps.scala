@@ -100,14 +100,20 @@ object EventOps {
   val funnelStages: Seq[String] = Seq("view", "click", "purchase")
 
   def funnel(events: DataFrame, stages: Seq[String] = funnelStages): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // each stage frame is consumed twice (the next stage + its count row);
+    // persisting keeps the counts union from re-running every upstream
+    // stage's scan+aggregate chain per branch
     val firstByStage = stages.tail.scanLeft(
       events.filter(col("event_type") === stages.head)
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) {
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) {
       case (prev, stage) =>
         events.filter(col("event_type") === stage)
           .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
           .filter(col("ts") > col("prev_t"))
           .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val counts = stages.zip(firstByStage).zipWithIndex.map {
       case ((stage, reached), i) =>

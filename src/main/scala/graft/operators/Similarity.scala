@@ -137,7 +137,10 @@ object Similarity {
     */
   def ivfTrainStep(embs: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+    // consumed twice (member counts + the per-dim sums): persist so the
+    // assignment cross-join + window runs once, not once per consumer
     val assigned = ivfAssign(embs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))

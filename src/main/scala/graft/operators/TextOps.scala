@@ -306,9 +306,12 @@ object TextOps {
     Op.sql("jsonl_roundtrip_documents",
       "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
       import graft.sources.Jsonl
-      // collision-free cache key + _SUCCESS marker, as in csv_roundtrip_orders
+      // cache key covers the source file's mtime+size (FactStore.fixtureStoreDir
+      // discipline): regenerated fixture data can never serve a stale export
+      val src = new java.io.File(s"$d/documents.parquet")
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .digest(s"$d|${src.lastModified}|${src.length}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val out = s"/tmp/graft_jsonl_cache/$key/documents"
       if (!new java.io.File(s"$out/_SUCCESS").exists())
         Jsonl.write(Tables.documents(s, d), out)

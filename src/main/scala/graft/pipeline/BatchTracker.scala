@@ -61,7 +61,15 @@ object BatchTracker {
     * the current state.
     */
   def recordPoll(spark: SparkSession, root: String, date: String): BatchState = {
-    val products = Csv.listCsv(spark, s"$root/raw/products")
+    // master data arrives once and is consumed raw/ → validated/ by the first
+    // successful batch (the pipeline leaves it in validated/ on purpose);
+    // later batch dates must track the VALIDATED copy, not a stale raw key —
+    // otherwise day 2 would trigger with a products path that no longer
+    // exists and wrongly reject the whole batch
+    val rawProducts = Csv.listCsv(spark, s"$root/raw/products")
+    val products =
+      if (rawProducts.nonEmpty) rawProducts
+      else Csv.listCsv(spark, s"$root/validated/products")
     val orders = Csv.listCsv(spark, s"$root/raw/orders/$date")
     val items = Csv.listCsv(spark, s"$root/raw/order_items/$date")
 

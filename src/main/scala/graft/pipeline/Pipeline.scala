@@ -60,7 +60,12 @@ object Pipeline {
     * for the date (reference lambda_function.py:198-222).
     */
   def completeness(spark: SparkSession, root: String, date: String): Either[Seq[String], BatchFiles] = {
-    val products = Csv.listCsv(spark, s"$root/raw/products")
+    // master data arrives once: a batch after the first reuses the validated
+    // products copy (the pipeline leaves it in validated/ on purpose)
+    val rawProducts = Csv.listCsv(spark, s"$root/raw/products")
+    val products =
+      if (rawProducts.nonEmpty) rawProducts
+      else Csv.listCsv(spark, s"$root/validated/products")
     val orders = Csv.listCsv(spark, s"$root/raw/orders/$date")
     val items = Csv.listCsv(spark, s"$root/raw/order_items/$date")
     val missing =
@@ -100,10 +105,17 @@ object Pipeline {
     Validator.Report(perFile ++ integrity)
   }
 
+  /** True iff `f` is a raw/ delivery of this root (scheme-insensitively).
+    * The reused validated products master is NOT: it must never be moved by
+    * a daily batch's lifecycle or quarantined by its rejection.
+    */
+  private def underRaw(root: String, f: String): Boolean =
+    Csv.stripScheme(f).startsWith(s"${Csv.stripScheme(root)}/raw/")
+
   private def rejectBatch(spark: SparkSession, root: String, files: BatchFiles,
       report: Validator.Report): Unit = {
     val reasons = report.rejections
-    files.all.foreach { f =>
+    files.all.filter(underRaw(root, _)).foreach { f =>
       Csv.moveFile(spark, s"$root/raw", s"$root/invalid", f)
       val rel = relUnderRaw(root, f)
       val manifest =
@@ -244,8 +256,9 @@ object Pipeline {
           // authority) — stripping the scheme from the file alone would point
           // an s3a:// root at the default filesystem
           def toValidated(f: String): String = s"$root/validated/${relUnderRaw(root, f)}"
-          // raw/ → validated/
-          files.all.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
+          // raw/ → validated/ (a reused validated products master stays put)
+          val rawFiles = files.all.filter(underRaw(root, _))
+          rawFiles.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
           val (c, d) =
             try withRetry()(transform(spark, root, date, files.orders.map(toValidated)))
             catch { case e: Throwable =>
@@ -253,7 +266,7 @@ object Pipeline {
               // as delivered, so the next poll can retry it end-to-end
               // (moveFile no-ops files a partial compensation already moved)
               log.error(s"batch $date: transform failed, returning files to raw/: ${e.getMessage}")
-              files.all.map(toValidated)
+              rawFiles.map(toValidated)
                 .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/raw", f))
               throw e
             }

@@ -69,7 +69,9 @@ object FactStore {
     *    `batch_id=` layer under that date, so earlier batches' facts for the
     *    date survive and a recompute sees the UNION of all batches — the
     *    reference's intended full-history semantics (transform_task.py:409)
-    *    without its full-history scan;
+    *    without its full-history scan. Layers must be DISJOINT at order
+    *    grain; cross-batch re-delivery of an order is rejected
+    *    ([[assertNoCrossBatchRedelivery]]);
     *  - date-pruned reads are unaffected (`order_date` stays the leading
     *    partition key).
     */
@@ -89,12 +91,56 @@ object FactStore {
         s"$storeDir/orders_enriched", SaveMode.Overwrite)
       upsertItemsDaily(itemsDaily.withColumn("batch_id", lit(batchId)), storeDir)
       syncCatalog(spark, storeDir)
+      try assertNoCrossBatchRedelivery(spark, storeDir, batchId)
+      catch { case e: Throwable =>
+        // leave the store exactly as before the bad upsert: the offending
+        // batch's layers come back out, so the originals' rerun path and
+        // every read stay clean
+        dropBatchLayers(spark, storeDir, batchId)
+        syncCatalog(spark, storeDir)
+        throw e
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+  }
+
+  /** The store's layering contract: every order is delivered by exactly ONE
+    * batch id (same-batch reruns replace their own layers; stragglers for old
+    * DATES are fine — they are new orders). A later batch RE-delivering an
+    * order the store already holds would silently corrupt KPIs — revenue sums
+    * and flag averages would double while `countDistinct(order_id)` dedups —
+    * so it is rejected loudly at ingest, pruned to the partitions this batch
+    * just wrote. (The reference would double-count here: it reloads ALL
+    * validated history with no order-grain dedup, transform_task.py:409-413.)
+    * Recovery: re-run the ORIGINAL batch id with the corrected files.
+    */
+  private def assertNoCrossBatchRedelivery(spark: SparkSession, storeDir: String,
+      batchId: String): Unit = {
+    // the batch's date partitions, read off the directory names — no job
+    val conf = spark.sparkContext.hadoopConfiguration
+    val table = new org.apache.hadoop.fs.Path(s"$storeDir/orders_enriched")
+    val fs = table.getFileSystem(conf)
+    if (!fs.exists(table)) return
+    val dates = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$storeDir/orders_enriched/order_date=*/batch_id=$batchId"))
+      .map(_.getPath.getParent.getName.stripPrefix("order_date="))
+      .map(java.sql.Date.valueOf(_): java.sql.Date).toSeq
+    if (dates.isEmpty) return
+    val dup = ordersEnriched(spark, storeDir)
+      .filter(col("order_date").isin(dates: _*))
+      .groupBy(col("order_id"))
+      .agg(countDistinct(col("batch_id")).as("n_batches"))
+      .filter(col("n_batches") > 1)
+      .take(5)
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"batch $batchId re-delivers orders already stored by another batch " +
+          s"(e.g. order_ids ${dup.map(_.getLong(0)).mkString(", ")}); " +
+          "re-run the original batch id with the corrected files instead")
   }
 
   private def dropBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {

@@ -54,15 +54,19 @@ object Jsonl {
   def clean(df: DataFrame): DataFrame =
     df.filter(col(corruptCol).isNull).drop(corruptCol)
 
-  /** The malformed raw lines (for a rejection manifest, [[Csv.writeTextFile]]
-    * shape). Spark refuses a scan whose only referenced column is the corrupt
-    * record (the pruned parse would have nothing to fail on), so this
-    * projects from a persisted parse — callers inspecting corrupt lines are
-    * in the validation path, where [[clean]] reads the same persisted data.
+  /** Partition a PERMISSIVE [[read]] into (clean rows, corrupt raw lines) —
+    * the validation-path pair (forward the clean rows, manifest the bad
+    * lines, [[Csv.writeTextFile]] shape). Both views share ONE persisted
+    * parse: Spark refuses a scan whose only referenced column is the corrupt
+    * record (the pruned parse would have nothing to fail on), and the two
+    * consumers would otherwise parse the batch twice. The CALLER owns the
+    * lifecycle: `df.unpersist()` after both sides are consumed — nothing is
+    * pinned invisibly across batches.
     */
-  def corrupt(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .filter(col(corruptCol).isNotNull).select(col(corruptCol))
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (clean(parsed), parsed.filter(col(corruptCol).isNotNull).select(col(corruptCol)))
+  }
 
   /** JSONL export (round-trips [[read]]; used by the interchange op). */
   def write(df: DataFrame, path: String): Unit =

@@ -17,11 +17,13 @@ class JsonlSpec extends AnyFunSuite {
       """{"doc_id": 2, "text": "zweite zeile", "lang": "de", "source": "s0", "n_chars": 12}""",
       """{"doc_id": 3, "text": "truncated before the clos"""))
     val df = Jsonl.read(spark, Jsonl.documentsSchema, Seq(dir))
-    val clean = Jsonl.clean(df).collect()
+    val (cleanDf, corruptDf) = Jsonl.split(df)
+    val clean = cleanDf.collect()
     assert(clean.length == 2)
     assert(clean.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L)))
-    val bad = Jsonl.corrupt(df).collect().map(_.getString(0))
+    val bad = corruptDf.collect().map(_.getString(0))
     assert(bad.length == 1 && bad.head.contains("truncated"))
+    df.unpersist()
     // strict read drops the malformed line and stays legal under count()'s
     // aggressive column pruning (the PERMISSIVE chain would not)
     assert(Jsonl.readStrict(spark, Jsonl.documentsSchema, Seq(dir)).count() == 2)

@@ -166,6 +166,58 @@ class PipelineSpec extends AnyFunSuite {
       "rerun without the straggler must drop its old layer")
   }
 
+  test("second batch date succeeds WITHOUT re-delivered products: validated master reused") {
+    val root = setupBatch("prodmaster")
+    assert(Pipeline.runTracked(spark, root.toString, "2024-01-01")
+      .isInstanceOf[Pipeline.Succeeded])
+    // day 2 delivers ONLY facts — master data arrived once, on day 1
+    write(root, "raw/orders/2024-01-02/orders_part0.csv",
+      """order_id,user_id,created_at,returned_at
+        |30,300,2024-01-02 00:00:00,""".stripMargin)
+    write(root, "raw/order_items/2024-01-02/order_items_part0.csv",
+      """order_id,product_id,sale_price,returned_at,created_at
+        |30,1,7.0,,2024-01-02 00:00:00""".stripMargin)
+    val r = Pipeline.runTracked(spark, root.toString, "2024-01-02")
+    assert(r.isInstanceOf[Pipeline.Succeeded], s"day-2 batch without products got $r")
+    // the master survives in validated/ for batch 3; day-2 KPIs landed
+    assert(Files.exists(root.resolve("validated/products/products.csv")))
+    val d2 = KeyValueSink.readTable(spark, s"$root/kpis/daily_kpis")
+      .filter(org.apache.spark.sql.functions.col("date_key") === "2024-01-02").collect()
+    assert(d2.length == 1 && d2.head.getAs[Long]("total_orders") == 1L)
+  }
+
+  test("cross-batch re-delivery of an order is rejected loudly at the store") {
+    import graft.sources.FactStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-redeliver").toString + "/store"
+    def oe(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, id * 10, 0, java.sql.Date.valueOf(d), 5.0) }
+      .toDF("order_id", "user_id", "returned_order_flag", "order_date", "order_revenue")
+    def cons(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, "CAT_A", java.sql.Date.valueOf(d)) }
+      .toDF("order_id", "category", "order_date")
+    def idaily(d: String) =
+      Seq((java.sql.Date.valueOf(d), 1L)).toDF("date_key", "total_items_sold_daily")
+
+    FactStore.upsertBatch("2024-01-01",
+      cons(10L -> "2024-01-01", 20L -> "2024-01-01"),
+      oe(10L -> "2024-01-01", 20L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    // disjoint later batch (a straggler is a NEW order): fine
+    FactStore.upsertBatch("2024-01-02",
+      cons(30L -> "2024-01-01"), oe(30L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    // re-delivery of order 20 under a different batch id: loud failure, not
+    // silently double-counted revenue
+    val e = intercept[IllegalStateException] {
+      FactStore.upsertBatch("2024-01-03",
+        cons(20L -> "2024-01-01"), oe(20L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    }
+    assert(e.getMessage.contains("re-delivers"))
+    // rerun of the ORIGINAL batch id remains the sanctioned correction path
+    FactStore.upsertBatch("2024-01-01",
+      cons(10L -> "2024-01-01", 20L -> "2024-01-01"),
+      oe(10L -> "2024-01-01", 20L -> "2024-01-01"), idaily("2024-01-01"), dir)
+  }
+
   test("tracker: crash after the trigger mark rolls back mark AND file moves (retryable)") {
     val root = setupBatch("trkcrash")
     // sabotage: a regular FILE where the fact store directory must go makes
