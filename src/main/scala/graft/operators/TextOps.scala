@@ -220,6 +220,137 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // Train/val/test split, repetition metrics, collocations, decontamination,
+  // PII redaction
+  // --------------------------------------------------------------------------
+
+  /** Split-bucket boundaries: bucket < 90 → train, < 95 → val, else test. */
+  val splitTrainUpper = 90
+  val splitValUpper = 95
+
+  /** Deterministic train/val/test assignment: a portable hash of the doc id
+    * modulo 100 — stable across runs, machines, and engine versions, so a
+    * document NEVER migrates between splits as the corpus grows (the property
+    * random() sampling lacks, and the reason every serious pipeline keys the
+    * split on content identity). Pure narrow codegen; zero shuffle.
+    */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        pmod(hash60(col("doc_id").cast(StringType)), lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < splitTrainUpper, "train")
+          .when(col("bucket") < splitValUpper, "val")
+          .otherwise("test"))
+
+  /** Per-document bigram repetition metrics (the Gopher/C4-style repetition
+    * filters): duplicate-bigram fraction and most-frequent-bigram share.
+    * One explode + two hash-aggregates at (doc, bigram) grain — map-side
+    * combined, scales as the corpus token count.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.filter(size(ws) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", slice(ws, i, lit(2))))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        (lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("top_count").cast(DoubleType) / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  val collocationsK = 50
+  val collocationsMinCount = 5
+
+  /** Corpus-level collocations: top-k adjacent word pairs by lift
+    * `c12·N / (c1·c2)` (the PMI argument without the log — `ln` is not
+    * correctly-rounded across libms, a single integer-exact IEEE division
+    * is; the ranking is identical since log is monotone). Token-grain
+    * aggregates only; the final top-k sorts |bigram vocab| rows, never the
+    * corpus. At trillion-token scale the integer products overflow long:
+    * switch the score to `(ln c12 + ln N) − (ln c1 + ln c2)` there and drop
+    * the bit-identity requirement.
+    */
+  def collocations(docs: DataFrame, k: Int = collocationsK,
+      minCount: Int = collocationsMinCount): DataFrame = {
+    val ws = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"), ws.as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum(col("cw")).as("n_total"))
+    val bi = toks.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + lit(1)).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    bi
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12") * col("n_total")).cast(DoubleType) / (col("c1") * col("c2")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Decontamination n-gram length and the benchmark membership rule
+    * (doc_id divisible by [[benchmarkMod]] plays the held-out benchmark set).
+    */
+  val contamN = 5
+  val benchmarkMod = 97
+
+  /** Benchmark decontamination: find corpus documents sharing any token
+    * [[contamN]]-gram with the benchmark set — the leakage check every
+    * training-data pipeline runs before a model sees the corpus. The
+    * benchmark's distinct gram-hash set is small by construction (benchmarks
+    * are thousands of documents, the corpus is billions) → broadcast
+    * semi-join shape: the corpus side stays a narrow explode + one
+    * hash-aggregate; the corpus never shuffles on gram.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = docs.filter(size(ws) >= contamN)
+      .select(col("doc_id"),
+        explode(shingles(ws, contamN)).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+    val bench = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
+      .select(col("gh")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .join(broadcast(bench), "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_hits"))
+  }
+
+  /** PII scrub patterns — shared literally between Spark (Java regex) and
+    * DuckDB (RE2): only constructs with identical semantics in both.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val longNumPattern = "[0-9]{4,}"
+
+  /** PII redaction: mask emails and long digit runs (ids/phones), keeping
+    * per-document redaction counts for the audit trail. Emails first — they
+    * contain digit runs. Pure narrow codegen transform; zero shuffle.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(longNumPattern), lit(0)))
+        .cast(LongType).as("n_long_nums"),
+      regexp_replace(regexp_replace(col("text"), emailPattern, "<EMAIL>"),
+        longNumPattern, "<NUM>").as("text_redacted"))
+
+  // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
@@ -354,6 +485,78 @@ object TextOps {
          |  ${hash60Sql("array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')")} AS fp_normalized
          |FROM documents""".stripMargin) { (s, d) =>
       fingerprints(Tables.documents(s, d))
+    },
+
+    Op.sql("sample_split_assign",
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < $splitTrainUpper THEN 'train'
+         |       WHEN bucket < $splitValUpper THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |      FROM documents)""".stripMargin) { (s, d) =>
+      splitAssign(Tables.documents(s, d))
+    },
+
+    Op.sql("text_repetition",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws)-1),
+        |                               i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+        |  FROM ws WHERE len(ws) >= 2),
+        |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |       COUNT(*) AS n_distinct_bigrams,
+        |       CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_bigram_frac,
+        |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_bigram_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin) { (s, d) =>
+      repetitionStats(Tables.documents(s, d))
+    },
+
+    Op.sql("text_collocations",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS cw
+         |        FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+         |total AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM uni),
+         |bi AS (
+         |  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12 FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+         |             i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+         |    FROM ws WHERE len(ws) >= 2)
+         |  GROUP BY p.w1, p.w2 HAVING COUNT(*) >= $collocationsMinCount)
+         |SELECT w1, w2, c12, c1, c2,
+         |       CAST(c12 * n_total AS DOUBLE) / (c1 * c2) AS lift
+         |FROM (SELECT bi.w1, bi.w2, bi.c12, u1.cw AS c1, u2.cw AS c2, total.n_total
+         |      FROM bi JOIN uni u1 ON bi.w1 = u1.w
+         |              JOIN uni u2 ON bi.w2 = u2.w
+         |              CROSS JOIN total)
+         |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $collocationsK""".stripMargin) { (s, d) =>
+      collocations(Tables.documents(s, d))
+    },
+
+    Op.sql("text_decontaminate",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, ${hash60Sql("gram")} AS gh
+         |  FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |        FROM ws WHERE len(ws) >= $contamN)),
+         |bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % $benchmarkMod = 0)
+         |SELECT doc_id, COUNT(DISTINCT gh) AS n_hits
+         |FROM grams JOIN bench USING (gh)
+         |WHERE doc_id % $benchmarkMod <> 0
+         |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      decontaminate(Tables.documents(s, d))
+    },
+
+    Op.sql("text_redact_pii",
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$emailPattern')) AS n_emails,
+         |  len(regexp_extract_all(text, '$longNumPattern')) AS n_long_nums,
+         |  regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>', 'g'),
+         |                 '$longNumPattern', '<NUM>', 'g') AS text_redacted
+         |FROM documents""".stripMargin) { (s, d) =>
+      redactPii(Tables.documents(s, d))
     },
   )
 }

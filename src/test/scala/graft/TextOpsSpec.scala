@@ -31,6 +31,69 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cur.size == 3 && !cur(1L)) // empty doc never kept
   }
 
+  test("split assign: deterministic, content-keyed, partitions the corpus") {
+    val d = docs((1L to 200L).map(i => i -> s"doc number $i"): _*)
+    val a1 = TextOps.splitAssign(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val a2 = TextOps.splitAssign(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a1 == a2, "split must be deterministic across runs")
+    assert(a1.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a1.values.count(_ == "train") > a1.values.count(_ == "test"),
+      "train bucket range is 18x the test range")
+    // growing the corpus never migrates an existing doc's split
+    val grown = TextOps.splitAssign(docs((1L to 400L).map(i => i -> s"doc number $i"): _*))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a1.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("repetition: duplicate and top-bigram fractions; short docs excluded") {
+    val d = docs(1L -> "a b a b a b", 2L -> "u v w x", 3L -> "solo")
+    val r = TextOps.repetitionStats(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(3L), "single-token doc has no bigrams")
+    // doc 1: bigrams (a b)x3, (b a)x2 → 5 total, 2 distinct, top 3
+    assert(r(1L).getAs[Long]("n_bigrams") == 5L)
+    assert(r(1L).getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(math.abs(r(1L).getAs[Double]("dup_bigram_frac") - 0.6) < 1e-12)
+    assert(math.abs(r(1L).getAs[Double]("top_bigram_frac") - 0.6) < 1e-12)
+    // doc 2: all distinct → dup fraction 0
+    assert(r(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
+  test("collocations: exclusive pairs outrank promiscuous ones by lift") {
+    val texts = (1 to 5).map(i => i.toLong -> "alpha beta common x common y") ++
+      Seq(6L -> "common z common w common v")
+    val c = TextOps.collocations(docs(texts: _*), k = 10, minCount = 5).collect()
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2")), r.getAs[Double]("lift")))
+    val m = c.toMap
+    // "alpha beta" co-occur ONLY with each other (c1=c2=c12=5) → top lift
+    assert(c.head._1 == ("alpha", "beta"))
+    assert(m(("alpha", "beta")) > m.getOrElse(("common", "x"), 0.0))
+  }
+
+  test("decontaminate: flags only corpus docs sharing an n-gram with the benchmark") {
+    // doc 0 is benchmark (0 % 97 == 0); doc 1 shares its 5-gram, doc 2 doesn't
+    val d = docs(
+      0L -> "one two three four five six",
+      1L -> "zz one two three four five",
+      2L -> "totally different words here entirely")
+    val hits = TextOps.decontaminate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(hits.keySet == Set(1L))
+    assert(hits(1L) == 1L) // exactly the shared "one two three four five"
+  }
+
+  test("redact pii: emails and long digit runs masked, counts kept") {
+    val d = docs(1L -> "mail me at jo.doe@example.com or call 5551234567 ext 12")
+    val r = TextOps.redactPii(d).head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_long_nums") == 1L) // "12" is below the 4-digit floor
+    val t = r.getAs[String]("text_redacted")
+    assert(t.contains("<EMAIL>") && t.contains("<NUM>") && t.contains("ext 12"))
+    assert(!t.contains("example.com") && !t.contains("5551234567"))
+  }
+
   test("quota per source: caps each source at the quota, keeps lowest ids") {
     val d = Seq((1L, "big"), (2L, "big"), (3L, "big"), (4L, "small"))
       .map { case (id, src) => (id, "t", "en", src, 1L) }
