@@ -77,6 +77,8 @@ object FactStore {
     */
   def upsertBatch(batchId: String, consolidated: DataFrame, ordersEnriched: DataFrame,
       itemsDaily: DataFrame, storeDir: String): Unit = {
+    require(batchId != SealedId,
+      s"batch id $SealedId is reserved for compaction ([[compact]])")
     val spark = consolidated.sparkSession
     // a RERUN of this batch may carry a different date set than its previous
     // run (e.g. a straggler row corrected away) — drop ALL of the batch's
@@ -141,6 +143,86 @@ object FactStore {
         s"batch $batchId re-delivers orders already stored by another batch " +
           s"(e.g. order_ids ${dup.map(_.getLong(0)).mkString(", ")}); " +
           "re-run the original batch id with the corrected files instead")
+  }
+
+  /** The batch id compaction seals history under; regular ingest may not use it. */
+  val SealedId = "__sealed__"
+
+  /** All (table, partition-key) pairs of the store. */
+  private val tables = Seq("consolidated" -> "order_date",
+    "orders_enriched" -> "order_date", "items_daily" -> "date_key")
+
+  /** Compact sealed history: merge every batch layer of partitions at or
+    * before `horizon` into one `batch_id=__sealed__` layer with one file per
+    * partition — the periodic maintenance job that keeps object count
+    * proportional to dates, not dates × batches. At 100 TB the per-batch
+    * layering otherwise accretes one directory + file set per (date, batch):
+    * a year of hourly batches over a 30-day straggler window is ~720 layers
+    * per date, and every pruned read lists all of them.
+    *
+    * Contract: partitions at or before the horizon are SEALED — the horizon
+    * is the rerun/straggler retention window, so compaction only touches
+    * dates no batch will legitimately rewrite (the retention discipline every
+    * table format ties its compaction to). A rerun of a sealed batch id is
+    * caught by [[assertNoCrossBatchRedelivery]]: its orders now live under
+    * `__sealed__`, so the rewrite attempt trips the two-batch-ids check and
+    * rolls itself back.
+    *
+    * Crash-safe and resumable: merged partitions are staged under
+    * `.compact_tmp/` and swapped in per-partition (delete old dir, rename
+    * staged dir). A crash mid-swap leaves the staged dir in place;
+    * the next call completes pending swaps before doing new work.
+    */
+  def compact(spark: SparkSession, storeDir: String, horizon: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { case (t, key) =>
+      val tablePath = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+      val fs = tablePath.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/.compact_tmp/$t")
+      // 1. finish any swap a previous crashed run left behind; the catalog
+      //    then predates the recovered swaps — reset it before reading
+      if (fs.exists(tmp)) {
+        fs.listStatus(tmp).foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(tablePath, st.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+          else fs.delete(st.getPath, true) // dest intact: stage was not swapped
+        }
+        val tbl = tableName(storeDir, t)
+        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+      }
+      // 2. partitions at/before the horizon still holding unsealed layers
+      val dates = if (!fs.exists(tablePath)) Array.empty[String] else fs.listStatus(tablePath)
+        .map(_.getPath.getName).filter(_.startsWith(s"$key="))
+        .map(_.stripPrefix(s"$key="))
+        .filter(_ <= horizon) // ISO dates: lexicographic == chronological
+        .filter { d =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"))
+            .exists(st => st.getPath.getName != s"batch_id=$SealedId")
+        }
+      if (dates.nonEmpty) {
+        // 3. stage the merged layer: ALL rows of those partitions, one file
+        //    per partition, batch_id collapsed to __sealed__
+        val toSeal = readStore(spark, storeDir, t)
+          .filter(col(key).isin(dates.toSeq: _*))
+          .withColumn("batch_id", lit(SealedId))
+        toSeal.repartition(col(key))
+          .write.mode(SaveMode.Overwrite).partitionBy(key, "batch_id")
+          .parquet(tmp.toString)
+        // 4. swap each partition: drop the layered dir, move the staged one in
+        dates.foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp, s"$key=$d"),
+            new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"))
+        }
+        // 5. partitions were REPLACED, not just added: re-register from
+        //    scratch (RECOVER only adds; a stale entry would point at
+        //    deleted layer dirs)
+        val tbl = tableName(storeDir, t)
+        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+        readStore(spark, storeDir, t)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/.compact_tmp"), true)
+    }
   }
 
   private def dropBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {

@@ -218,6 +218,68 @@ class PipelineSpec extends AnyFunSuite {
       oe(10L -> "2024-01-01", 20L -> "2024-01-01"), idaily("2024-01-01"), dir)
   }
 
+  test("compact: seals layered history to one file per partition, reads unchanged") {
+    import graft.sources.FactStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/store"
+    def oe(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, id * 10, 0, java.sql.Date.valueOf(d), 5.0) }
+      .toDF("order_id", "user_id", "returned_order_flag", "order_date", "order_revenue")
+    def cons(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, "CAT_A", java.sql.Date.valueOf(d)) }
+      .toDF("order_id", "category", "order_date")
+    def idaily(d: String, n: Long) =
+      Seq((java.sql.Date.valueOf(d), n)).toDF("date_key", "total_items_sold_daily")
+
+    // three batches layering two dates; a third date beyond the horizon
+    FactStore.upsertBatch("b1", cons(1L -> "2024-01-01", 2L -> "2024-01-02"),
+      oe(1L -> "2024-01-01", 2L -> "2024-01-02"), idaily("2024-01-01", 3L), dir)
+    FactStore.upsertBatch("b2", cons(3L -> "2024-01-01"),
+      oe(3L -> "2024-01-01"), idaily("2024-01-01", 2L), dir)
+    FactStore.upsertBatch("b3", cons(4L -> "2024-01-05"),
+      oe(4L -> "2024-01-05"), idaily("2024-01-05", 1L), dir)
+
+    def snapshot() = FactStore.ordersEnriched(spark, dir)
+      .select("order_id", "order_date", "order_revenue")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2))).toSet
+    def itemsTotal() = FactStore.itemsDaily(spark, dir)
+      .groupBy("date_key").sum("total_items_sold_daily")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val before = snapshot()
+    val itemsBefore = itemsTotal()
+
+    FactStore.compact(spark, dir, horizon = "2024-01-02")
+
+    assert(snapshot() == before, "compaction must not change the row set")
+    assert(itemsTotal() == itemsBefore)
+    // 2024-01-01 had layers b1+b2 → now exactly one __sealed__ layer, 1 file
+    val d1 = new java.io.File(s"$dir/orders_enriched/order_date=2024-01-01")
+    assert(d1.listFiles().map(_.getName).toSeq == Seq(s"batch_id=${FactStore.SealedId}"))
+    assert(new java.io.File(d1, s"batch_id=${FactStore.SealedId}")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // the beyond-horizon date keeps its batch layer untouched
+    val d5 = new java.io.File(s"$dir/orders_enriched/order_date=2024-01-05")
+    assert(d5.listFiles().map(_.getName).toSeq == Seq("batch_id=b3"))
+
+    // idempotent: a second compact at the same horizon changes nothing
+    FactStore.compact(spark, dir, horizon = "2024-01-02")
+    assert(snapshot() == before)
+
+    // a rerun of a sealed batch id is refused (its orders now live under
+    // __sealed__, so the rewrite trips the cross-batch check and rolls back)
+    val e = intercept[IllegalStateException] {
+      FactStore.upsertBatch("b2", cons(3L -> "2024-01-01"),
+        oe(3L -> "2024-01-01"), idaily("2024-01-01", 2L), dir)
+    }
+    assert(e.getMessage.contains("re-delivers"))
+    assert(snapshot() == before, "failed rerun must roll its layers back out")
+    // ingest may not impersonate the compactor
+    intercept[IllegalArgumentException] {
+      FactStore.upsertBatch(FactStore.SealedId, cons(9L -> "2024-01-09"),
+        oe(9L -> "2024-01-09"), idaily("2024-01-09", 1L), dir)
+    }
+  }
+
   test("tracker: crash after the trigger mark rolls back mark AND file moves (retryable)") {
     val root = setupBatch("trkcrash")
     // sabotage: a regular FILE where the fact store directory must go makes
