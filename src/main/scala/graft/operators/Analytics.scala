@@ -66,6 +66,44 @@ object Analytics {
         approx_count_distinct(col("order_id"), rsd).as("total_orders_approx"),
         approx_count_distinct(col("user_id"), rsd).as("unique_customers_approx"))
 
+  /** Exact per-category price quantiles by explicit rank selection
+    * (`value at row ceil(p·n)` — the percentile_disc definition, spelled out
+    * so both engines run the IDENTICAL formulation). Ranks are computed as
+    * `floor((a·n + a) / b)` ≡ `ceil(a·n / b)` in integer-exact arithmetic:
+    * multiplying n by a double literal like 0.9 would put the comparison one
+    * ULP off an integer boundary and silently select the wrong row.
+    * One shuffle + in-partition sort; the interpolating variant is
+    * deliberately avoided (interpolation order differs across engines).
+    */
+  def priceQuantiles(consolidated: DataFrame): DataFrame = {
+    val byCat = Window.partitionBy(col("category"))
+    val w = byCat.orderBy(col("sale_price"))
+    def rankOf(a: Int, b: Int) = floor((col("n") * a + a) / lit(b.toDouble))
+    def pick(a: Int, b: Int) = max(when(col("rn") === rankOf(a, b), col("sale_price")))
+    consolidated
+      .filter(col("sale_price").isNotNull)
+      .select(col("category"), col("sale_price"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(byCat))
+      .groupBy(col("category"))
+      .agg(max(col("n")).as("n_items"),
+        pick(1, 2).as("p50"), pick(9, 10).as("p90"), pick(99, 100).as("p99"))
+  }
+
+  /** The 100 TB variant: percentile_approx sketches merge in ONE pass with
+    * no per-category sort — the quantile analog of [[dailyUniquesApprox]].
+    * Approximate by design → rows-only check; accuracy is spec-tested
+    * against [[priceQuantiles]].
+    */
+  def priceQuantilesApprox(consolidated: DataFrame, accuracy: Int = 1000): DataFrame =
+    consolidated
+      .filter(col("sale_price").isNotNull)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_items"),
+        percentile_approx(col("sale_price"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("sale_price"), lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx(col("sale_price"), lit(0.99), lit(accuracy)).as("p99"))
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -115,6 +153,29 @@ object Analytics {
     // Approximate — driver records a rows-only check; accuracy is spec-tested.
     Op.rowsOnly("analytics_daily_uniques_approx") { (s, d) =>
       dailyUniquesApprox(Tables.ordersDomain(s, d))
+    },
+
+    Op.sql("analytics_price_quantiles",
+      s"""${Tables.domainCtes},
+         |c AS (
+         |  SELECT p.category, i.sale_price
+         |  FROM order_items i LEFT JOIN products p ON i.product_id = p.id),
+         |r AS (
+         |  SELECT category, sale_price,
+         |         ROW_NUMBER() OVER (PARTITION BY category ORDER BY sale_price) AS rn,
+         |         COUNT(*) OVER (PARTITION BY category) AS n
+         |  FROM c WHERE sale_price IS NOT NULL)
+         |SELECT category, MAX(n) AS n_items,
+         |  MAX(CASE WHEN rn = FLOOR((n + 1) / 2) THEN sale_price END) AS p50,
+         |  MAX(CASE WHEN rn = FLOOR((9*n + 9) / 10) THEN sale_price END) AS p90,
+         |  MAX(CASE WHEN rn = FLOOR((99*n + 99) / 100) THEN sale_price END) AS p99
+         |FROM r GROUP BY category""".stripMargin) { (s, d) =>
+      priceQuantiles(Kpi.consolidatedOf(s, d))
+    },
+
+    // Approximate quantile sketch — rows-only; accuracy spec-tested.
+    Op.rowsOnly("analytics_price_quantiles_approx") { (s, d) =>
+      priceQuantilesApprox(Kpi.consolidatedOf(s, d))
     },
   )
 

@@ -25,6 +25,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(top.exceptAll(max).isEmpty)
   }
 
+  test("quantiles: rank selection picks true order statistics; approx tracks exact") {
+    import spark.implicits._
+    // hand-checkable: 10 items, one category → p50 = 5th value, p90 = 9th, p99 = 10th
+    val tiny = (1 to 10).map(i => ("CAT", i.toDouble))
+      .toDF("category", "sale_price")
+    val t = Analytics.priceQuantiles(tiny).head()
+    assert(t.getAs[Long]("n_items") == 10L)
+    assert(t.getAs[Double]("p50") == 5.0)
+    assert(t.getAs[Double]("p90") == 9.0)
+    assert(t.getAs[Double]("p99") == 10.0)
+    // fixture-wide: the approximate sketch lands within 5% of the exact value
+    val exact = Analytics.priceQuantiles(Kpi.consolidatedOf(spark, TestSession.sf))
+      .collect().map(r => r.getAs[String]("category") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val approx = Analytics.priceQuantilesApprox(Kpi.consolidatedOf(spark, TestSession.sf))
+      .collect().map(r => r.getAs[String]("category") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, (e50, e90)) =>
+      val (a50, a90) = approx(c)
+      assert(math.abs(a50 - e50) / e50 <= 0.05, s"p50 off for $c: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 <= 0.05, s"p90 off for $c: $a90 vs $e90")
+    }
+  }
+
   test("approx uniques within 15% of exact counts per date") {
     val approx = Analytics.dailyUniquesApprox(Tables.ordersDomain(spark, TestSession.sf))
       .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap
