@@ -109,6 +109,33 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution: each purchase joins the same user's views in
+    * the preceding hour — the streaming twin of the batch interval join
+    * ([[graft.operators.Temporal]] family). Both sides carry watermarks and
+    * the join predicate bounds the event-time distance between them, which is
+    * what lets Spark evict view state older than the horizon: state stays
+    * O(attribution window), not O(stream) — the property that lets the join
+    * run unboundedly. Inner joins emit on match arrival (no watermark wait).
+    *
+    * `withWatermark` is a no-op in batch, so the SAME function is the batch
+    * twin — the streaming spec asserts equality of the two executions.
+    */
+  def purchaseAttribution(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    purchases.join(views,
+      col("user_id") === col("p_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"), col("value"))
+  }
+
   /** The reference's incremental-recompute loop as a streaming query
     * (SURVEY.md §2.2.5): each micro-batch of newly-arrived order files drives
     * a date-scoped KPI recompute over the full static tables, upserted by

@@ -76,6 +76,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 200)
   }
 
+  test("stream-stream attribution self-join equals the same function run in batch") {
+    val dir = stageEvents()
+    val q = StreamingOps.runAvailableNow(
+      StreamingOps.purchaseAttribution(StreamingOps.eventStream(spark, dir)),
+      "attr_test", Files.createTempDirectory("graft-ckpt5").toString,
+      outputMode = "append")
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_test")
+    // withWatermark is a no-op in batch: identical code path, batch execution
+    val batch = StreamingOps.purchaseAttribution(Tables.events(spark, TestSession.sf))
+    assert(batch.count() > 0, "fixture must produce at least one attribution pair")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("mapGroupsWithState running user stats equal batch per-user totals") {
     import spark.implicits._
     val dir = stageEvents()
