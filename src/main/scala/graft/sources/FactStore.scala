@@ -81,9 +81,13 @@ object FactStore {
       s"batch id $SealedId is reserved for compaction ([[compact]])")
     val spark = consolidated.sparkSession
     // a RERUN of this batch may carry a different date set than its previous
-    // run (e.g. a straggler row corrected away) — drop ALL of the batch's
-    // previous layers first so its contribution is replaced, not merged
-    dropBatchLayers(spark, storeDir, batchId)
+    // run (e.g. a straggler row corrected away) — STASH all of the batch's
+    // previous layers so its contribution is replaced, not merged, yet still
+    // restorable: if the new delivery is rejected (redelivery check), the
+    // store must come back EXACTLY as it was, old layers included. A stale
+    // stash from a crashed earlier run is superseded by this rerun.
+    clearStash(spark, storeDir, batchId)
+    stashBatchLayers(spark, storeDir, batchId)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -93,12 +97,14 @@ object FactStore {
         s"$storeDir/orders_enriched", SaveMode.Overwrite)
       upsertItemsDaily(itemsDaily.withColumn("batch_id", lit(batchId)), storeDir)
       syncCatalog(spark, storeDir)
-      try assertNoCrossBatchRedelivery(spark, storeDir, batchId)
-      catch { case e: Throwable =>
+      try {
+        assertNoCrossBatchRedelivery(spark, storeDir, batchId)
+        clearStash(spark, storeDir, batchId) // accepted: old contribution gone
+      } catch { case e: Throwable =>
         // leave the store exactly as before the bad upsert: the offending
-        // batch's layers come back out, so the originals' rerun path and
-        // every read stay clean
+        // batch's new layers come out AND its previous layers go back in
         dropBatchLayers(spark, storeDir, batchId)
+        restoreBatchLayers(spark, storeDir, batchId)
         syncCatalog(spark, storeDir)
         throw e
       }
@@ -179,14 +185,18 @@ object FactStore {
       val tablePath = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
       val fs = tablePath.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/.compact_tmp/$t")
-      // 1. finish any swap a previous crashed run left behind; the catalog
-      //    then predates the recovered swaps — reset it before reading
+      // 1. finish any swap a previous crashed run left behind (only the
+      //    key= partition dirs — the staging write also leaves _SUCCESS /
+      //    _temporary debris that must not be renamed into the table); the
+      //    catalog then predates the recovered swaps — reset it before reading
       if (fs.exists(tmp)) {
-        fs.listStatus(tmp).foreach { st =>
-          val dest = new org.apache.hadoop.fs.Path(tablePath, st.getPath.getName)
-          if (!fs.exists(dest)) fs.rename(st.getPath, dest)
-          else fs.delete(st.getPath, true) // dest intact: stage was not swapped
-        }
+        fs.listStatus(tmp).filter(_.getPath.getName.startsWith(s"$key="))
+          .foreach { st =>
+            val dest = new org.apache.hadoop.fs.Path(tablePath, st.getPath.getName)
+            if (!fs.exists(dest)) renameOrDie(fs, st.getPath, dest)
+            else fs.delete(st.getPath, true) // dest intact: stage was not swapped
+          }
+        fs.delete(tmp, true)
         val tbl = tableName(storeDir, t)
         if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
       }
@@ -208,11 +218,14 @@ object FactStore {
         toSeal.repartition(col(key))
           .write.mode(SaveMode.Overwrite).partitionBy(key, "batch_id")
           .parquet(tmp.toString)
-        // 4. swap each partition: drop the layered dir, move the staged one in
+        // 4. swap each partition: drop the layered dir, move the staged one
+        //    in. A partition whose layers held zero rows stages nothing —
+        //    sealing it is just removing the empty dir.
         dates.foreach { d =>
+          val staged = new org.apache.hadoop.fs.Path(tmp, s"$key=$d")
           fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp, s"$key=$d"),
-            new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"))
+          if (fs.exists(staged))
+            renameOrDie(fs, staged, new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"))
         }
         // 5. partitions were REPLACED, not just added: re-register from
         //    scratch (RECOVER only adds; a stale entry would point at
@@ -221,20 +234,78 @@ object FactStore {
         if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
         readStore(spark, storeDir, t)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/.compact_tmp"), true)
+      // per-TABLE cleanup only: the shared .compact_tmp root may still hold
+      // another table's staged-but-unswapped partitions from a crashed run —
+      // deleting it here would destroy them before their recovery pass runs
+      fs.delete(tmp, true)
     }
   }
 
   private def dropBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("consolidated" -> "order_date", "orders_enriched" -> "order_date",
-      "items_daily" -> "date_key").foreach { case (t, key) =>
+    tables.foreach { case (t, key) =>
       val table = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
       val fs = table.getFileSystem(conf)
       if (fs.exists(table))
         fs.globStatus(new org.apache.hadoop.fs.Path(s"$storeDir/$t/$key=*/batch_id=$batchId"))
           .foreach(st => fs.delete(st.getPath, true))
     }
+  }
+
+  /** Hadoop `rename` reports most failures by returning false, not throwing;
+    * an unchecked false after the source's counterpart was deleted is silent
+    * data loss — fail loudly instead.
+    */
+  private def renameOrDie(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"rename failed: $src -> $dst")
+
+  private def stashDir(storeDir: String, batchId: String) =
+    s"$storeDir/.rerun_tmp/$batchId"
+
+  /** Move the batch's current layers aside (to `.rerun_tmp/<batch>/`) so a
+    * rejected rerun can restore them byte-identically.
+    */
+  private def stashBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { case (t, key) =>
+      val table = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+      val fs = table.getFileSystem(conf)
+      if (fs.exists(table))
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$storeDir/$t/$key=*/batch_id=$batchId"))
+          .foreach { st =>
+            val part = st.getPath.getParent.getName // e.g. order_date=2024-01-01
+            val dest = new org.apache.hadoop.fs.Path(
+              s"${stashDir(storeDir, batchId)}/$t/$part/batch_id=$batchId")
+            fs.mkdirs(dest.getParent)
+            renameOrDie(fs, st.getPath, dest)
+          }
+    }
+  }
+
+  /** Inverse of [[stashBatchLayers]] (used only on rerun rejection). */
+  private def restoreBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { case (t, key) =>
+      val stash = new org.apache.hadoop.fs.Path(s"${stashDir(storeDir, batchId)}/$t")
+      val fs = stash.getFileSystem(conf)
+      if (fs.exists(stash))
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$stash/$key=*/batch_id=$batchId"))
+          .foreach { st =>
+            val part = st.getPath.getParent.getName
+            val dest = new org.apache.hadoop.fs.Path(s"$storeDir/$t/$part/batch_id=$batchId")
+            fs.mkdirs(dest.getParent)
+            renameOrDie(fs, st.getPath, dest)
+          }
+    }
+    clearStash(spark, storeDir, batchId)
+  }
+
+  private def clearStash(spark: SparkSession, storeDir: String, batchId: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(stashDir(storeDir, batchId))
+    p.getFileSystem(conf).delete(p, true)
   }
 
   private def writePartitioned(df: DataFrame, dir: String, mode: SaveMode): Unit =

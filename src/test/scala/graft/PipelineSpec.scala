@@ -280,6 +280,81 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: rejected straddling rerun restores the batch's unsealed layers") {
+    import graft.sources.FactStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-straddle").toString + "/store"
+    def oe(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, id * 10, 0, java.sql.Date.valueOf(d), 5.0) }
+      .toDF("order_id", "user_id", "returned_order_flag", "order_date", "order_revenue")
+    def cons(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, "CAT_A", java.sql.Date.valueOf(d)) }
+      .toDF("order_id", "category", "order_date")
+    def idaily(d: String) =
+      Seq((java.sql.Date.valueOf(d), 1L)).toDF("date_key", "total_items_sold_daily")
+
+    // b1 delivers a straggler (01-01) and a current date (01-03)
+    FactStore.upsertBatch("b1", cons(1L -> "2024-01-01", 2L -> "2024-01-03"),
+      oe(1L -> "2024-01-01", 2L -> "2024-01-03"), idaily("2024-01-01"), dir)
+    // the straggler date passes the retention horizon and is sealed
+    FactStore.compact(spark, dir, horizon = "2024-01-01")
+    def rows() = FactStore.ordersEnriched(spark, dir)
+      .select("order_id", "order_date")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString)).toSet
+    val before = rows()
+    assert(before == Set((1L, "2024-01-01"), (2L, "2024-01-03")))
+    // rerunning b1 now touches a sealed date → rejected — but its UNSEALED
+    // 01-03 layer must survive the rejection (restored from the stash)
+    val e = intercept[IllegalStateException] {
+      FactStore.upsertBatch("b1", cons(1L -> "2024-01-01", 2L -> "2024-01-03"),
+        oe(1L -> "2024-01-01", 2L -> "2024-01-03"), idaily("2024-01-01"), dir)
+    }
+    assert(e.getMessage.contains("re-delivers"))
+    assert(rows() == before, "rejected rerun must leave the store byte-identical")
+  }
+
+  test("compact: crash recovery completes a half-swapped partition without touching other tables' stage") {
+    import graft.sources.FactStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-crashrec").toString + "/store"
+    def oe(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, id * 10, 0, java.sql.Date.valueOf(d), 5.0) }
+      .toDF("order_id", "user_id", "returned_order_flag", "order_date", "order_revenue")
+    def cons(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, "CAT_A", java.sql.Date.valueOf(d)) }
+      .toDF("order_id", "category", "order_date")
+    def idaily(d: String) =
+      Seq((java.sql.Date.valueOf(d), 1L)).toDF("date_key", "total_items_sold_daily")
+    FactStore.upsertBatch("b1", cons(1L -> "2024-01-01"),
+      oe(1L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    FactStore.upsertBatch("b2", cons(2L -> "2024-01-01"),
+      oe(2L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    val before = FactStore.ordersEnriched(spark, dir)
+      .select("order_id").collect().map(_.getLong(0)).toSet
+
+    // simulate a crash mid-swap on orders_enriched: stage the merged
+    // partition under .compact_tmp, delete the live partition, "crash"
+    val table = new java.io.File(s"$dir/orders_enriched")
+    val staged = new java.io.File(s"$dir/.compact_tmp/orders_enriched/order_date=2024-01-01/batch_id=${FactStore.SealedId}")
+    staged.mkdirs()
+    val live = new java.io.File(table, "order_date=2024-01-01")
+    // move every layer's files into the fake staged merge (same rows)
+    live.listFiles().foreach { layer =>
+      layer.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.move(f.toPath, new java.io.File(staged, f.getName).toPath)
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(live)
+
+    // next compact run must first complete the swap, then see nothing to do
+    FactStore.compact(spark, dir, horizon = "2024-01-01")
+    val after = FactStore.ordersEnriched(spark, dir)
+      .select("order_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, s"recovered rows $after != $before")
+    assert(!new java.io.File(s"$dir/.compact_tmp").exists()
+      || new java.io.File(s"$dir/.compact_tmp").listFiles().isEmpty)
+  }
+
   test("tracker: crash after the trigger mark rolls back mark AND file moves (retryable)") {
     val root = setupBatch("trkcrash")
     // sabotage: a regular FILE where the fact store directory must go makes

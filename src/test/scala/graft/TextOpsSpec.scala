@@ -92,6 +92,14 @@ class TextOpsSpec extends AnyFunSuite {
     val t = r.getAs[String]("text_redacted")
     assert(t.contains("<EMAIL>") && t.contains("<NUM>") && t.contains("ext 12"))
     assert(!t.contains("example.com") && !t.contains("5551234567"))
+    // mixed case must not escape; digits consumed by the email mask must not
+    // inflate the digit-run audit count
+    val r2 = TextOps.redactPii(docs(2L -> "Reach John.Doe42@Example.COM or 98765432")).head()
+    assert(r2.getAs[Long]("n_emails") == 1L)
+    assert(r2.getAs[Long]("n_long_nums") == 1L) // only the bare run, not 42
+    val t2 = r2.getAs[String]("text_redacted")
+    assert(!t2.toLowerCase.contains("example.com") && !t2.contains("98765432"))
+    assert(t2 == "Reach <EMAIL> or <NUM>")
   }
 
   test("quota per source: caps each source at the quota, keeps lowest ids") {
