@@ -104,6 +104,42 @@ object Analytics {
         percentile_approx(col("sale_price"), lit(0.9), lit(accuracy)).as("p90"),
         percentile_approx(col("sale_price"), lit(0.99), lit(accuracy)).as("p99"))
 
+  /** RFM segmentation: per-user recency (last order date), frequency (order
+    * count), monetary (decimal-exact revenue sum), each scored into exact
+    * rank-based quintiles `1 + floor(5·(rank−1)/n)` — integer-exact on both
+    * engines (a double literal like 0.2 would sit one ULP off the bucket
+    * boundary). Ties break on user_id, so every score is deterministic.
+    *
+    * Scale note: the three global row_number windows each sort the USER-grain
+    * frame in one task — fine into the tens of millions of users; past that,
+    * swap exact ranks for `percentile_approx` boundary buckets (the
+    * [[priceQuantilesApprox]] shape) and the op stays one pass.
+    */
+  def rfmSegments(orders: DataFrame, items: DataFrame): DataFrame = {
+    val rev = items.groupBy(col("order_id"))
+      .agg(dsum(col("sale_price")).as("order_revenue"))
+    val users = orders
+      .select(col("order_id"), col("user_id"), to_date(col("created_at")).as("order_date"))
+      .join(rev, Seq("order_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(col("order_date")).as("last_order_date"),
+        count(lit(1)).as("n_orders"),
+        dsum(coalesce(col("order_revenue"), lit(0.0))).as("monetary"))
+    val n = Window.partitionBy()
+    def quintile(rn: org.apache.spark.sql.Column) =
+      lit(1) + floor((lit(5) * (rn - 1)) / count(lit(1)).over(n))
+    val scored = users
+      .withColumn("rn_r", row_number().over(Window.orderBy(col("last_order_date"), col("user_id"))))
+      .withColumn("rn_f", row_number().over(Window.orderBy(col("n_orders"), col("user_id"))))
+      .withColumn("rn_m", row_number().over(Window.orderBy(col("monetary"), col("user_id"))))
+      .withColumn("r_score", quintile(col("rn_r")))
+      .withColumn("f_score", quintile(col("rn_f")))
+      .withColumn("m_score", quintile(col("rn_m")))
+    scored.select(col("user_id"), col("last_order_date"), col("n_orders"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -176,6 +212,36 @@ object Analytics {
     // Approximate quantile sketch — rows-only; accuracy spec-tested.
     Op.rowsOnly("analytics_price_quantiles_approx") { (s, d) =>
       priceQuantilesApprox(Kpi.consolidatedOf(s, d))
+    },
+
+    Op.sql("analytics_rfm_segments",
+      s"""${Tables.domainCtes},
+         |rev AS (SELECT order_id, ${dsumSql("sale_price")} AS order_revenue
+         |        FROM order_items GROUP BY order_id),
+         |u AS (
+         |  SELECT o.user_id, MAX(CAST(o.created_at AS DATE)) AS last_order_date,
+         |         COUNT(*) AS n_orders,
+         |         ${dsumSql("COALESCE(rev.order_revenue, 0)")} AS monetary
+         |  FROM orders_v o LEFT JOIN rev USING (order_id)
+         |  GROUP BY o.user_id),
+         |r AS (
+         |  SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY last_order_date, user_id) AS rn_r,
+         |    ROW_NUMBER() OVER (ORDER BY n_orders, user_id) AS rn_f,
+         |    ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS rn_m,
+         |    COUNT(*) OVER () AS n
+         |  FROM u),
+         |s AS (
+         |  SELECT user_id, last_order_date, n_orders, monetary,
+         |    1 + CAST(FLOOR((5 * (rn_r - 1)) / n) AS BIGINT) AS r_score,
+         |    1 + CAST(FLOOR((5 * (rn_f - 1)) / n) AS BIGINT) AS f_score,
+         |    1 + CAST(FLOOR((5 * (rn_m - 1)) / n) AS BIGINT) AS m_score
+         |  FROM r)
+         |SELECT user_id, last_order_date, n_orders, monetary,
+         |       r_score, f_score, m_score,
+         |       r_score * 100 + f_score * 10 + m_score AS rfm_code
+         |FROM s""".stripMargin) { (s, d) =>
+      rfmSegments(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },
   )
 

@@ -97,6 +97,26 @@ object EventOps {
     * stage — each stage's frame shrinks monotonically, no window over the
     * full stream, no driver state. The final 3-row window is trivial.
     */
+  /** Weekly retention cohorts: users grouped by the ISO week of their first
+    * event; `n_users` counts how many of each cohort are active `week_offset`
+    * weeks later — the activation/retention matrix every growth dashboard
+    * draws. Two hash-aggregates plus one equi-join on user_id; the output is
+    * O(n_weeks²/2) rows — trivial next to the event stream at any scale.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    active.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast(LongType).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val funnelStages: Seq[String] = Seq("view", "click", "purchase")
 
   def funnel(events: DataFrame, stages: Seq[String] = funnelStages): DataFrame = {
@@ -197,6 +217,18 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionWindows(Tables.events(s, d))
+    },
+
+    Op.sql("events_retention_cohorts",
+      s"""WITH $eventsCte,
+         |f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+         |      FROM ev GROUP BY user_id),
+         |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM ev)
+         |SELECT cohort_week, CAST((week - cohort_week) / 7 AS BIGINT) AS week_offset,
+         |       COUNT(DISTINCT user_id) AS n_users
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      retentionCohorts(Tables.events(s, d))
     },
 
     // JSON scalar extraction from the props column (codegen'd

@@ -50,6 +50,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: quintile scores partition users evenly and code composes digits") {
+    val rfm = Analytics.rfmSegments(
+      Tables.ordersDomain(spark, TestSession.sf),
+      Tables.orderItems(spark, TestSession.sf)).cache()
+    val n = rfm.count()
+    // every score in 1..5; each m-quintile holds n/5 ± 1 users
+    val byScore = rfm.groupBy("m_score").count().collect()
+      .map(r => r.getAs[Long]("m_score") -> r.getAs[Long]("count")).toMap
+    assert(byScore.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(byScore.values.forall(c => math.abs(c - n / 5.0) <= 1))
+    // the top monetary user scores m=5; code composes the three digits
+    val top = rfm.orderBy(org.apache.spark.sql.functions.col("monetary").desc).head()
+    assert(top.getAs[Long]("m_score") == 5L)
+    val r0 = rfm.head()
+    assert(r0.getAs[Long]("rfm_code") ==
+      r0.getAs[Long]("r_score") * 100 + r0.getAs[Long]("f_score") * 10 + r0.getAs[Long]("m_score"))
+    rfm.unpersist()
+  }
+
   test("approx uniques within 15% of exact counts per date") {
     val approx = Analytics.dailyUniquesApprox(Tables.ordersDomain(spark, TestSession.sf))
       .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -59,6 +59,26 @@ class EventSpec extends AnyFunSuite {
     assert(f("purchase") == ((1L, Some(1.0))))
   }
 
+  test("retention cohorts: week offsets count returning users per first-seen week") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 first seen wk0 (Mon 2024-01-01), active wk0 + wk2;
+    // user 2 first seen wk0, active wk0 only; user 3 first seen wk2
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, ""),
+      (2L, ts("2024-01-16 10:00:00"), 1L, "view", 0.0, ""),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "view", 0.0, ""),
+      (4L, ts("2024-01-17 10:00:00"), 3L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = EventOps.retentionCohorts(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(m == Map(
+      ("2024-01-01", 0L) -> 2L,  // both wk0 users active in their own week
+      ("2024-01-01", 2L) -> 1L,  // only user 1 returns two weeks later
+      ("2024-01-15", 0L) -> 1L)) // user 3's own cohort
+  }
+
   test("user stats: counts, distinct types, exact value sum") {
     val u = EventOps.userStats(events).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
