@@ -78,6 +78,25 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial aggregation in vocabulary plan: $aggs")
   }
 
+  test("decontamination joins the corpus against a BROADCAST benchmark gram set") {
+    val df = graft.operators.TextOps.decontaminate(Tables.documents(spark, TestSession.sf))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "benchmark gram set must reach the join as a broadcast — " +
+        "a shuffle join would repartition the whole corpus on gram hash")
+  }
+
+  test("split assignment is a pure narrow plan: no exchange, key-only scan") {
+    val df = graft.operators.TextOps.splitAssign(Tables.documents(spark, TestSession.sf))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, "split assignment must not shuffle")
+    val readCols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("doc_id"),
+      s"split scan read $readCols — should read only the key")
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 
