@@ -135,6 +135,24 @@ class DedupSpec extends AnyFunSuite {
     assert(ranks.forall(rs => rs == (1 to rs.size)))
   }
 
+  test("incremental minhash against a stored index equals the filtered full pair set") {
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val fresh = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val idx = Dedup.minhashIndex(corpus).cache()
+    val inc = Dedup.incrementalMinhashPairs(fresh, idx).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = full.filter { case (a, b) => a % 7 == 0 || b % 7 == 0 }
+    assert(inc == expected,
+      s"incremental found ${inc.size}, expected ${expected.size} new-involving pairs")
+    // the batch path must never emit a corpus-vs-corpus pair
+    assert(inc.forall { case (a, b) => a % 7 == 0 || b % 7 == 0 })
+    idx.unpersist()
+  }
+
   test("LSH top-k returns a subset consistent with brute force on the fixture") {
     val sf = TestSession.sf
     val e = graft.sources.Tables.embeddings(spark, sf)
