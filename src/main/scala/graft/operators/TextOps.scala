@@ -334,6 +334,32 @@ object TextOps {
       .agg(countDistinct(col("gh")).as("n_hits"))
   }
 
+  /** Token budget per training pack (power of two: division by it is exact
+    * in binary floating point, so the floor lands bit-identically).
+    */
+  val packBudget = 512
+
+  /** Offset-chunk packing: assign documents to fixed-token-budget packs by
+    * exclusive prefix sum — `pack_id = floor(cum_tokens_before / budget)` —
+    * within each source shard, in deterministic doc_id order. This is the
+    * streaming "chunk by offset" packer (a straddling document continues into
+    * the next pack; the trainer splits at the boundary). Partitioning by
+    * source keeps every window sort shard-local — the scale shape; a single
+    * global pack order would serialize the corpus through one task.
+    */
+  def packChunks(docs: DataFrame, budget: Int = packBudget): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0)))
+      .cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col("doc_id"), col("source"), toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)))
+  }
+
   /** PII scrub patterns — shared literally between Spark (Java regex) and
     * DuckDB (RE2): only constructs with identical semantics in both. The
     * `(?i)` inline flag (same in both dialects) catches mixed-case emails —
@@ -557,6 +583,19 @@ object TextOps {
          |WHERE doc_id % $benchmarkMod <> 0
          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       decontaminate(Tables.documents(s, d))
+    },
+
+    Op.sql("sample_pack_chunks",
+      s"""SELECT doc_id, source, n_tokens,
+         |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens)
+         |             / $packBudget) AS BIGINT) AS pack_id
+         |FROM (SELECT doc_id, source,
+         |        len(regexp_extract_all(text, '$tokenPattern')) AS n_tokens
+         |      FROM documents)
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |             ROWS UNBOUNDED PRECEDING)""".stripMargin) { (s, d) =>
+      packChunks(Tables.documents(s, d))
     },
 
     Op.sql("text_redact_pii",

@@ -102,6 +102,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(t2 == "Reach <EMAIL> or <NUM>")
   }
 
+  test("pack chunks: exclusive prefix sum assigns budget-sized packs per shard") {
+    // 3 docs of 300 "tokens" each (single-char words), budget 512:
+    // cum_before = 0, 300, 600 → packs 0, 0, 1; separate source restarts at 0
+    val text300 = Seq.fill(300)("x").mkString(" ")
+    val d = Seq((1L, "s0"), (2L, "s0"), (3L, "s0"), (9L, "s1"))
+      .map { case (id, src) => (id, text300, "en", src, text300.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = TextOps.packChunks(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("pack_id"))).toMap
+    assert(p(1L) == ((300L, 300L, 0L)))
+    assert(p(2L) == ((300L, 600L, 0L))) // starts at offset 300, still pack 0
+    assert(p(3L) == ((300L, 900L, 1L))) // starts at offset 600 → pack 1
+    assert(p(9L) == ((300L, 300L, 0L))) // other shard packs independently
+  }
+
   test("quota per source: caps each source at the quota, keeps lowest ids") {
     val d = Seq((1L, "big"), (2L, "big"), (3L, "big"), (4L, "small"))
       .map { case (id, src) => (id, "t", "en", src, 1L) }
