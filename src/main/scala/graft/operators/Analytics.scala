@@ -126,8 +126,11 @@ object Analytics {
         count(lit(1)).as("n_orders"),
         dsum(coalesce(col("order_revenue"), lit(0.0))).as("monetary"))
     val n = Window.partitionBy()
+    // row_number is 32-bit: widen BEFORE the ×5 (it would overflow Int past
+    // ~429M users — exactly the scale this op is for; the oracle's BIGINT
+    // math would keep going while Spark threw)
     def quintile(rn: org.apache.spark.sql.Column) =
-      lit(1) + floor((lit(5) * (rn - 1)) / count(lit(1)).over(n))
+      lit(1) + floor((lit(5) * (rn - 1).cast(LongType)) / count(lit(1)).over(n))
     val scored = users
       .withColumn("rn_r", row_number().over(Window.orderBy(col("last_order_date"), col("user_id"))))
       .withColumn("rn_f", row_number().over(Window.orderBy(col("n_orders"), col("user_id"))))

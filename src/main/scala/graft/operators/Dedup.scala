@@ -151,13 +151,7 @@ object Dedup {
     // three times (bands + both verify sides). MEMORY_AND_DISK spills cleanly
     // on a real cluster.
     val hs = hashedShingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = minhashSignatures(hs)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(minhashBands - 1)),
-          b => concat_ws(",",
-            transform(slice(col("sig"), b * minhashRows + 1, lit(minhashRows)),
-              v => v.cast(StringType))))))
-      .toDF("doc_id", "band", "band_key")
+    val bands = bandsOf(minhashSignatures(hs))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -295,8 +289,13 @@ object Dedup {
     GraftExpressions.register(newDocs.sparkSession)
     val newIdx = minhashIndex(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the index is consumed twice (band join + verification union); persisting
+    // here keeps an index passed as a COMPUTED lineage from re-hashing the
+    // corpus per consumer — the exact contract this function exists for. For
+    // a stored-table read the persist is a cheap cache of what was scanned.
+    val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandsOf(newIdx)
-    val nc = newBands.as("a").join(bandsOf(index).as("b"),
+    val nc = newBands.as("a").join(bandsOf(idx).as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
@@ -305,7 +304,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = nc.union(nn).distinct()
-    val h = index.select(col("doc_id"), col("h1"), col("n"))
+    val h = idx.select(col("doc_id"), col("h1"), col("n"))
       .union(newIdx.select(col("doc_id"), col("h1"), col("n")))
     cand
       .join(h.select(col("doc_id").as("doc_a"), col("h1").as("sh_a"), col("n").as("n_a")), "doc_a")
@@ -489,9 +488,8 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs
          |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val idx = minhashIndex(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      incrementalMinhashPairs(docs.filter(pmod(col("doc_id"), lit(7)) === 0), idx)
+      incrementalMinhashPairs(docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        minhashIndex(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
     },
 
     Op.sql("dedup_clusters",

@@ -97,26 +97,6 @@ object EventOps {
     * stage — each stage's frame shrinks monotonically, no window over the
     * full stream, no driver state. The final 3-row window is trivial.
     */
-  /** Weekly retention cohorts: users grouped by the ISO week of their first
-    * event; `n_users` counts how many of each cohort are active `week_offset`
-    * weeks later — the activation/retention matrix every growth dashboard
-    * draws. Two hash-aggregates plus one equi-join on user_id; the output is
-    * O(n_weeks²/2) rows — trivial next to the event stream at any scale.
-    */
-  def retentionCohorts(events: DataFrame): DataFrame = {
-    val firsts = events.groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_ts"))
-      .select(col("user_id"),
-        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
-    val active = events
-      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
-      .distinct()
-    active.join(firsts, "user_id")
-      .groupBy(col("cohort_week"),
-        (datediff(col("week"), col("cohort_week")) / 7).cast(LongType).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
-  }
-
   val funnelStages: Seq[String] = Seq("view", "click", "purchase")
 
   def funnel(events: DataFrame, stages: Seq[String] = funnelStages): DataFrame = {
@@ -143,6 +123,29 @@ object EventOps {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
     counts.withColumn("conv_from_prev",
       col("users").cast(DoubleType) / lag(col("users"), 1).over(w))
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their first
+    * event; `n_users` counts how many of each cohort are active `week_offset`
+    * weeks later — the activation/retention matrix every growth dashboard
+    * draws. Two hash-aggregates plus one equi-join on user_id; the output is
+    * O(n_weeks²/2) rows — trivial next to the event stream at any scale.
+    * A user contributes at most one row per (cohort, offset) by construction
+    * (`active` is distinct per week), so a plain count suffices — no
+    * distinct-expand.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    active.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast(LongType).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   // --------------------------------------------------------------------------
@@ -225,7 +228,7 @@ object EventOps {
          |      FROM ev GROUP BY user_id),
          |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM ev)
          |SELECT cohort_week, CAST((week - cohort_week) / 7 AS BIGINT) AS week_offset,
-         |       COUNT(DISTINCT user_id) AS n_users
+         |       COUNT(*) AS n_users
          |FROM a JOIN f USING (user_id)
          |GROUP BY cohort_week, week_offset""".stripMargin) { (s, d) =>
       retentionCohorts(Tables.events(s, d))
