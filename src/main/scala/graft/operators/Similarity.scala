@@ -135,8 +135,17 @@ object Similarity {
     * Iterating to convergence is this step in the [[Dedup.connectedComponents]]
     * loop shape; the assignment mechanics are [[ivfAssign]] unchanged.
     */
+  /** 2^30: element values are scaled onto this power-of-two grid before the
+    * integer sum. Multiplying a double by a power of two is EXACT (exponent
+    * shift), and every float32 payload value is already a multiple of the
+    * grid, so the floor is a no-op and the per-cell mean is the exact mean —
+    * no decimal quantization whose HALF_UP (Spark) vs half-even (DuckDB)
+    * rounding diverges once a cell is large enough to hit a tie (it did at
+    * sf0.1, at the 9th decimal).
+    */
+  private val meanGrid = 1073741824.0
+
   def ivfTrainStep(embs: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 9)
     // consumed twice (member counts + the per-dim sums): persist so the
     // assignment cross-join + window runs once, not once per consumer
     val assigned = ivfAssign(embs)
@@ -145,10 +154,12 @@ object Similarity {
     assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(sum(col("x").cast(org.apache.spark.sql.types.DoubleType).cast(dec)).as("sx"))
+      .agg(sum(floor(col("x").cast(org.apache.spark.sql.types.DoubleType) * meanGrid))
+        .as("sx"))
       .join(members, "cell")
       .select(col("cell"), col("dim").cast(org.apache.spark.sql.types.LongType).as("dim"),
-        (col("sx").cast(org.apache.spark.sql.types.DoubleType) / col("n_members")).as("centroid"),
+        (col("sx").cast(org.apache.spark.sql.types.DoubleType) / meanGrid / col("n_members"))
+          .as("centroid"),
         col("n_members"))
   }
 
@@ -236,12 +247,13 @@ object Similarity {
          |members AS (SELECT cell, COUNT(*) AS n_members FROM assigned GROUP BY cell),
          |sums AS (
          |  SELECT cell, i - 1 AS dim,
-         |         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS sx
+         |         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1073741824) AS BIGINT)) AS BIGINT) AS sx
          |  FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
          |               unnest(embedding) AS x
          |        FROM assigned)
          |  GROUP BY cell, i)
-         |SELECT s.cell, s.dim, CAST(s.sx AS DOUBLE) / m.n_members AS centroid, m.n_members
+         |SELECT s.cell, s.dim,
+         |       CAST(s.sx AS DOUBLE) / 1073741824 / m.n_members AS centroid, m.n_members
          |FROM sums s JOIN members m USING (cell)""".stripMargin) { (s, d) =>
       ivfTrainStep(Tables.embeddings(s, d))
     },

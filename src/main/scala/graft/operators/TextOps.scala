@@ -485,6 +485,21 @@ object TextOps {
       Jsonl.readStrict(s, Jsonl.documentsSchema, Seq(out))
     },
 
+    // ORC ingestion as an oracle-checked op: the columnar interchange format
+    // beside parquet — a write/read round trip must reproduce the corpus
+    // table exactly (the oracle reads the original parquet).
+    Op.sql("orc_roundtrip_documents",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
+      val src = new java.io.File(s"$d/documents.parquet")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d|${src.lastModified}|${src.length}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val out = s"/tmp/graft_orc_cache/$key/documents"
+      if (!new java.io.File(s"$out/_SUCCESS").exists())
+        Tables.documents(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    },
+
     Op.sql("sample_quota_per_source",
       s"""SELECT doc_id, source, src_rank FROM (
          |  SELECT doc_id, source,
