@@ -347,8 +347,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label")).cast(DecimalType(38, 0))).collect()(0).getDecimal(0))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // fused init: label₀ = min(node, min neighbor) IS the first propagation
+    // round, computed by the same aggregate that would otherwise just
+    // distinct the node set — one full join+union+agg cycle saved
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     var prev = labelSum(labels)
     var converged = false

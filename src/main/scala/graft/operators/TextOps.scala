@@ -318,14 +318,15 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
-    // persisted: the benchmark branch and the corpus branch both consume the
-    // gram scan — without this the shingle explode + md5 (the dominant cost)
-    // would run twice
+    // deliberately NOT persisted: the doc_id filters below push through this
+    // narrow chain into the parquet scan, so the benchmark branch re-derives
+    // grams for only ~1/benchmarkMod of the corpus — far cheaper than
+    // materializing the full gram set just to share it (a cache barrier
+    // would also block that pushdown)
     val grams = docs.filter(size(ws) >= contamN)
       .select(col("doc_id"),
         explode(shingles(ws, contamN)).as("gram"))
       .select(col("doc_id"), hash60(col("gram")).as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
       .select(col("gh")).distinct()
     grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
