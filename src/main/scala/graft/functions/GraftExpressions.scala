@@ -53,7 +53,9 @@ object GraftExpressions {
     ("graft_qdot", classOf[QuantizedDot], args => QuantizedDot(args(0), args(1))),
     ("graft_simhash32", classOf[SimHash32], args => SimHash32(args(0))),
     ("graft_minhash", classOf[MinHashSig],
-      args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))))
+      args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))),
+    ("graft_sorted_run_stats", classOf[SortedRunStats],
+      args => SortedRunStats(args(0))))
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
@@ -78,6 +80,9 @@ object GraftExpressions {
     */
   def minhashSig(h1: Column, h2: Column, k: Int): Column =
     call_function("graft_minhash", h1, h2, org.apache.spark.sql.functions.lit(k))
+
+  /** [distinct count, longest equal run] of a SORTED string array, one pass. */
+  def sortedRunStats(a: Column): Column = call_function("graft_sorted_run_stats", a)
 }
 
 /** `SparkSessionExtensions` hook so external users get the functions via
@@ -244,6 +249,71 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** [distinct count, longest equal run] of a SORTED string array in one pass —
+  * the per-document repetition kernel. Equivalent to grouping the elements
+  * and taking (count of groups, max group size), but as a narrow codegen
+  * scan instead of a shuffle at (doc, element) grain: adjacent equality in a
+  * sorted array IS group membership. Empty array → [0, 0].
+  */
+case class SortedRunStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_run_stats"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](2)
+    if (n > 0) {
+      var distinct = 1L; var maxRun = 1L; var run = 1L
+      var prev = x.getUTF8String(0)
+      var i = 1
+      while (i < n) {
+        val cur = x.getUTF8String(i)
+        if (cur.equals(prev)) { run += 1; if (run > maxRun) maxRun = run }
+        else { distinct += 1; run = 1 }
+        prev = cur
+        i += 1
+      }
+      out(0) = distinct; out(1) = maxRun
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, out, i, d, r, m) = (ctx.freshName("n"), ctx.freshName("out"),
+        ctx.freshName("i"), ctx.freshName("d"), ctx.freshName("r"), ctx.freshName("m"))
+      val (prev, cur) = (ctx.freshName("prev"), ctx.freshName("cur"))
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[2];
+         |if ($n > 0) {
+         |  long $d = 1L; long $r = 1L; long $m = 1L;
+         |  $utf8 $prev = $a.getUTF8String(0);
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    $utf8 $cur = $a.getUTF8String($i);
+         |    if ($cur.equals($prev)) { $r++; if ($r > $m) $m = $r; }
+         |    else { $d++; $r = 1L; }
+         |    $prev = $cur;
+         |  }
+         |  $out[0] = $d; $out[1] = $m;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SortedRunStats =
     copy(child = newChild)
 }
 

@@ -245,24 +245,26 @@ object TextOps {
 
   /** Per-document bigram repetition metrics (the Gopher/C4-style repetition
     * filters): duplicate-bigram fraction and most-frequent-bigram share.
-    * One explode + two hash-aggregates at (doc, bigram) grain — map-side
-    * combined, scales as the corpus token count.
+    * A pure NARROW pass: sort the document's bigrams, then the single-scan
+    * codegen kernel [[graft.functions.SortedRunStats]] reads off (distinct
+    * count, max multiplicity) — zero shuffle, where the groupBy formulation
+    * shuffled the corpus at (doc, bigram) grain for per-document answers.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftExpressions
+    GraftExpressions.register(docs.sparkSession)
     val ws = split(col("text"), " ")
     docs.filter(size(ws) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(ws) - 1),
-          i => concat_ws(" ", slice(ws, i, lit(2))))).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("c")).as("top_count"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
-        (lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+      .select(col("doc_id"), (size(ws) - 1).cast(LongType).as("n_bigrams"),
+        GraftExpressions.sortedRunStats(
+          array_sort(transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", slice(ws, i, lit(2)))))).as("rs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        element_at(col("rs"), 1).as("n_distinct_bigrams"),
+        (lit(1.0) - element_at(col("rs"), 1).cast(DoubleType) / col("n_bigrams"))
           .as("dup_bigram_frac"),
-        (col("top_count").cast(DoubleType) / col("n_bigrams")).as("top_bigram_frac"))
+        (element_at(col("rs"), 2).cast(DoubleType) / col("n_bigrams"))
+          .as("top_bigram_frac"))
   }
 
   val collocationsK = 50

@@ -86,6 +86,25 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted run stats: distinct count and max run, codegen == interpreted") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "a", "a", "b", "c", "c")), // 3 distinct, run of 3
+      (2L, Seq("x")),                          // singleton
+      (3L, Seq.empty[String])                  // empty → [0, 0]
+    ).toDF("id", "arr")
+    def run() = df.select(col("id"), GraftExpressions.sortedRunStats(col("arr")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val on = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val off =
+      try run()
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(on == off)
+    assert(on(1L) == Seq(3L, 3L) && on(2L) == Seq(1L, 1L) && on(3L) == Seq(0L, 0L))
+  }
+
   test("codegen and interpreted eval agree") {
     import spark.implicits._
     GraftExpressions.register(spark)
