@@ -256,7 +256,9 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   * the per-document repetition kernel. Equivalent to grouping the elements
   * and taking (count of groups, max group size), but as a narrow codegen
   * scan instead of a shuffle at (doc, element) grain: adjacent equality in a
-  * sorted array IS group membership. Empty array → [0, 0].
+  * sorted array IS group membership. Null ELEMENTS are skipped (the function
+  * is session-registered, so arbitrary SQL can reach it — like [[MinHashSig]]
+  * it must not trust `containsNull`); empty/all-null array → [0, 0].
   */
 case class SortedRunStats(child: Expression) extends UnaryExpression {
 
@@ -271,45 +273,44 @@ case class SortedRunStats(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val out = new Array[Long](2)
-    if (n > 0) {
-      var distinct = 1L; var maxRun = 1L; var run = 1L
-      var prev = x.getUTF8String(0)
-      var i = 1
-      while (i < n) {
+    var distinct = 0L; var maxRun = 0L; var run = 0L
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
         val cur = x.getUTF8String(i)
-        if (cur.equals(prev)) { run += 1; if (run > maxRun) maxRun = run }
+        if (prev != null && cur.equals(prev)) run += 1
         else { distinct += 1; run = 1 }
+        if (run > maxRun) maxRun = run
         prev = cur
-        i += 1
       }
-      out(0) = distinct; out(1) = maxRun
+      i += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(distinct, maxRun))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val (n, out, i, d, r, m) = (ctx.freshName("n"), ctx.freshName("out"),
-        ctx.freshName("i"), ctx.freshName("d"), ctx.freshName("r"), ctx.freshName("m"))
+      val (n, i, d, r, m) = (ctx.freshName("n"), ctx.freshName("i"),
+        ctx.freshName("d"), ctx.freshName("r"), ctx.freshName("m"))
       val (prev, cur) = (ctx.freshName("prev"), ctx.freshName("cur"))
       val utf8 = "org.apache.spark.unsafe.types.UTF8String"
       s"""
          |int $n = $a.numElements();
-         |long[] $out = new long[2];
-         |if ($n > 0) {
-         |  long $d = 1L; long $r = 1L; long $m = 1L;
-         |  $utf8 $prev = $a.getUTF8String(0);
-         |  for (int $i = 1; $i < $n; $i++) {
-         |    $utf8 $cur = $a.getUTF8String($i);
-         |    if ($cur.equals($prev)) { $r++; if ($r > $m) $m = $r; }
-         |    else { $d++; $r = 1L; }
-         |    $prev = $cur;
-         |  }
-         |  $out[0] = $d; $out[1] = $m;
+         |long $d = 0L; long $r = 0L; long $m = 0L;
+         |$utf8 $prev = null;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  $utf8 $cur = $a.getUTF8String($i);
+         |  if ($prev != null && $cur.equals($prev)) { $r++; }
+         |  else { $d++; $r = 1L; }
+         |  if ($r > $m) $m = $r;
+         |  $prev = $cur;
          |}
          |${ev.value} =
-         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(new long[] { $d, $m });
        """.stripMargin
     })
 

@@ -158,14 +158,22 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    verifyPairs(cand, hs)
+  }
+
+  /** Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against a (doc_id, h1, n) hash-set frame — the contract BOTH the batch
+    * and the incremental path must share, or "incremental ≡ filtered full
+    * pair set" silently breaks.
+    */
+  private def verifyPairs(cand: DataFrame, h: DataFrame): DataFrame =
     cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("h1").as("sh_a"), col("n").as("n_a")), "doc_a")
-      .join(hs.select(col("doc_id").as("doc_b"), col("h1").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .join(h.select(col("doc_id").as("doc_a"), col("h1").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("h1").as("sh_b"), col("n").as("n_b")), "doc_b")
       .withColumn("inter", GraftExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"),
         jaccardFromInter(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
       .filter(col("jaccard") >= jaccardTau)
-  }
 
   /** |A∩B| / (|A|+|B|−|A∩B|): one intersection instead of intersect+union —
     * valid because the hashed shingle arrays are sets.
@@ -283,19 +291,24 @@ object Dedup {
     * Per batch this costs O(|batch| hashing + band-bucket joins); the corpus
     * contributes only its stored band keys and shingle hashes. That is the
     * production dedup loop at 100 TB: the corpus is hashed exactly once,
-    * ever. Caller contract: `newDocs` ids are disjoint from the index.
+    * ever.
+    *
+    * Caller contract: `newDocs` ids are disjoint from the index, and the
+    * CALLER owns the index's caching — pass a stored-table read (already
+    * cheap to re-scan) or persist a computed lineage yourself; this function
+    * consumes `index` twice (band join + verification union) but does not
+    * persist a frame it doesn't own. The batch-local signature frame it
+    * DOES create is persisted internally and unpersisted by the session's
+    * normal cache lifecycle (`clearCache` between queries; long-running
+    * drivers appending many batches should store each batch's index rows
+    * anyway — at which point both sides are stored-table reads).
     */
   def incrementalMinhashPairs(newDocs: DataFrame, index: DataFrame): DataFrame = {
     GraftExpressions.register(newDocs.sparkSession)
     val newIdx = minhashIndex(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the index is consumed twice (band join + verification union); persisting
-    // here keeps an index passed as a COMPUTED lineage from re-hashing the
-    // corpus per consumer — the exact contract this function exists for. For
-    // a stored-table read the persist is a cheap cache of what was scanned.
-    val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandsOf(newIdx)
-    val nc = newBands.as("a").join(bandsOf(idx).as("b"),
+    val nc = newBands.as("a").join(bandsOf(index).as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
@@ -304,15 +317,9 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand = nc.union(nn).distinct()
-    val h = idx.select(col("doc_id"), col("h1"), col("n"))
+    val h = index.select(col("doc_id"), col("h1"), col("n"))
       .union(newIdx.select(col("doc_id"), col("h1"), col("n")))
-    cand
-      .join(h.select(col("doc_id").as("doc_a"), col("h1").as("sh_a"), col("n").as("n_a")), "doc_a")
-      .join(h.select(col("doc_id").as("doc_b"), col("h1").as("sh_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("inter", GraftExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
-      .select(col("doc_a"), col("doc_b"),
-        jaccardFromInter(col("inter"), col("n_a"), col("n_b")).as("jaccard"))
-      .filter(col("jaccard") >= jaccardTau)
+    verifyPairs(cand, h)
   }
 
   // --------------------------------------------------------------------------
@@ -492,8 +499,11 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM mh_pairs
          |WHERE doc_a % 7 = 0 OR doc_b % 7 = 0""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      incrementalMinhashPairs(docs.filter(pmod(col("doc_id"), lit(7)) === 0),
-        minhashIndex(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
+      // this op COMPUTES the corpus index (no store in the fixture setup), so
+      // it owns the persist — per the incrementalMinhashPairs caller contract
+      val idx = minhashIndex(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      incrementalMinhashPairs(docs.filter(pmod(col("doc_id"), lit(7)) === 0), idx)
     },
 
     Op.sql("dedup_clusters",

@@ -129,9 +129,10 @@ object Similarity {
     *
     * Scale design: explode-by-dimension then ONE hash-aggregate keyed
     * (cell, dim) — cells × dims is tiny, the explode is a narrow map, and
-    * the per-dim sums use the DECIMAL(18,9) accumulator recipe so the means
-    * are exact and order-independent (bit-identical on any partitioning —
-    * the property that makes distributed k-means runs reproducible).
+    * the per-dim sums are exact integers on the [[meanGrid]] power-of-two
+    * grid, so the means are exact and order-independent (bit-identical on
+    * any partitioning — the property that makes distributed k-means runs
+    * reproducible).
     * Iterating to convergence is this step in the [[Dedup.connectedComponents]]
     * loop shape; the assignment mechanics are [[ivfAssign]] unchanged.
     */

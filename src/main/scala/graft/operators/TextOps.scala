@@ -322,9 +322,11 @@ object TextOps {
     val ws = split(col("text"), " ")
     // deliberately NOT persisted: the doc_id filters below push through this
     // narrow chain into the parquet scan, so the benchmark branch re-derives
-    // grams for only ~1/benchmarkMod of the corpus — far cheaper than
-    // materializing the full gram set just to share it (a cache barrier
-    // would also block that pushdown)
+    // grams for only ~1/benchmarkMod of the corpus — about the same local
+    // cost as persisting (measured within noise), but at corpus scale
+    // materializing every gram to share it is prohibitive while re-deriving
+    // the benchmark slice is trivial (a cache barrier would also block the
+    // pushdown that makes that slice cheap)
     val grams = docs.filter(size(ws) >= contamN)
       .select(col("doc_id"),
         explode(shingles(ws, contamN)).as("gram"))
@@ -392,6 +394,22 @@ object TextOps {
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
+
+  /** Cached fixture export for the interchange round-trip ops: `write` runs
+    * once per (fixture dir, format, source mtime+size) — the stamp means a
+    * regenerated fixture can never serve a stale export — and the _SUCCESS
+    * marker gates readers. ONE implementation for every format so a cache-key
+    * fix can't silently apply to one round trip and not another.
+    */
+  private def cachedExportDir(d: String, fmt: String)(write: String => Unit): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.lastModified}|${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val out = s"/tmp/graft_${fmt}_cache/$key/documents"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) write(out)
+    out
+  }
 
   def ops: Seq[Op] = Seq(
     Op.sql("text_stats",
@@ -476,15 +494,7 @@ object TextOps {
     Op.sql("jsonl_roundtrip_documents",
       "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
       import graft.sources.Jsonl
-      // cache key covers the source file's mtime+size (FactStore.fixtureStoreDir
-      // discipline): regenerated fixture data can never serve a stale export
-      val src = new java.io.File(s"$d/documents.parquet")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|${src.lastModified}|${src.length}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val out = s"/tmp/graft_jsonl_cache/$key/documents"
-      if (!new java.io.File(s"$out/_SUCCESS").exists())
-        Jsonl.write(Tables.documents(s, d), out)
+      val out = cachedExportDir(d, "jsonl")(Jsonl.write(Tables.documents(s, d), _))
       Jsonl.readStrict(s, Jsonl.documentsSchema, Seq(out))
     },
 
@@ -493,13 +503,8 @@ object TextOps {
     // table exactly (the oracle reads the original parquet).
     Op.sql("orc_roundtrip_documents",
       "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
-      val src = new java.io.File(s"$d/documents.parquet")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$d|${src.lastModified}|${src.length}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val out = s"/tmp/graft_orc_cache/$key/documents"
-      if (!new java.io.File(s"$out/_SUCCESS").exists())
-        Tables.documents(s, d).write.mode("overwrite").orc(out)
+      val out = cachedExportDir(d, "orc")(
+        Tables.documents(s, d).write.mode("overwrite").orc(_))
       s.read.orc(out)
     },
 
