@@ -125,6 +125,31 @@ object EventOps {
       col("users").cast(DoubleType) / lag(col("users"), 1).over(w))
   }
 
+  val anomalyZ = 2.0
+
+  /** Daily volume anomalies: days whose event count sits ≥ [[anomalyZ]]
+    * standard deviations from the corpus mean — the monitoring check a
+    * pipeline runs on every ingest. Mean and stddev derive from EXACT integer
+    * aggregates (Σx, Σx², n — population stddev via
+    * `sqrt(n·Σx² − (Σx)²)/n`), so the double expression tree is identical on
+    * both engines and the op stays oracle-checkable. Two hash-aggregates and
+    * a broadcast of one stats row; the daily grain is tiny at any scale.
+    */
+  def dailyAnomalies(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val st = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("sx"),
+      sum(col("n_events") * col("n_events")).as("sxx"))
+    val mean = col("sx").cast(DoubleType) / col("n_days")
+    val std = sqrt((col("sxx") * col("n_days") - col("sx") * col("sx"))
+      .cast(DoubleType)) / col("n_days")
+    daily.crossJoin(broadcast(st))
+      .select(col("day"), col("n_events"),
+        ((col("n_events").cast(DoubleType) - mean) / std).as("zscore"))
+      .filter(abs(col("zscore")) >= anomalyZ)
+  }
+
   /** Weekly retention cohorts: users grouped by the ISO week of their first
     * event; `n_users` counts how many of each cohort are active `week_offset`
     * weeks later — the activation/retention matrix every growth dashboard
@@ -220,6 +245,22 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionWindows(Tables.events(s, d))
+    },
+
+    Op.sql("events_daily_anomalies",
+      s"""WITH $eventsCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+         |          FROM ev GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS sx,
+         |              CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
+         |       FROM daily)
+         |SELECT day, n_events,
+         |       (CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_days)
+         |         / (sqrt(CAST(sxx * n_days - sx * sx AS DOUBLE)) / n_days) AS zscore
+         |FROM daily CROSS JOIN st
+         |WHERE ABS((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_days)
+         |          / (sqrt(CAST(sxx * n_days - sx * sx AS DOUBLE)) / n_days)) >= $anomalyZ""".stripMargin) { (s, d) =>
+      dailyAnomalies(Tables.events(s, d))
     },
 
     Op.sql("events_retention_cohorts",

@@ -59,6 +59,20 @@ class EventSpec extends AnyFunSuite {
     assert(f("purchase") == ((1L, Some(1.0))))
   }
 
+  test("daily anomalies: only the spike day clears the z threshold") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // 9 quiet days of 10 events + one day of 100 → only the spike is ≥ 2σ
+    val rows = (1 to 9).flatMap { d =>
+      (1 to 10).map(i => (d * 100L + i, ts(f"2024-01-0$d%d 10:00:00"), i.toLong, "view", 0.0, ""))
+    } ++ (1 to 100).map(i => (5000L + i, ts("2024-01-10 10:00:00"), i.toLong, "view", 0.0, ""))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val a = EventOps.dailyAnomalies(ev).collect()
+    assert(a.length == 1)
+    assert(a.head.getDate(0).toString == "2024-01-10")
+    assert(a.head.getAs[Double]("zscore") > 2.0)
+  }
+
   test("retention cohorts: week offsets count returning users per first-seen week") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
