@@ -136,6 +136,39 @@ object StreamingOps {
         col("view_id"), col("view_ts"), col("value"))
   }
 
+  /** The production dedup loop as a streaming query: each micro-batch of
+    * arriving documents is near-dup-checked against the STORED signature
+    * index ([[graft.operators.Dedup.incrementalMinhashPairs]]) and then
+    * appends its own signatures to the index — so every document is hashed
+    * exactly once, ever, and cross-batch duplicates are still found (batch
+    * N's docs match batch M<N's via the index). Streaming the whole corpus
+    * from an empty index reproduces the batch pair set EXACTLY (the spec's
+    * invariant).
+    */
+  def incrementalDedupLoop(spark: SparkSession, docsStreamDir: String,
+      indexDir: String, pairsDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val docsSchema = graft.sources.Jsonl.documentsSchema
+    val reader = spark.readStream.schema(docsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.operators.Dedup
+        val s = batch.sparkSession
+        val index =
+          if (new java.io.File(indexDir).exists()) s.read.parquet(indexDir)
+          else Dedup.minhashIndex(batch.limit(0)) // empty frame, right schema
+        Dedup.incrementalMinhashPairs(batch, index)
+          .write.mode("append").parquet(pairsDir)
+        Dedup.minhashIndex(batch).write.mode("append").parquet(indexDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The reference's incremental-recompute loop as a streaming query
     * (SURVEY.md §2.2.5): each micro-batch of newly-arrived order files drives
     * a date-scoped KPI recompute over the full static tables, upserted by

@@ -91,6 +91,31 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.count()} batch=${batch.count()}")
   }
 
+  test("streaming incremental dedup over a growing index reproduces the batch pair set") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSession.sf)
+    val inDir = Files.createTempDirectory("graft-dedup-in").toString
+    val base = Files.createTempDirectory("graft-dedup-out").toString
+    // the corpus arrives in two waves; the index starts EMPTY
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalDedupLoop(spark, inDir,
+      s"$base/index", s"$base/pairs",
+      Files.createTempDirectory("graft-ckpt6").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    // every doc was hashed exactly once (index holds one row per long-enough doc)
+    val indexed = spark.read.parquet(s"$base/index")
+    assert(indexed.select("doc_id").distinct().count() == indexed.count())
+    // the accumulated pair stream == the one-shot batch pair set
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val batch = Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs, batch ${batch.size}")
+  }
+
   test("mapGroupsWithState running user stats equal batch per-user totals") {
     import spark.implicits._
     val dir = stageEvents()
