@@ -12,13 +12,18 @@ import graft.pipeline.Pipeline
   * Exit code 0 on success, 1 on rejection/incompleteness (the reference's
   * error channel — its Step Function branches on the container exit code;
   * SURVEY.md §2.2.8).
+  *
+  * Maintenance: {{{ graft.Run <root> compact <horizon YYYY-MM-DD> }}} seals
+  * the fact store's batch layers at or before the horizon into one file per
+  * partition ([[graft.sources.FactStore.compact]] — run it with the horizon
+  * at the rerun/straggler retention boundary).
   */
 object Run {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || (args.length == 3 && args(2) == "--reset"),
-      "usage: graft.Run <root> <batch-date YYYY-MM-DD> [--reset]")
+    require(args.length == 2 || (args.length == 3 && (args(2) == "--reset" || args(1) == "compact")),
+      "usage: graft.Run <root> <batch-date YYYY-MM-DD> [--reset] | <root> compact <horizon>")
     val (root, date) = (args(0), args(1))
-    val reset = args.length == 3
+    val reset = args.length == 3 && args(2) == "--reset"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .appName("graft-pipeline")
@@ -35,6 +40,13 @@ object Run {
     // the coordinated entry: ledger poll + exactly-once trigger guard
     // (re-running a completed batch is a no-op, like the reference Lambda);
     // --reset is the operator escape hatch to re-admit a batch
+    if (date == "compact") {
+      try {
+        graft.sources.FactStore.compact(spark, s"$root/facts", horizon = args(2))
+        println(s"[graft] store $root/facts compacted up to ${args(2)}")
+      } finally spark.stop()
+      return
+    }
     val result = try {
       if (reset) graft.pipeline.BatchTracker.reset(spark, root, date)
       Pipeline.runTracked(spark, root, date)
