@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.graftbridge.ListenerBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the given SF, one JSON
@@ -7,8 +11,36 @@ import org.apache.spark.sql.SparkSession
   * session/codegen startup so per-query numbers reflect steady state.
   * Failing queries are reported in a "failed" array and timed as -1 —
   * never silently folded into the total.
+  *
+  * Robustness of the artifact itself (two lessons from round 2, where the
+  * recorded line was tail-truncated to unparseable and the timings were ~3×
+  * inflated by machine contention):
+  *   - after the full detail line, a SECOND, compact headline line is printed
+  *     (total, query count, failed list) so any truncation that eats the long
+  *     line still leaves a parseable record;
+  *   - per-query executor-CPU and GC milliseconds are captured via a
+  *     SparkListener and emitted beside wall time. On an idle machine
+  *     cpu ≈ wall×parallelism and gc is small; a contended or GC-thrashed run
+  *     shows wall ≫ what the cpu column justifies, so a skewed recording is
+  *     self-evident from the artifact alone.
   */
 object Bench {
+
+  /** Sums executor CPU (ns) and GC (ms) across finished tasks; Bench reads
+    * deltas between queries (after a listener-bus flush) to attribute them.
+    */
+  final class ResourceListener extends SparkListener {
+    val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,6 +55,8 @@ object Bench {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new ResourceListener
+    spark.sparkContext.addSparkListener(listener)
     // warm-up: JVM/codegen/IO init, untimed
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
@@ -38,6 +72,8 @@ object Bench {
         Some(s"store build failed: ${e.getMessage}")
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ListenerBridge.flush(spark.sparkContext)
+      val (cpu0, gc0) = (listener.cpuNs.get(), listener.gcMs.get())
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -45,15 +81,24 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
+      ListenerBridge.flush(spark.sparkContext)
+      val cpuMs = (listener.cpuNs.get() - cpu0) / 1000000L
+      val gcMs = listener.gcMs.get() - gc0
       spark.catalog.clearCache() // drop op-internal persists between queries
-      (name, if (ok) elapsed else -1.0, ok)
+      (name, if (ok) elapsed else -1.0, ok, cpuMs, gcMs)
     }
-    val qs = results.map { case (k, v, _) => s"${Json.quote(k)}:$v" }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Boolean, Long, Long)) => String): String =
+      results.map(r => s"${Json.quote(r._1)}:${f(r)}").mkString("{", ",", "}")
+    val qs = obj(_._2.toString)
+    val cpu = obj(_._4.toString)
+    val gc = obj(_._5.toString)
     val failed = results.filterNot(_._3).map(r => Json.quote(r._1)).mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val warmup = warmupError.map(e => s""","warmup_error":${Json.quote(e)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$warmup,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"failed":$failed$warmup,"sf":"$sfDir"}""")
+    // compact headline, printed LAST: survives tail-only log capture even if
+    // the long detail line above was truncated away
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"cpu_ms_total":${results.map(_._4).sum},"gc_ms_total":${results.map(_._5).sum},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

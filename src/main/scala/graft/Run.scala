@@ -20,7 +20,11 @@ import graft.pipeline.Pipeline
   */
 object Run {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || (args.length == 3 && (args(2) == "--reset" || args(1) == "compact")),
+    // `compact` needs its horizon: the 2-arg form must not reach the
+    // subcommand dispatch and die on args(2)
+    require(
+      (args.length == 2 && args(1) != "compact") ||
+        (args.length == 3 && (args(2) == "--reset" || args(1) == "compact")),
       "usage: graft.Run <root> <batch-date YYYY-MM-DD> [--reset] | <root> compact <horizon>")
     val (root, date) = (args(0), args(1))
     val reset = args.length == 3 && args(2) == "--reset"

@@ -148,21 +148,47 @@ object StreamingOps {
   def incrementalDedupLoop(spark: SparkSession, docsStreamDir: String,
       indexDir: String, pairsDir: String, checkpoint: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
     val docsSchema = graft.sources.Jsonl.documentsSchema
     val reader = spark.readStream.schema(docsSchema)
     val arrivals = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(docsStreamDir)
     arrivals.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.operators.Dedup
         val s = batch.sparkSession
-        val index =
-          if (new java.io.File(indexDir).exists()) s.read.parquet(indexDir)
-          else Dedup.minhashIndex(batch.limit(0)) // empty frame, right schema
-        Dedup.incrementalMinhashPairs(batch, index)
-          .write.mode("append").parquet(pairsDir)
-        Dedup.minhashIndex(batch).write.mode("append").parquet(indexDir)
+        // Exactly-once despite foreachBatch's at-least-once replay: every
+        // micro-batch writes into batchId-keyed Hive-style subdirs (so
+        // wholesale reads of indexDir/pairsDir still see one logical table),
+        // the index dir's _SUCCESS is the commit marker, and a replayed batch
+        // whose marker exists is a no-op. A torn first attempt (crash between
+        // the pairs and index writes, or mid-write) is healed by the replay's
+        // overwrite of the same subdirs — never a second append, which would
+        // violate incrementalMinhashPairs' disjoint-ids contract and emit
+        // duplicate/self-matching pairs forever after.
+        val idxRoot = new Path(indexDir)
+        val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val idxBatch = new Path(idxRoot, s"batch_id=$batchId")
+        if (!fs.exists(new Path(idxBatch, "_SUCCESS"))) {
+          // the stored index = committed batches only (marker present) —
+          // resolved through the Hadoop FileSystem of the index path, so the
+          // same loop runs against hdfs:// or s3a:// dirs, not just local
+          val committed =
+            if (fs.exists(idxRoot))
+              fs.listStatus(idxRoot)
+                .filter(st => st.isDirectory &&
+                  fs.exists(new Path(st.getPath, "_SUCCESS")))
+                .map(_.getPath.toString).toSeq
+            else Seq.empty[String]
+          val index =
+            if (committed.nonEmpty) s.read.parquet(committed: _*)
+            else Dedup.minhashIndex(batch.limit(0)) // empty frame, right schema
+          Dedup.incrementalMinhashPairs(batch, index)
+            .write.mode("overwrite").parquet(new Path(pairsDir, s"batch_id=$batchId").toString)
+          // written LAST: its _SUCCESS is what marks the whole batch committed
+          Dedup.minhashIndex(batch).write.mode("overwrite").parquet(idxBatch.toString)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

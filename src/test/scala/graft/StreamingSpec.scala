@@ -114,6 +114,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(streamed == batch,
       s"streamed ${streamed.size} pairs, batch ${batch.size}")
+    // worst-case crash recovery: a FULL replay (fresh checkpoint, same input)
+    // re-fires every micro-batch; the batchId commit markers make each one a
+    // no-op, so the index keeps exactly one row per doc and the pair set is
+    // unchanged — no duplicate appends, no self-matching pairs
+    val nIndexed = indexed.count()
+    val q2 = StreamingOps.incrementalDedupLoop(spark, inDir,
+      s"$base/index", s"$base/pairs",
+      Files.createTempDirectory("graft-ckpt6b").toString, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+    val replayedIdx = spark.read.parquet(s"$base/index")
+    assert(replayedIdx.count() == nIndexed, "replayed micro-batches must be no-ops")
+    assert(replayedIdx.select("doc_id").distinct().count() == nIndexed)
+    val replayedPairs = spark.read.parquet(s"$base/pairs")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(replayedPairs == batch)
   }
 
   test("mapGroupsWithState running user stats equal batch per-user totals") {
