@@ -116,15 +116,7 @@ object Analytics {
     * [[priceQuantilesApprox]] shape) and the op stays one pass.
     */
   def rfmSegments(orders: DataFrame, items: DataFrame): DataFrame = {
-    val rev = items.groupBy(col("order_id"))
-      .agg(dsum(col("sale_price")).as("order_revenue"))
-    val users = orders
-      .select(col("order_id"), col("user_id"), to_date(col("created_at")).as("order_date"))
-      .join(rev, Seq("order_id"), "left")
-      .groupBy(col("user_id"))
-      .agg(max(col("order_date")).as("last_order_date"),
-        count(lit(1)).as("n_orders"),
-        dsum(coalesce(col("order_revenue"), lit(0.0))).as("monetary"))
+    val users = rfmUsers(orders, items)
     val n = Window.partitionBy()
     // row_number is 32-bit: widen BEFORE the ×5 (it would overflow Int past
     // ~429M users — exactly the scale this op is for; the oracle's BIGINT
@@ -141,6 +133,51 @@ object Analytics {
     scored.select(col("user_id"), col("last_order_date"), col("n_orders"),
       col("monetary"), col("r_score"), col("f_score"), col("m_score"),
       (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm_code"))
+  }
+
+  /** User-grain R/F/M inputs shared by the exact and approximate scorers. */
+  private def rfmUsers(orders: DataFrame, items: DataFrame): DataFrame = {
+    val rev = items.groupBy(col("order_id"))
+      .agg(dsum(col("sale_price")).as("order_revenue"))
+    orders
+      .select(col("order_id"), col("user_id"), to_date(col("created_at")).as("order_date"))
+      .join(rev, Seq("order_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(col("order_date")).as("last_order_date"),
+        count(lit(1)).as("n_orders"),
+        dsum(coalesce(col("order_revenue"), lit(0.0))).as("monetary"))
+  }
+
+  /** The 100 TB variant of [[rfmSegments]]: quintile BOUNDARIES from one
+    * `percentile_approx` pass (sketches merge map-side — the
+    * [[priceQuantilesApprox]] shape), then each user scores against the
+    * broadcast 1-row boundary frame — no global row_number sort anywhere, so
+    * no single-task stage at any user count. Approximate by design (sketch
+    * boundaries + no tie-splitting: equal metric values always land in the
+    * same bucket, where exact ranks split ties across buckets) → rows-only
+    * check; agreement with the exact scorer is spec-tested.
+    */
+  def rfmSegmentsApprox(orders: DataFrame, items: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val users = rfmUsers(orders, items)
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    // recency must be numeric for the sketch: days since epoch, exact for DATE
+    val withDays = users.withColumn("r_days",
+      datediff(col("last_order_date"), lit("1970-01-01").cast(DateType)))
+    val bounds = withDays.agg(
+      percentile_approx(col("r_days"), qs, lit(accuracy)).as("rb"),
+      percentile_approx(col("n_orders"), qs, lit(accuracy)).as("fb"),
+      percentile_approx(col("monetary"), qs, lit(accuracy)).as("mb"))
+    // score = 1 + #boundaries strictly below the value — monotone, 1..5
+    def score(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (lit(1) + size(filter(b, x => v > x))).cast(LongType)
+    withDays.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("last_order_date"), col("n_orders"), col("monetary"),
+        score(col("r_days"), col("rb")).as("r_score"),
+        score(col("n_orders"), col("fb")).as("f_score"),
+        score(col("monetary"), col("mb")).as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   // --------------------------------------------------------------------------
@@ -215,6 +252,13 @@ object Analytics {
     // Approximate quantile sketch — rows-only; accuracy spec-tested.
     Op.rowsOnly("analytics_price_quantiles_approx") { (s, d) =>
       priceQuantilesApprox(Kpi.consolidatedOf(s, d))
+    },
+
+    // Approximate RFM boundaries — rows-only; agreement with the exact
+    // scorer is spec-tested (≥95% on near-unique dimensions; tie-group
+    // span containment on the discrete frequency dimension).
+    Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
+      rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },
 
     Op.sql("analytics_rfm_segments",

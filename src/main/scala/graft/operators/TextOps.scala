@@ -219,6 +219,29 @@ object TextOps {
       .filter(col("src_rank") <= quota)
   }
 
+  /** [[quotaPerSource]] recomputed through the bounded
+    * [[graft.functions.TopKAggregator]]: identical rows (constant score ⇒ the
+    * aggregator's id-ASC tie-break IS "lowest doc_id first"), but each task
+    * reduces its slice of a source to ≤ quota candidates MAP-SIDE before the
+    * shuffle — so one giant crawl dump costs k·tasks shuffled rows and never
+    * serializes through a single window task. This is the registered
+    * formulation; the window version above stays as its in-engine oracle
+    * (the driver's SQL oracle states the same contract).
+    */
+  def quotaPerSourceAgg(docs: DataFrame, quota: Int = sourceQuota): DataFrame = {
+    import graft.functions.{Scored, TopKAggregator}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator[(String, Long)](quota,
+        { case (_, id) => Scored(id, 0.0) }).toColumn)
+      .flatMap { case (src, kept) =>
+        kept.iterator.zipWithIndex.map { case (s, i) => (s.id, src, (i + 1).toLong) }
+      }
+      .toDF("doc_id", "source", "src_rank")
+  }
+
   // --------------------------------------------------------------------------
   // Train/val/test split, repetition metrics, collocations, decontamination,
   // PII redaction
@@ -514,7 +537,7 @@ object TextOps {
          |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
          |  FROM documents)
          |WHERE src_rank <= $sourceQuota""".stripMargin) { (s, d) =>
-      quotaPerSource(Tables.documents(s, d))
+      quotaPerSourceAgg(Tables.documents(s, d))
     },
 
     Op.sql("text_vocab",

@@ -69,6 +69,43 @@ class AnalyticsSpec extends AnyFunSuite {
     rfm.unpersist()
   }
 
+  test("approx rfm: boundary scoring agrees with exact ranks (95% near-unique dims, tie-span containment)") {
+    val orders = Tables.ordersDomain(spark, TestSession.sf)
+    val items = Tables.orderItems(spark, TestSession.sf)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score")))
+      .toMap
+    val exact = keyed(Analytics.rfmSegments(orders, items))
+    val approx = keyed(Analytics.rfmSegmentsApprox(orders, items))
+    assert(exact.keySet == approx.keySet)
+    val n = exact.size.toDouble
+    def agreement(pick: ((Long, Long, Long)) => Long): Double =
+      exact.count { case (u, e) => pick(e) == pick(approx(u)) } / n
+    // recency and monetary are near-unique per user → scores agree outright
+    val (ar, am) = (agreement(_._1), agreement(_._3))
+    assert(ar >= 0.95, s"r_score agreement $ar")
+    assert(am >= 0.95, s"m_score agreement $am")
+    // frequency is a small-integer metric: exact ranks SPLIT tie groups
+    // across buckets by user_id, which no value-based scorer can reproduce.
+    // The correctness statement for ties is containment: every approx score
+    // must land within the span of exact scores given to the SAME n_orders
+    // value — i.e. the sketch boundary never misplaces a value outside its
+    // legitimate rank range.
+    val freqOf = Analytics.rfmSegmentsApprox(orders, items).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_orders")).toMap
+    val exactSpan = exact.toSeq.groupBy { case (u, _) => freqOf(u) }
+      .map { case (f, us) => f -> (us.map(_._2._2).min, us.map(_._2._2).max) }
+    approx.foreach { case (u, (_, fScore, _)) =>
+      val (lo, hi) = exactSpan(freqOf(u))
+      assert(fScore >= lo && fScore <= hi,
+        s"user $u: approx f_score $fScore outside exact tie-group span [$lo,$hi]")
+    }
+    // scores stay in 1..5 — the boundary scorer can't fall off the scale
+    approx.values.foreach { case (r, f, m) =>
+      assert(Seq(r, f, m).forall(s => s >= 1 && s <= 5)) }
+  }
+
   test("approx uniques within 15% of exact counts per date") {
     val approx = Analytics.dailyUniquesApprox(Tables.ordersDomain(spark, TestSession.sf))
       .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap

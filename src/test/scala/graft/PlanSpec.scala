@@ -78,6 +78,23 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial aggregation in vocabulary plan: $aggs")
   }
 
+  test("quota per source reduces map-side: no window, no per-source full sort") {
+    val df = graft.operators.TextOps.quotaPerSourceAgg(Tables.documents(spark, TestSession.sf))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "quota must not rank through a window — one giant source = one task")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"quota plan must not sort the corpus:\n$plan")
+    val aggModes = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.aggregateExpressions.map(_.mode)
+    }.flatten
+    assert(aggModes.contains(org.apache.spark.sql.catalyst.expressions.aggregate.Partial),
+      s"no map-side partial top-k before the source shuffle: $aggModes")
+  }
+
   test("decontamination joins the corpus against a BROADCAST benchmark gram set") {
     val df = graft.operators.TextOps.decontaminate(Tables.documents(spark, TestSession.sf))
     val plan = df.queryExecution.sparkPlan

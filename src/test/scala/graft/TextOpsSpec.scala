@@ -127,6 +127,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(q.sortBy(_._1).toSeq == Seq((1L, "big", 1L), (2L, "big", 2L), (4L, "small", 1L)))
   }
 
+  test("quota per source: bounded aggregator formulation matches the window oracle") {
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val window = TextOps.quotaPerSource(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("src_rank")))
+      .toSet
+    val agg = TextOps.quotaPerSourceAgg(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("src_rank")))
+      .toSet
+    assert(agg == window)
+  }
+
   test("vocabulary: df counts docs not occurrences; top-k order is (df desc, token asc)") {
     val d = docs(1L -> "a a b c", 2L -> "a b b", 3L -> "a z")
     val v = TextOps.vocabulary(d, k = 3).collect()
