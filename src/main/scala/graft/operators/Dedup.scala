@@ -326,66 +326,95 @@ object Dedup {
   // Duplicate clustering (connected components over near-dup pairs)
   // --------------------------------------------------------------------------
 
-  /** Connected components by iterative min-label propagation: every node
-    * starts labeled with its own id; each round every node adopts the minimum
-    * label in its neighborhood; fixpoint in O(graph diameter) rounds.
+  /** Connected components by alternating large-star/small-star rounds (the
+    * public Kiveris et al. algorithm, "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round rewires every edge toward the minimum id
+    * seen in a neighborhood, converging to star graphs rooted at each
+    * component's minimum in O(log² n) rounds — independent of component
+    * DIAMETER, where plain min-label propagation pays one round per hop and
+    * an adversarial chain outruns any fixed round budget.
     *
-    * Scale design (100 TB): each round is ONE equi-join on node id plus ONE
-    * hash-aggregate — no driver-side graph state, labels never leave the
-    * cluster. Near-dup graphs have tiny components (diameter ≤ a few), so the
-    * round count stays small; for adversarial long-chain graphs the same loop
-    * admits the large-star/small-star optimization (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") which squares-down the diameter.
-    * `localCheckpoint` truncates the growing lineage each round (a real
-    * cluster job would checkpoint to reliable storage instead).
+    * Scale design (100 TB): each half-round is one hash-aggregate (per-node
+    * min) plus one equi-join on node id plus a distinct — no driver-side
+    * graph state, edges never leave the cluster. `localCheckpoint` truncates
+    * the growing lineage each round (a real cluster job would checkpoint to
+    * reliable storage instead).
     *
-    * Convergence check: labels only ever decrease, so the label SUM is
-    * strictly decreasing until fixpoint — one cheap scalar per round instead
-    * of a change-count self-join.
+    * Convergence check: edge count + endpoint sums as a cheap per-round
+    * checksum; only when the checksum goes flat is set equality confirmed
+    * with one exact `except` — so the O(shuffle) exactness test runs once at
+    * the fixpoint, not every round.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // materialize the pair set ONCE: the forward/reverse edge union and every
-    // propagation round all read it, and without this the upstream candidate
-    // pipeline (band join + verify join for minhash pairs) would run per branch
+    // materialize the pair set ONCE: the candidate pipeline upstream (band
+    // join + verify join for minhash pairs) must not re-run per round
     val p = pairs.localCheckpoint()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("label")).cast(DecimalType(38, 0))).collect()(0).getDecimal(0))
-    // fused init: label₀ = min(node, min neighbor) IS the first propagation
-    // round, computed by the same aggregate that would otherwise just
-    // distinct the node set — one full join+union+agg cycle saved
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
+    // canonical orientation: u = larger endpoint, v = smaller
+    var edges = p
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    var prev = labelSum(labels)
-    var converged = false
+
+    // large-star: every neighbor LARGER than u re-attaches to the minimum of
+    // u's closed neighborhood — long tails collapse onto small ids
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, col("u") === col("c"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m keeps orientation
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star: every neighbor at most u (edges are canonical, so all of
+    // Γ(u)) plus u itself attach to u's minimum neighbor
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("node"), col("m"))
+        .union(mins.select(col("u").as("node"), col("m")))
+        .filter(col("node") =!= col("m")) // node ∈ Γ(u) ∪ {u}, node ≥ m
+        .select(col("node").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, Option[BigDecimal], Option[BigDecimal]) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("u")).cast(DecimalType(38, 0)),
+        sum(col("v")).cast(DecimalType(38, 0))).collect()(0)
+      (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)),
+        Option(r.getDecimal(2)).map(BigDecimal(_)))
+    }
+
+    var prev = checksum(edges)
+    var converged = prev._1 == 0 // no edges: trivially a (empty) star set
     var iter = 0
     while (!converged && iter < maxIter) {
-      val propagated = edges
-        .join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = propagated.union(labels.select(col("node"), col("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val cur = labelSum(next)
-      converged = cur == prev
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(next)
+      // checksum-flat is necessary, not sufficient — confirm set equality
+      // exactly (both sides are distinct sets, so equal counts + empty
+      // difference ⇔ equal sets); runs ~once, at the fixpoint
+      converged = cur == prev && next.exceptAll(edges).isEmpty
       prev = cur
-      labels = next
+      edges = next
       iter += 1
     }
     // an unconverged exit would silently report one real component as several
-    // clusters — fail loudly instead (recovery: raise maxIter, or switch the
-    // loop body to large-star/small-star, which converges in O(log² n))
+    // clusters — fail loudly instead (recovery: raise maxIter; rounds scale
+    // with log² n, so hitting this means something is structurally wrong)
     if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge within $maxIter rounds " +
-          "(component diameter exceeds the round budget)")
-    edges.unpersist()
-    labels
+        s"connected components did not converge within $maxIter rounds")
+    // fixpoint is a star forest: non-roots point straight at the component
+    // minimum; roots label themselves
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
   }
 
   /** One row per document: its duplicate-cluster id (min doc_id of its

@@ -84,6 +84,23 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components: adversarial long chain converges in O(log² n) rounds") {
+    // a 256-hop path has diameter far beyond the 20-round budget — plain
+    // min-label propagation would fail here; star rounds must converge
+    val chain = (0L until 256L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels.keySet == (0L to 256L).toSet)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum")
+    // two chains must not merge: disjoint ranges stay disjoint
+    val two = ((0L until 64L).map(i => (i, i + 1)) ++
+      (1000L until 1064L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val l2 = Dedup.connectedComponents(two).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert((0L to 64L).forall(n => l2(n) == 0L))
+    assert((1000L to 1064L).forall(n => l2(n) == 1000L))
+  }
+
   test("clusters: every doc labeled; exact+near dups share a cluster; singletons self-labeled") {
     val c = Dedup.clusters(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
