@@ -120,6 +120,28 @@ object Multimodal {
         md5(col("text")).as("content_md5"))
     },
 
+    // The oracle-checkable scalar slice of the feature extractor: n_bytes,
+    // stub dimensions (pure functions of length) and mean byte are all
+    // DuckDB-expressible over utf-8 payloads (fixture docs are ASCII, so
+    // per-char ord == per-byte value; both engines divide the same integer
+    // sum by the same integer count — one IEEE division, bit-identical).
+    // Runs through the SAME mapPartitions extractor as media_features, so
+    // the hash gate covers the real batched-decode arithmetic; only the
+    // rolling frame checksums and entropy stay spec-checked.
+    Op.sql("media_features_meta",
+      """SELECT doc_id, 'media/' || source AS media_type,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       64 + (octet_length(encode(text)) % 193) AS width,
+        |       64 + ((octet_length(encode(text)) * 31) % 149) AS height,
+        |       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS DOUBLE)
+        |                 / octet_length(encode(text)) END AS mean_byte
+        |FROM documents""".stripMargin) { (s, d) =>
+      extractFeatures(mediaDataset(s, d)).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("mean_byte"))
+    },
+
     // Feature extraction through the stubbed decode — driver records a
     // rows-only check (not SQL-expressible; the mechanism is unit-tested).
     // The per-frame checksum array stays on the typed API for specs; the
