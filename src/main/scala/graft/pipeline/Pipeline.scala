@@ -37,15 +37,50 @@ object Pipeline {
   /** The exactly-once guard declined: this batch was already triggered. */
   final case class AlreadyTriggered(batchDate: String) extends Result
 
+  /** A stage exceeded its [[withRetry]] timeout. Retryable: a hung FS call
+    * usually clears on the next attempt; if every attempt hangs, the batch
+    * fails loudly instead of blocking forever.
+    */
+  final class StageTimeoutException(msg: String) extends RuntimeException(msg)
+
+  /** Per-stage SLAs borrowed from the reference's Step Function task
+    * TimeoutSeconds (infra/step-function-definition.json:72 — validate 120 s;
+    * :166 — transform 300 s).
+    */
+  val validateTimeoutMs: Long = 120000
+  val transformTimeoutMs: Long = 300000
+
   /** O3: retry with exponential backoff (reference step-function retry policy:
     * 2 retries, 3 s interval, 2.0 backoff — here parameterized and testable).
+    *
+    * `timeoutMs > 0` additionally bounds EACH attempt (the reference's
+    * per-task `TimeoutSeconds`): the stage runs on a daemon thread; past the
+    * deadline it is interrupted and the attempt counts as a retryable
+    * [[StageTimeoutException]] — a wedged FS call can no longer block a batch
+    * forever where the reference would kill and retry the task.
     */
-  def withRetry[T](attempts: Int = 3, initialDelayMs: Long = 3000, backoff: Double = 2.0)(
-      body: => T): T = {
+  def withRetry[T](attempts: Int = 3, initialDelayMs: Long = 3000, backoff: Double = 2.0,
+      timeoutMs: Long = 0)(body: => T): T = {
+    def once(): T =
+      if (timeoutMs <= 0) body
+      else {
+        val task = new java.util.concurrent.FutureTask[T](() => body)
+        val runner = new Thread(task, "graft-stage")
+        runner.setDaemon(true) // an abandoned hung stage must not pin the JVM
+        runner.start()
+        try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            task.cancel(true) // interrupt the hung stage before retrying
+            throw new StageTimeoutException(s"stage exceeded $timeoutMs ms")
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause // surface the stage's own failure, not the wrapper
+        }
+      }
     var delay = initialDelayMs
     var left = attempts
     while (true) {
-      try return body
+      try return once()
       catch {
         case e: Exception if left > 1 =>
           left -= 1
@@ -217,16 +252,25 @@ object Pipeline {
   }
 
   /** Full run for one batch date. A per-run log artifact lands under
-    * `logs/pipeline/` whatever the outcome (S7; validate_task.py:45-61).
-    * `knownFiles` skips the completeness listing when the caller (the
-    * tracker poll) already produced the file lists.
+    * `logs/pipeline/` whatever the outcome (S7; validate_task.py:45-61), and
+    * a terminal failure additionally fires the [[AlertSink]] (the reference's
+    * catch-all SNS publish). `knownFiles` skips the completeness listing when
+    * the caller (the tracker poll) already produced the file lists.
     */
   def run(spark: SparkSession, root: String, date: String,
-      knownFiles: Option[BatchFiles] = None): Result = {
+      knownFiles: Option[BatchFiles] = None,
+      alerts: AlertSink = AlertSink.file): Result = {
     val log = new RunLog(spark, root, "pipeline")
     log.info(s"batch $date: run started")
     try runStages(spark, root, date, knownFiles, log)
-    catch { case e: Throwable => log.error(s"batch $date: failed: ${e.getMessage}"); throw e }
+    catch { case e: Throwable =>
+      log.error(s"batch $date: failed: ${e.getMessage}")
+      // the alert must never replace the real failure — a broken alert
+      // channel is itself only a log line
+      try alerts.alert(spark, root, date, e)
+      catch { case ae: Throwable => log.error(s"batch $date: alert failed: ${ae.getMessage}") }
+      throw e
+    }
     finally {
       // the log is observability, not an outcome: a failed flush must not
       // replace the pipeline result (all side effects already happened)
@@ -245,7 +289,8 @@ object Pipeline {
         log.info(s"batch $date: complete (${files.all.size} files), validating")
         // O3: transient failures (FS hiccups) retry with backoff; a Rejected
         // REPORT is a value, not an exception, so rejection never retries.
-        val report = withRetry()(validate(spark, root, files))
+        // Each attempt is bounded by the stage SLA (reference TimeoutSeconds).
+        val report = withRetry(timeoutMs = validateTimeoutMs)(validate(spark, root, files))
         if (!report.ok) {
           report.rejections.foreach(r => log.error(s"batch $date: REJECTED ${r.file}: ${r.reason}"))
           rejectBatch(spark, root, files, report)
@@ -260,7 +305,8 @@ object Pipeline {
           val rawFiles = files.all.filter(underRaw(root, _))
           rawFiles.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
           val (c, d) =
-            try withRetry()(transform(spark, root, date, files.orders.map(toValidated)))
+            try withRetry(timeoutMs = transformTimeoutMs)(
+              transform(spark, root, date, files.orders.map(toValidated)))
             catch { case e: Throwable =>
               // compensate: a failed transform must leave the batch exactly
               // as delivered, so the next poll can retry it end-to-end

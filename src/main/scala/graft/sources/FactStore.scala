@@ -88,31 +88,37 @@ object FactStore {
     // stash from a crashed earlier run is superseded by this rerun.
     clearStash(spark, storeDir, batchId)
     stashBatchLayers(spark, storeDir, batchId)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$storeDir/.ingest_tmp/$batchId")
+    val fs = tmpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmpRoot, true)
     try {
+      // 1. STAGE the batch's layers OUTSIDE the live tables: nothing is
+      //    visible to a pruned reader — or left behind for one by a crash —
+      //    until the delivery has been validated
       writePartitioned(consolidated.withColumn("batch_id", lit(batchId)),
-        s"$storeDir/consolidated", SaveMode.Overwrite)
+        s"$tmpRoot/consolidated", SaveMode.Overwrite)
       writePartitioned(ordersEnriched.withColumn("batch_id", lit(batchId)),
-        s"$storeDir/orders_enriched", SaveMode.Overwrite)
-      upsertItemsDaily(itemsDaily.withColumn("batch_id", lit(batchId)), storeDir)
+        s"$tmpRoot/orders_enriched", SaveMode.Overwrite)
+      upsertItemsDaily(itemsDaily.withColumn("batch_id", lit(batchId)), tmpRoot.toString)
+      // 2. VALIDATE the staged delivery against the store BEFORE any of it
+      //    lands: a crash anywhere up to here leaves the live tables exactly
+      //    as stashed — consistent, never double-counting (previously the
+      //    check ran after the write, so a crash in that window exposed
+      //    unvalidated layers until a corrective rerun)
+      assertNoCrossBatchRedelivery(spark, storeDir, tmpRoot.toString, batchId)
+      // 3. PROMOTE: rename the staged layer dirs into the live tables
+      promoteStagedLayers(spark, storeDir, tmpRoot.toString, batchId)
       syncCatalog(spark, storeDir)
-      try {
-        assertNoCrossBatchRedelivery(spark, storeDir, batchId)
-        clearStash(spark, storeDir, batchId) // accepted: old contribution gone
-      } catch { case e: Throwable =>
-        // leave the store exactly as before the bad upsert: the offending
-        // batch's new layers come out AND its previous layers go back in
-        dropBatchLayers(spark, storeDir, batchId)
-        restoreBatchLayers(spark, storeDir, batchId)
-        syncCatalog(spark, storeDir)
-        throw e
-      }
+      clearStash(spark, storeDir, batchId) // accepted: old contribution gone
+    } catch { case e: Throwable =>
+      // leave the store exactly as before the bad upsert: any promoted new
+      // layers come out AND the batch's previous layers go back in
+      dropBatchLayers(spark, storeDir, batchId)
+      restoreBatchLayers(spark, storeDir, batchId)
+      syncCatalog(spark, storeDir)
+      throw e
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      fs.delete(tmpRoot, true)
     }
   }
 
@@ -121,34 +127,67 @@ object FactStore {
     * DATES are fine — they are new orders). A later batch RE-delivering an
     * order the store already holds would silently corrupt KPIs — revenue sums
     * and flag averages would double while `countDistinct(order_id)` dedups —
-    * so it is rejected loudly at ingest, pruned to the partitions this batch
-    * just wrote. (The reference would double-count here: it reloads ALL
-    * validated history with no order-grain dedup, transform_task.py:409-413.)
+    * so it is rejected loudly at ingest, BEFORE the staged layers are
+    * promoted into the store, pruned to the delivery's date partitions.
+    * (The reference would double-count here: it reloads ALL validated history
+    * with no order-grain dedup, transform_task.py:409-413.)
     * Recovery: re-run the ORIGINAL batch id with the corrected files.
+    *
+    * The batch's own previous layers are stashed away when this runs, so ANY
+    * overlap between the staged orders and the store is another batch's.
+    * The store side reads exactly the delivery's date partition dirs (with
+    * `basePath`, so partition columns survive) — no full-store listing.
     */
   private def assertNoCrossBatchRedelivery(spark: SparkSession, storeDir: String,
-      batchId: String): Unit = {
-    // the batch's date partitions, read off the directory names — no job
+      stagedRoot: String, batchId: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(s"$storeDir/orders_enriched")
     val fs = table.getFileSystem(conf)
     if (!fs.exists(table)) return
+    // the staged delivery's date partitions, read off the directory names
     val dates = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$storeDir/orders_enriched/order_date=*/batch_id=$batchId"))
-      .map(_.getPath.getParent.getName.stripPrefix("order_date="))
-      .map(java.sql.Date.valueOf(_): java.sql.Date).toSeq
-    if (dates.isEmpty) return
-    val dup = ordersEnriched(spark, storeDir)
-      .filter(col("order_date").isin(dates: _*))
-      .groupBy(col("order_id"))
-      .agg(countDistinct(col("batch_id")).as("n_batches"))
-      .filter(col("n_batches") > 1)
-      .take(5)
+        new org.apache.hadoop.fs.Path(s"$stagedRoot/orders_enriched/order_date=*/batch_id=$batchId"))
+      .map(_.getPath.getParent.getName.stripPrefix("order_date=")).toSeq
+    val existingDirs = dates.map(d => s"$storeDir/orders_enriched/order_date=$d")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      .filter(p => fs.listStatus(new org.apache.hadoop.fs.Path(p)).nonEmpty)
+    if (existingDirs.isEmpty) return
+    val staged = spark.read
+      .option("basePath", s"$stagedRoot/orders_enriched")
+      .parquet(s"$stagedRoot/orders_enriched")
+      .select(col("order_id"))
+    val existing = spark.read
+      .option("basePath", s"$storeDir/orders_enriched")
+      .parquet(existingDirs: _*)
+      .select(col("order_id"), col("batch_id"))
+    val dup = existing.join(staged, "order_id").select(col("order_id")).distinct().take(5)
     if (dup.nonEmpty)
       throw new IllegalStateException(
         s"batch $batchId re-delivers orders already stored by another batch " +
           s"(e.g. order_ids ${dup.map(_.getLong(0)).mkString(", ")}); " +
           "re-run the original batch id with the corrected files instead")
+  }
+
+  /** Rename the validated staged layer dirs into the live tables. A layer
+    * left half-promoted by a crashed earlier attempt is replaced (it belongs
+    * to this same batch by construction).
+    */
+  private def promoteStagedLayers(spark: SparkSession, storeDir: String,
+      stagedRoot: String, batchId: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { case (t, key) =>
+      val stage = new org.apache.hadoop.fs.Path(s"$stagedRoot/$t")
+      val fs = stage.getFileSystem(conf)
+      if (fs.exists(stage))
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$stagedRoot/$t/$key=*/batch_id=$batchId"))
+          .foreach { st =>
+            val part = st.getPath.getParent.getName
+            val dest = new org.apache.hadoop.fs.Path(s"$storeDir/$t/$part/batch_id=$batchId")
+            fs.mkdirs(dest.getParent)
+            if (fs.exists(dest)) fs.delete(dest, true)
+            renameOrDie(fs, st.getPath, dest)
+          }
+    }
   }
 
   /** The batch id compaction seals history under; regular ingest may not use it. */
@@ -175,9 +214,21 @@ object FactStore {
     * rolls itself back.
     *
     * Crash-safe and resumable: merged partitions are staged under
-    * `.compact_tmp/` and swapped in per-partition (delete old dir, rename
-    * staged dir). A crash mid-swap leaves the staged dir in place;
-    * the next call completes pending swaps before doing new work.
+    * `.compact_tmp/` and swapped in per-partition (live dir renamed aside to
+    * `.compact_trash/`, staged dir renamed in, trash deleted). A crash
+    * mid-swap leaves the staged dir in place; the next call completes
+    * pending swaps before doing new work.
+    *
+    * Concurrency contract: SINGLE WRITER — one compactor (and no concurrent
+    * [[upsertBatch]] touching at-or-before-horizon dates; the horizon IS the
+    * rerun retention window, so a compliant ingest never does). Readers stay
+    * correct through the whole staging phase — the catalog table is never
+    * dropped, and live partitions are untouched until the swap. The swap
+    * itself is two atomic renames per partition plus one catalog re-sync;
+    * a reader racing exactly that window can observe a partition mid-move —
+    * the boundary every non-transactional Hive-layout compactor has (a
+    * snapshotting table format is the upgrade path). [[compactPhaseHook]]
+    * pins the pre/post visibility in tests.
     */
   def compact(spark: SparkSession, storeDir: String, horizon: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -185,20 +236,23 @@ object FactStore {
       val tablePath = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
       val fs = tablePath.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/.compact_tmp/$t")
+      val trashRoot = new org.apache.hadoop.fs.Path(s"$storeDir/.compact_trash/$t")
       // 1. finish any swap a previous crashed run left behind (only the
       //    key= partition dirs — the staging write also leaves _SUCCESS /
       //    _temporary debris that must not be renamed into the table); the
-      //    catalog then predates the recovered swaps — reset it before reading
-      if (fs.exists(tmp)) {
-        fs.listStatus(tmp).filter(_.getPath.getName.startsWith(s"$key="))
-          .foreach { st =>
-            val dest = new org.apache.hadoop.fs.Path(tablePath, st.getPath.getName)
-            if (!fs.exists(dest)) renameOrDie(fs, st.getPath, dest)
-            else fs.delete(st.getPath, true) // dest intact: stage was not swapped
-          }
+      //    catalog then predates the recovered swaps — re-sync it before
+      //    reading
+      if (fs.exists(tmp) || fs.exists(trashRoot)) {
+        if (fs.exists(tmp))
+          fs.listStatus(tmp).filter(_.getPath.getName.startsWith(s"$key="))
+            .foreach { st =>
+              val dest = new org.apache.hadoop.fs.Path(tablePath, st.getPath.getName)
+              if (!fs.exists(dest)) renameOrDie(fs, st.getPath, dest)
+              else fs.delete(st.getPath, true) // dest intact: stage was not swapped
+            }
         fs.delete(tmp, true)
-        val tbl = tableName(storeDir, t)
-        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
+        fs.delete(trashRoot, true) // displaced pre-seal layers of completed swaps
+        syncCatalogTable(spark, storeDir, t)
       }
       // 2. partitions at/before the horizon still holding unsealed layers
       val dates = if (!fs.exists(tablePath)) Array.empty[String] else fs.listStatus(tablePath)
@@ -211,28 +265,34 @@ object FactStore {
         }
       if (dates.nonEmpty) {
         // 3. stage the merged layer: ALL rows of those partitions, one file
-        //    per partition, batch_id collapsed to __sealed__
+        //    per partition, batch_id collapsed to __sealed__. Live tables and
+        //    catalog are untouched — readers see pre-seal state throughout.
         val toSeal = readStore(spark, storeDir, t)
           .filter(col(key).isin(dates.toSeq: _*))
           .withColumn("batch_id", lit(SealedId))
         toSeal.repartition(col(key))
           .write.mode(SaveMode.Overwrite).partitionBy(key, "batch_id")
           .parquet(tmp.toString)
-        // 4. swap each partition: drop the layered dir, move the staged one
-        //    in. A partition whose layers held zero rows stages nothing —
-        //    sealing it is just removing the empty dir.
+        compactPhaseHook("staged", t)
+        // 4. swap each partition: move the layered live dir aside to trash,
+        //    rename the staged one in (two atomic renames — the live dir is
+        //    never in a deleted-but-unreplaced state longer than the gap
+        //    between them). A partition whose layers held zero rows stages
+        //    nothing — sealing it is just trashing the empty dir.
+        fs.mkdirs(trashRoot)
         dates.foreach { d =>
+          val live = new org.apache.hadoop.fs.Path(tablePath, s"$key=$d")
           val staged = new org.apache.hadoop.fs.Path(tmp, s"$key=$d")
-          fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"), true)
-          if (fs.exists(staged))
-            renameOrDie(fs, staged, new org.apache.hadoop.fs.Path(tablePath, s"$key=$d"))
+          if (fs.exists(live))
+            renameOrDie(fs, live, new org.apache.hadoop.fs.Path(trashRoot, s"$key=$d"))
+          if (fs.exists(staged)) renameOrDie(fs, staged, live)
         }
-        // 5. partitions were REPLACED, not just added: re-register from
-        //    scratch (RECOVER only adds; a stale entry would point at
-        //    deleted layer dirs)
-        val tbl = tableName(storeDir, t)
-        if (spark.catalog.tableExists(tbl)) spark.sql(s"DROP TABLE $tbl")
-        readStore(spark, storeDir, t)
+        compactPhaseHook("swapped", t)
+        // 5. partitions were REPLACED, not just added: SYNC drops the stale
+        //    (date, batch) entries and registers the sealed ones — the table
+        //    itself stays continuously defined for concurrent readers
+        syncCatalogTable(spark, storeDir, t)
+        fs.delete(trashRoot, true)
       }
       // per-TABLE cleanup only: the shared .compact_tmp root may still hold
       // another table's staged-but-unswapped partitions from a crashed run —
@@ -240,6 +300,13 @@ object FactStore {
       fs.delete(tmp, true)
     }
   }
+
+  /** Test seam for [[compact]]'s visibility contract: invoked as
+    * `(phase, table)` at "staged" (merged data written aside, live table
+    * untouched) and "swapped" (partitions replaced, catalog about to
+    * re-sync). Production no-op.
+    */
+  private[graft] var compactPhaseHook: (String, String) => Unit = (_, _) => ()
 
   private def dropBatchLayers(spark: SparkSession, storeDir: String, batchId: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -345,16 +412,21 @@ object FactStore {
     spark.table(tbl)
   }
 
-  /** Re-sync catalog partition metadata after a path-level upsert wrote new
-    * date partitions (no-op for tables not yet registered — they discover
-    * everything at first read).
+  /** Re-sync catalog partition metadata after a path-level layer change
+    * (no-op for tables not yet registered — they discover everything at
+    * first read). SYNC rather than RECOVER: a rerun or compaction can REMOVE
+    * layer dirs, and a stale catalog entry pointing at a deleted dir would
+    * break every later pruned read of that partition.
     */
   def syncCatalog(spark: SparkSession, storeDir: String): Unit =
-    Seq("consolidated", "orders_enriched", "items_daily").foreach { n =>
-      val tbl = tableName(storeDir, n)
-      if (spark.catalog.tableExists(tbl))
-        spark.sql(s"ALTER TABLE $tbl RECOVER PARTITIONS")
-    }
+    Seq("consolidated", "orders_enriched", "items_daily")
+      .foreach(syncCatalogTable(spark, storeDir, _))
+
+  private def syncCatalogTable(spark: SparkSession, storeDir: String, name: String): Unit = {
+    val tbl = tableName(storeDir, name)
+    if (spark.catalog.tableExists(tbl))
+      spark.sql(s"MSCK REPAIR TABLE $tbl SYNC PARTITIONS")
+  }
 
   /** Item-grain consolidated fact; `order_date` is the partition column, so
     * an `isin`/equality filter on it prunes to the matching partitions via

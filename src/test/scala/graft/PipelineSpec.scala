@@ -355,6 +355,41 @@ class PipelineSpec extends AnyFunSuite {
       || new java.io.File(s"$dir/.compact_tmp").listFiles().isEmpty)
   }
 
+  test("compact: pruned readers see pre-seal state through staging, post-seal after") {
+    import graft.sources.FactStore
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compactvis").toString + "/store"
+    def oe(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, id * 10, 0, java.sql.Date.valueOf(d), 5.0) }
+      .toDF("order_id", "user_id", "returned_order_flag", "order_date", "order_revenue")
+    def cons(rows: (Long, String)*) = rows
+      .map { case (id, d) => (id, "CAT_A", java.sql.Date.valueOf(d)) }
+      .toDF("order_id", "category", "order_date")
+    def idaily(d: String) =
+      Seq((java.sql.Date.valueOf(d), 1L)).toDF("date_key", "total_items_sold_daily")
+    FactStore.upsertBatch("b1", cons(1L -> "2024-01-01"),
+      oe(1L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    FactStore.upsertBatch("b2", cons(2L -> "2024-01-01"),
+      oe(2L -> "2024-01-01"), idaily("2024-01-01"), dir)
+    def prunedRead() = FactStore.ordersEnriched(spark, dir)
+      .filter($"order_date" === java.sql.Date.valueOf("2024-01-01"))
+      .select("order_id").collect().map(_.getLong(0)).toSet
+    val expected = prunedRead()
+    assert(expected == Set(1L, 2L))
+    // the staging phase dominates compaction wall-time: a reader anywhere in
+    // it must get exactly the pre-seal rows through the still-defined catalog
+    // table (the swap+sync tail is the documented single-writer boundary)
+    val observed = scala.collection.mutable.ArrayBuffer[(String, Set[Long])]()
+    FactStore.compactPhaseHook = (phase, table) =>
+      if (phase == "staged" && table == "orders_enriched")
+        observed += ((phase, prunedRead()))
+    try FactStore.compact(spark, dir, horizon = "2024-01-01")
+    finally FactStore.compactPhaseHook = (_, _) => ()
+    assert(observed.toList == List(("staged", expected)),
+      s"mid-compaction pruned read diverged: $observed")
+    assert(prunedRead() == expected, "post-seal read must return the same rows")
+  }
+
   test("tracker: crash after the trigger mark rolls back mark AND file moves (retryable)") {
     val root = setupBatch("trkcrash")
     // sabotage: a regular FILE where the fact store directory must go makes
@@ -428,6 +463,51 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.withRetry(attempts = 2, initialDelayMs = 1) { calls2 += 1; throw new RuntimeException("always") }
     }
     assert(calls2 == 2)
+  }
+
+  test("retry wrapper: hung stage times out, retries, then succeeds; all-hung fails loudly") {
+    // first attempt wedges far past the deadline; the timeout interrupts it
+    // and the second attempt answers — the batch survives a wedged FS call
+    var calls = 0
+    val out = Pipeline.withRetry(attempts = 2, initialDelayMs = 1, timeoutMs = 300) {
+      calls += 1
+      if (calls == 1) Thread.sleep(60000)
+      "ok"
+    }
+    assert(out == "ok" && calls == 2)
+    // every attempt hangs → terminal StageTimeoutException, never a block
+    intercept[Pipeline.StageTimeoutException] {
+      Pipeline.withRetry(attempts = 2, initialDelayMs = 1, timeoutMs = 100) {
+        Thread.sleep(60000)
+      }
+    }
+    // a stage's own failure surfaces as itself, not as a timeout artifact
+    intercept[IllegalArgumentException] {
+      Pipeline.withRetry(attempts = 1, initialDelayMs = 1, timeoutMs = 5000) {
+        throw new IllegalArgumentException("stage bug")
+      }
+    }
+  }
+
+  test("terminal failure fires the alert sink; batch still compensates cleanly") {
+    val root = setupBatch("alert")
+    // same sabotage as the tracker-crash test: transform dies on a file
+    // squatting on the fact store path
+    Files.writeString(root.resolve("facts"), "not a directory")
+    intercept[Exception] { Pipeline.run(spark, root.toString, "2024-01-01") }
+    val alerts = Option(root.resolve("alerts").toFile.listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("pipeline_2024-01-01"))
+    assert(alerts.nonEmpty, "a terminal failure must leave an alert artifact")
+    val body = Files.readString(alerts.head.toPath)
+    assert(body.contains("\"batch_date\": \"2024-01-01\"") && body.contains("error"))
+    // compensation unaffected by the alert path: files returned to raw/
+    assert(Files.exists(root.resolve("raw/orders/2024-01-01/orders_part0.csv")))
+    // a REJECTED batch is a value, not a failure — no alert fires
+    val root2 = setupBatch("alertrej")
+    write(root2, "raw/orders/2024-01-01/orders_part0.csv",
+      "user_id,created_at\n100,2024-01-01 00:00:00")
+    Pipeline.run(spark, root2.toString, "2024-01-01")
+    assert(!Files.exists(root2.resolve("alerts")), "rejection must not page anyone")
   }
 
   test("tracker: rerun of a completed batch is a no-op; re-arrived files untouched") {
