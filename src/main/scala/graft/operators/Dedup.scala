@@ -344,20 +344,32 @@ object Dedup {
     * checksum; only when the checksum goes flat is set equality confirmed
     * with one exact `except` — so the O(shuffle) exactness test runs once at
     * the fixpoint, not every round.
+    *
+    * Small-graph fast path: at or below `driverMaxPairs` edges (≤ ~16 MB —
+    * the same order as Spark's broadcast threshold) the pair set is
+    * union-found on the driver in one collect, because even one distributed
+    * round costs more scheduling than the whole tiny graph is worth. The
+    * labels are identical by construction (component minimum either way;
+    * DedupSpec pins path equality), so the oracle covers both. Pass
+    * `driverMaxPairs = 0` to force the distributed rounds.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverMaxPairs: Long = 1L << 20): DataFrame = {
     // materialize the pair set ONCE: the candidate pipeline upstream (band
     // join + verify join for minhash pairs) must not re-run per round
     val p = pairs.localCheckpoint()
+    if (p.count() <= driverMaxPairs) return driverUnionFind(p)
     // canonical orientation: u = larger endpoint, v = smaller
     var edges = p
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // large-star: every neighbor LARGER than u re-attaches to the minimum of
-    // u's closed neighborhood — long tails collapse onto small ids
+    // u's closed neighborhood — long tails collapse onto small ids. Output
+    // may carry duplicate edges; small-star's terminal distinct dedups the
+    // ROUND, so no exchange is spent deduping here.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -367,16 +379,17 @@ object Dedup {
       sym.filter(col("v") > col("u"))
         .join(mins, col("u") === col("c"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m keeps orientation
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
 
     // small-star: every neighbor at most u (edges are canonical, so all of
-    // Γ(u)) plus u itself attach to u's minimum neighbor
+    // Γ(u)) plus u itself attach to u's minimum neighbor. Both emissions
+    // come off the single joined frame via explode — no second branch
+    // re-reading the aggregate, one terminal distinct for the whole round.
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
       e.join(mins, "u")
-        .select(col("v").as("node"), col("m"))
-        .union(mins.select(col("u").as("node"), col("m")))
+        .select(explode(array(col("v"), col("u"))).as("node"), col("m"))
         .filter(col("node") =!= col("m")) // node ∈ Γ(u) ∪ {u}, node ≥ m
         .select(col("node").as("u"), col("m").as("v"))
         .distinct()
@@ -393,17 +406,30 @@ object Dedup {
     var prev = checksum(edges)
     var converged = prev._1 == 0 // no edges: trivially a (empty) star set
     var iter = 0
+    var retiring: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // persist + the checksum action materializes the round in ONE job;
+      // every 4th round localCheckpoint instead, truncating the growing
+      // lineage (a real cluster job would checkpoint to reliable storage)
+      val round = smallStar(largeStar(edges))
+      val next =
+        if (iter % 4 == 3) round.localCheckpoint()
+        else round.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cur = checksum(next)
       // checksum-flat is necessary, not sufficient — confirm set equality
       // exactly (both sides are distinct sets, so equal counts + empty
       // difference ⇔ equal sets); runs ~once, at the fixpoint
       converged = cur == prev && next.exceptAll(edges).isEmpty
+      // the PREVIOUS round's cache fed this round's materialization and the
+      // fixpoint check — only now is it safe to retire (one round late, so
+      // a recompute never cascades through an evicted parent mid-round)
+      retiring.foreach(_.unpersist(false))
+      retiring = Some(edges)
       prev = cur
       edges = next
       iter += 1
     }
+    retiring.foreach(_.unpersist(false))
     // an unconverged exit would silently report one real component as several
     // clusters — fail loudly instead (recovery: raise maxIter; rounds scale
     // with log² n, so hitting this means something is structurally wrong)
@@ -411,10 +437,42 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds")
     // fixpoint is a star forest: non-roots point straight at the component
-    // minimum; roots label themselves
-    edges.select(col("u").as("node"), col("v").as("label"))
+    // minimum; roots label themselves. Materialized (node-grain, small) so
+    // the round caches can retire before the caller executes its plan.
+    val labels = edges.select(col("u").as("node"), col("v").as("label"))
       .union(edges.select(col("v").as("node"), col("v").as("label")))
       .distinct()
+      .localCheckpoint()
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Driver union-find over a tiny collected pair set, union-by-minimum with
+    * path compression — every root is its component's minimum id, matching
+    * the star rounds' labeling exactly.
+    */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val es = p.selectExpr("cast(doc_a as long)", "cast(doc_b as long)")
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // merging under the smaller root keeps every root the component min:
+      // a node below its root would have been a root itself at insertion
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(n => (n, find(n))).toSeq.toDF("node", "label")
   }
 
   /** One row per document: its duplicate-cluster id (min doc_id of its

@@ -86,19 +86,35 @@ class DedupSpec extends AnyFunSuite {
 
   test("connected components: adversarial long chain converges in O(log² n) rounds") {
     // a 256-hop path has diameter far beyond the 20-round budget — plain
-    // min-label propagation would fail here; star rounds must converge
+    // min-label propagation would fail here; star rounds must converge.
+    // driverMaxPairs = 0 forces the DISTRIBUTED path (a 256-edge graph
+    // would otherwise take the driver fast path)
     val chain = (0L until 256L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain).collect()
+    val labels = Dedup.connectedComponents(chain, driverMaxPairs = 0).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert(labels.keySet == (0L to 256L).toSet)
     assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum")
     // two chains must not merge: disjoint ranges stay disjoint
     val two = ((0L until 64L).map(i => (i, i + 1)) ++
       (1000L until 1064L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
-    val l2 = Dedup.connectedComponents(two).collect()
+    val l2 = Dedup.connectedComponents(two, driverMaxPairs = 0).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert((0L to 64L).forall(n => l2(n) == 0L))
     assert((1000L to 1064L).forall(n => l2(n) == 1000L))
+  }
+
+  test("connected components: driver fast path and star rounds label identically") {
+    // a mix of chains, a clique-ish blob and singleton-free pairs
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 103L), (101L, 103L), (102L, 101L), (200L, 300L)))
+      .toDF("doc_a", "doc_b")
+    def labelsOf(threshold: Long) =
+      Dedup.connectedComponents(edges, driverMaxPairs = threshold).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val driver = labelsOf(Long.MaxValue)
+    val distributed = labelsOf(0)
+    assert(driver == distributed)
+    assert(driver(103L) == 100L && driver(300L) == 200L)
   }
 
   test("clusters: every doc labeled; exact+near dups share a cluster; singletons self-labeled") {
