@@ -35,6 +35,35 @@ object Analytics {
       .agg(dsum(col("leaf_rev")).as("revenue"),
         sum(col("leaf_n")).as("n_items"))
 
+  /** Full CUBE over (category, order_date): all four grouping sets, unlike
+    * [[categoryRollup]]'s hierarchy — per-date-across-categories subtotals
+    * are what a dashboard slices on. Same two-level shape: reduce the fact
+    * table to leaf grain first, EXPAND runs over the few thousand leaves.
+    */
+  def categoryCube(consolidated: DataFrame): DataFrame =
+    consolidated
+      .groupBy(col("category"), col("order_date"))
+      .agg(dsum(col("sale_price")).as("leaf_rev"), count(lit(1)).as("leaf_n"))
+      .cube(col("category"), col("order_date"))
+      .agg(dsum(col("leaf_rev")).as("revenue"),
+        sum(col("leaf_n")).as("n_items"))
+
+  /** Inter-order gaps: days since each user's previous order (lead/lag
+    * window — the recency signal RFM's last-order date summarizes away).
+    * Partitioned by user, so every window sort is user-local — no global
+    * sort at any scale. Deterministic tie-break on order_id for same-instant
+    * orders.
+    */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("created_at"), col("order_id"))
+    orders
+      .select(col("order_id"), col("user_id"), col("created_at"))
+      .withColumn("prev_created_at", lag(col("created_at"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(to_date(col("created_at")), to_date(col("prev_created_at"))))
+  }
+
   /** Per-category daily revenue trends: rank within each date and a 7-row
     * moving average along each category's time series — one shuffle, then
     * in-partition sorted window evaluation.
@@ -196,6 +225,31 @@ object Analytics {
          |       COUNT(*) AS n_items
          |FROM c GROUP BY ROLLUP (category, order_date)""".stripMargin) { (s, d) =>
       categoryRollup(Kpi.consolidatedOf(s, d))
+    },
+
+    Op.sql("analytics_category_cube",
+      s"""${Tables.domainCtes},
+         |c AS (
+         |  SELECT p.category, CAST(o.created_at AS DATE) AS order_date, i.sale_price
+         |  FROM order_items i
+         |  LEFT JOIN products p ON i.product_id = p.id
+         |  LEFT JOIN orders_v o ON i.order_id = o.order_id)
+         |SELECT category, order_date, ${dsumSql("sale_price")} AS revenue,
+         |       COUNT(*) AS n_items
+         |FROM c GROUP BY CUBE (category, order_date)""".stripMargin) { (s, d) =>
+      categoryCube(Kpi.consolidatedOf(s, d))
+    },
+
+    Op.sql("analytics_order_gaps",
+      s"""${Tables.domainCtes}
+         |SELECT order_id, user_id, created_at, prev_created_at,
+         |       date_diff('day', CAST(prev_created_at AS DATE),
+         |                 CAST(created_at AS DATE)) AS gap_days
+         |FROM (SELECT o.order_id, o.user_id, o.created_at,
+         |        LAG(o.created_at) OVER (PARTITION BY o.user_id
+         |          ORDER BY o.created_at, o.order_id) AS prev_created_at
+         |      FROM orders_v o)""".stripMargin) { (s, d) =>
+      orderGaps(Tables.ordersDomain(s, d))
     },
 
     Op.sql("analytics_category_trends",

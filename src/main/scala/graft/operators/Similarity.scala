@@ -164,6 +164,69 @@ object Similarity {
         col("n_members"))
   }
 
+  /** Lloyd iterations for [[kmeansTrain]]'s coarse-quantizer codebook. */
+  val kmeansIters = 3
+
+  /** Assign every vector to the centroid maximizing the quantized dot —
+    * [[ivfAssign]]'s mechanics against an ARBITRARY broadcast codebook.
+    */
+  private def assignTo(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(
+      GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
+    embs
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Exact per-cell means in ARRAY form (same power-of-two grid as
+    * [[ivfTrainStep]], so the means are exact and partitioning-independent).
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * meanGrid)).as("sx"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("sx"), col("n")))),
+          s => s.getField("sx").cast("double") / meanGrid / s.getField("n")).as("c_emb"),
+        max(col("n")).as("n_members"))
+
+  /** Full Lloyd training loop for the IVF codebook: [[ivfTrainStep]]
+    * iterated to `iters` rounds. Per round: one broadcast-join assignment
+    * plus one exact-integer mean aggregate over the corpus — the corpus
+    * never shuffles, and the codebook state between rounds lives on the
+    * driver (cells × dims doubles — tiny by design, like every k-means
+    * implementation's reduce side). Means stay exact doubles end to end;
+    * only the qdot input is float-cast, below the quantization grid.
+    * A cell that loses every member drops out of the codebook (standard
+    * empty-cluster behavior; reseeding is a policy choice left to callers).
+    * Deterministic on any partitioning → rows-only check + spec: one
+    * iteration reproduces [[ivfTrainStep]] bit-for-bit.
+    */
+  def kmeansTrain(embs: DataFrame, iters: Int = kmeansIters): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    var codebook: Seq[(Long, Seq[Double], Long)] =
+      embs.filter(col("vec_id") < ivfCells)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().toSeq.map { case (c, e) => (c, e.map(_.toDouble), 0L) }
+    for (_ <- 1 to iters) {
+      val cents = codebook.map { case (c, e, _) => (c, e.map(_.toFloat)) }
+        .toDF("cell", "c_emb")
+      codebook = cellMeans(assignTo(embs, cents))
+        .as[(Long, Seq[Double], Long)].collect().toSeq.sortBy(_._1)
+    }
+    // long form (cell, dim, centroid, n_members) — flat and driver-checkable
+    codebook.flatMap { case (c, e, n) =>
+      e.iterator.zipWithIndex.map { case (x, d) => (c, d.toLong, x, n) }
+    }.toDF("cell", "dim", "centroid", "n_members")
+  }
+
   /** Top-k within the query's IVF cell. */
   def ivfTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val assigned = ivfAssign(embs)
@@ -257,6 +320,13 @@ object Similarity {
          |       CAST(s.sx AS DOUBLE) / 1073741824 / m.n_members AS centroid, m.n_members
          |FROM sums s JOIN members m USING (cell)""".stripMargin) { (s, d) =>
       ivfTrainStep(Tables.embeddings(s, d))
+    },
+
+    // Full Lloyd loop — iterative (each round's input depends on the last
+    // round's codebook), so not single-query SQL-expressible → rows-only;
+    // one-iteration equivalence with sim_ivf_train_step is spec-tested.
+    Op.rowsOnly("sim_kmeans_train") { (s, d) =>
+      kmeansTrain(Tables.embeddings(s, d))
     },
 
     Op.sql("sim_topk_lsh",

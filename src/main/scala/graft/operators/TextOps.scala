@@ -362,6 +362,60 @@ object TextOps {
       .agg(countDistinct(col("gh")).as("n_hits"))
   }
 
+  /** Bloom filter geometry for [[decontaminateBloom]]: 2²⁰ bits (128 KB) and
+    * 5 probes — false-positive rate (kn/m)^k ≈ 10⁻¹⁰ at benchmark sizes.
+    */
+  val bloomBits = 1 << 20
+  val bloomHashes = 5
+
+  /** [[decontaminate]] re-expressed through a Bloom filter — the formulation
+    * for when the benchmark gram set outgrows a broadcast hash set: the
+    * filter is FIXED-SIZE (128 KB here, a few MB for millions of grams)
+    * regardless of benchmark cardinality, and the corpus-side probe is a
+    * pure NARROW expression over a literal array — no join, no shuffle, no
+    * per-executor hash table. Superset semantics: every exact hit is flagged
+    * (no false negatives, structurally); a false-positive gram can add
+    * spurious hits at the published rate, so the op is registered rows-only
+    * with the exact op as its spec twin.
+    *
+    * Build side: k positions per benchmark gram via double hashing (two
+    * independent 60-bit halves of one md5), OR-folded into 64-bit words by
+    * one small aggregate; the dense array is collected driver-side (16 K
+    * longs — the `DataFrameStatFunctions.bloomFilter` shape) and re-enters
+    * the plan as a literal.
+    */
+  def decontaminateBloom(docs: DataFrame, bits: Int = bloomBits,
+      k: Int = bloomHashes): DataFrame = {
+    import graft.functions.Portable.hexToLong
+    val ws = split(col("text"), " ")
+    val grams = docs.filter(size(ws) >= contamN)
+      .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("dg"))
+      .select(col("doc_id"),
+        hexToLong(col("dg"), 1).as("h1"),
+        // force h2 odd so the double-hash stride cycles the whole table
+        hexToLong(col("dg"), 16).bitwiseOR(lit(1L)).as("h2"))
+    def pos(i: Int) = pmod(col("h1") + lit(i.toLong) * col("h2"), lit(bits.toLong))
+    val words = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
+      .select(explode(array((0 until k).map(pos): _*)).as("p"))
+      .select(expr("p div 64").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+    val dense = new Array[Long](bits / 64)
+    words.foreach(r => dense(r.getLong(0).toInt) = r.getLong(1))
+    val probed = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .select(col("doc_id") +: col("h1") +: typedLit(dense.toSeq).as("bloom") +:
+        (0 until k).map(i => pos(i).as(s"p$i")): _*)
+    val mightContain = (0 until k).map(i =>
+      expr(s"(element_at(bloom, cast(p$i div 64 as int) + 1) & " +
+        s"shiftleft(cast(1 as bigint), cast(p$i % 64 as int))) <> 0"))
+      .reduce(_ && _)
+    probed.filter(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h1")).as("n_hits"))
+  }
+
   /** Token budget per training pack (power of two: division by it is exact
     * in binary floating point, so the floor lands bit-identically).
     */
@@ -629,6 +683,13 @@ object TextOps {
          |WHERE doc_id % $benchmarkMod <> 0
          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       decontaminate(Tables.documents(s, d))
+    },
+
+    // Bloom-filter decontamination — approximate by design (false positives
+    // at the published rate) → rows-only; the no-false-negatives superset
+    // property vs the exact op is spec-tested.
+    Op.rowsOnly("text_decontaminate_bloom") { (s, d) =>
+      decontaminateBloom(Tables.documents(s, d))
     },
 
     Op.sql("sample_pack_chunks",

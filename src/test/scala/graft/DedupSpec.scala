@@ -73,6 +73,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(step((1L, 1L))._1 - 0.95) < 1e-6 && step((1L, 0L))._1 == 0.0)
   }
 
+  test("kmeans loop: one iteration reproduces the train step; loop is deterministic") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("dim")) ->
+        (r.getAs[Double]("centroid"), r.getAs[Long]("n_members"))).toMap
+    assert(key(Similarity.kmeansTrain(embs, iters = 1)) == key(Similarity.ivfTrainStep(embs)),
+      "a single Lloyd iteration must equal the registered train step bit-for-bit")
+    val a = key(Similarity.kmeansTrain(embs))
+    assert(a == key(Similarity.kmeansTrain(embs)), "training must be deterministic")
+    // every vector stays assigned: per-cell member counts conserve the corpus
+    val n = embs.count()
+    val members = a.toSeq.groupBy(_._1._1).map { case (_, vs) => vs.head._2._2 }.sum
+    assert(members == n, s"member counts $members != corpus $n")
+  }
+
   test("connected components: chains collapse to min label, components stay apart") {
     // path 10-11-12-13 (diameter 3) plus separate pair 20-21: labels must
     // propagate transitively to the component minimum, never across components

@@ -103,6 +103,14 @@ class PlanSpec extends AnyFunSuite {
         "a shuffle join would repartition the whole corpus on gram hash")
   }
 
+  test("bloom decontamination probe is join-free: the filter enters as a literal") {
+    val df = graft.operators.TextOps.decontaminateBloom(Tables.documents(spark, TestSession.sf))
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "the corpus must probe a literal bloom array, never join the benchmark")
+  }
+
   test("split assignment is a pure narrow plan: no exchange, key-only scan") {
     val df = graft.operators.TextOps.splitAssign(Tables.documents(spark, TestSession.sf))
     val plan = df.queryExecution.sparkPlan

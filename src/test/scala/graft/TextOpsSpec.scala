@@ -138,6 +138,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(agg == window)
   }
 
+  test("bloom decontamination: superset of exact hits, per-doc counts never lower") {
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val exact = TextOps.decontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val bloom = TextOps.decontaminateBloom(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    // structural guarantee: no false negatives — every exact hit flagged,
+    // with at least as many gram hits
+    exact.foreach { case (d, n) =>
+      assert(bloom.contains(d), s"doc $d flagged by exact but missed by bloom")
+      assert(bloom(d) >= n, s"doc $d: bloom ${bloom(d)} < exact $n hits")
+    }
+    // at fixture scale the deterministic hashes produce no false positive,
+    // so the flag sets coincide outright
+    assert(bloom == exact)
+  }
+
   test("vocabulary: df counts docs not occurrences; top-k order is (df desc, token asc)") {
     val d = docs(1L -> "a a b c", 2L -> "a b b", 3L -> "a z")
     val v = TextOps.vocabulary(d, k = 3).collect()
