@@ -259,6 +259,56 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Containment threshold as an exact rational (4/5): the criterion is the
+    * all-integer `5·inter ≥ 4·min(n_a, n_b)`, so no float boundary can
+    * disagree between engines or break the prefix-filter guarantee.
+    */
+  val containNum = 4
+  val containDen = 5
+
+  /** Asymmetric near-subset detection: pairs where the smaller document's
+    * shingle set is ≥ 4/5 contained in the other's — the quote/boilerplate/
+    * wrapper case Jaccard misses (a 100-word doc quoted inside a 10 000-word
+    * doc has tiny Jaccard but containment ≈ 1, so length blocking can never
+    * pair them).
+    *
+    * Blocking is PREFIX FILTERING (the public PPJoin-family bound): if
+    * `5·inter ≥ 4·n_a` then one of A's `n_a div 5 + 1` SMALLEST hashes must
+    * occur in B — else inter ≤ n_a − (n_a div 5 + 1), and 5·inter ≤ 4·n_a − 1.
+    * So each doc probes only its prefix against the inverted shingle index,
+    * the candidate join keys on a single shingle hash, and verification is
+    * one [[graft.functions.SortedIntersectCount]] merge-scan per candidate.
+    * Lossless by the bound above — the brute-force oracle states exactly the
+    * same pair set. Like [[ngramJaccardPairs]] this is the documented exact
+    * baseline; MinHash remains the probabilistic scale path.
+    */
+  def containmentPairs(docs: DataFrame): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
+    val hs = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= shingleN)
+      .select(col("doc_id"),
+        array_sort(transform(shingles(col("w"), shingleN), x => hexToLong(md5(x), 1))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint() // consumed three times: prefix probe, index, verify
+    val prefix = hs.select(col("doc_id").as("pid"),
+      explode(slice(col("sh"), lit(1), expr(s"n div $containDen + 1"))).as("h"))
+    val index = hs.select(col("doc_id").as("iid"), explode(col("sh")).as("h"))
+    val candidates = prefix.join(index, "h")
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("doc_a"),
+        greatest(col("pid"), col("iid")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(hs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("inter", GraftExpressions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .filter(col("inter") * containDen >= least(col("n_a"), col("n_b")) * containNum)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) / least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   // --------------------------------------------------------------------------
   // Incremental dedup against a stored signature index
   // --------------------------------------------------------------------------
@@ -640,6 +690,21 @@ object Dedup {
          |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
          |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
       ngramJaccardPairs(Tables.documents(s, d))
+    },
+
+    Op.sql("dedup_containment_pairs",
+      s"""WITH shb AS (
+         |  SELECT doc_id,
+         |         list_transform(${shinglesSql("w", shingleN)}, x -> ${hexToLongSql("md5(x)", 1)}) AS sh
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+         |  WHERE len(w) >= $shingleN),
+         |shn AS (SELECT doc_id, sh, len(sh) AS n FROM shb)
+         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / mn AS containment FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.sh, b.sh)) AS inter, LEAST(a.n, b.n) AS mn
+         |  FROM shn a JOIN shn b ON a.doc_id < b.doc_id)
+         |WHERE inter * $containDen >= mn * $containNum""".stripMargin) { (s, d) =>
+      containmentPairs(Tables.documents(s, d))
     },
 
     Op.sql("dedup_embedding_cosine",

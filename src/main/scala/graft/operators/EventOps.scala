@@ -28,6 +28,22 @@ object EventOps {
   /** Tumbling 1-hour event-time windows per event_type — expressed with
     * Spark's `window()` (streaming-compatible); start == date_trunc('hour').
     */
+  /** Top users per day by event count (k = [[topUsersK]]): pre-aggregate to
+    * (day, user) grain — one shuffle reduces the event stream to a bounded
+    * frame — then rank WITHIN each day partition (window partitions are
+    * day-sized, never global). Ties break on user_id.
+    */
+  val topUsersK = 3
+
+  def topUsersDaily(events: DataFrame, k: Int = topUsersK): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("day").orderBy(col("n_events").desc, col("user_id"))
+    daily.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
@@ -187,6 +203,19 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM ev GROUP BY 1, 2""".stripMargin) { (s, d) =>
       hourlyRollup(Tables.events(s, d))
+    },
+
+    Op.sql("events_top_users_daily",
+      s"""WITH $eventsCte,
+         |daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS n_events
+         |  FROM ev GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+         |    ORDER BY n_events DESC, user_id) AS rank
+         |  FROM daily)
+         |SELECT day, user_id, n_events, rank FROM ranked WHERE rank <= $topUsersK""".stripMargin) { (s, d) =>
+      topUsersDaily(Tables.events(s, d))
     },
 
     Op.sql("events_sessions",

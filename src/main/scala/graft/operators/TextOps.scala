@@ -416,6 +416,23 @@ object TextOps {
       .agg(countDistinct(col("h1")).as("n_hits"))
   }
 
+  /** Histogram bucket width in tokens (power of two — integer div). */
+  val histBucketTokens = 64
+
+  /** Corpus length histogram at [[histBucketTokens]]-token granularity: doc
+    * count and token mass per bucket — the distribution pack planning and
+    * truncation budgeting read before touching the corpus. One narrow
+    * tokenize pass + one tiny aggregate.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .select(size(regexp_extract_all(col("text"), lit(tokenPattern), lit(0)))
+        .cast(LongType).as("n_tokens"))
+      .select(col("n_tokens"), (expr(s"n_tokens div $histBucketTokens")
+        * histBucketTokens).as("bucket_start"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
   /** Token budget per training pack (power of two: division by it is exact
     * in binary floating point, so the floor lands bit-identically).
     */
@@ -690,6 +707,15 @@ object TextOps {
     // property vs the exact op is spec-tested.
     Op.rowsOnly("text_decontaminate_bloom") { (s, d) =>
       decontaminateBloom(Tables.documents(s, d))
+    },
+
+    Op.sql("text_length_histogram",
+      s"""SELECT (n_tokens // $histBucketTokens) * $histBucketTokens AS bucket_start,
+         |       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM (SELECT CAST(len(regexp_extract_all(text, '$tokenPattern')) AS BIGINT) AS n_tokens
+         |      FROM documents)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      lengthHistogram(Tables.documents(s, d))
     },
 
     Op.sql("sample_pack_chunks",

@@ -140,6 +140,27 @@ class DedupSpec extends AnyFunSuite {
     assert(c(3L) == 3L)                               // unrelated: own cluster
   }
 
+  test("containment pairs: near-subset found across a length gap Jaccard blocking misses") {
+    // doc 11 is doc 10's full prefix — 3× the length apart, so the Jaccard
+    // op's size-ratio prefilter would never even pair them
+    val small = doc(4, n = 20)
+    val big = small + " " + doc(7, n = 45)
+    val d = Seq(
+      (10L, big, "en", "s0", big.length.toLong),
+      (11L, small, "en", "s1", small.length.toLong),
+      (12L, doc(2), "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.containmentPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("containment"))
+      .toMap
+    assert(pairs.contains((10L, 11L)), s"subset pair missed: $pairs")
+    assert(pairs((10L, 11L)) >= 0.8)
+    assert(!pairs.keySet.exists(p => p._1 == 12L || p._2 == 12L), "unrelated doc paired")
+    // the Jaccard op indeed cannot see this pair (documents the gap)
+    val jac = Dedup.ngramJaccardPairs(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((10L, 11L)))
+  }
+
   test("ngram jaccard with length blocking finds the near-dup pair") {
     val keys = Dedup.ngramJaccardPairs(docs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
