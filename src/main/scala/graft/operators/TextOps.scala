@@ -378,23 +378,24 @@ object TextOps {
     * spurious hits at the published rate, so the op is registered rows-only
     * with the exact op as its spec twin.
     *
-    * Build side: k positions per benchmark gram via double hashing (two
-    * independent 60-bit halves of one md5), OR-folded into 64-bit words by
-    * one small aggregate; the dense array is collected driver-side (16 K
+    * Build side: k positions per benchmark gram via double hashing (low
+    * bits index, high bits stride) of ONE native `xxhash64` — the op is
+    * rows-only, so unlike the exact op it owes DuckDB nothing and skips the
+    * portable md5/conv string hashing entirely. Positions OR-fold into
+    * 64-bit words by one small aggregate (duplicates are absorbed by the
+    * OR — no distinct); the dense array is collected driver-side (16 K
     * longs — the `DataFrameStatFunctions.bloomFilter` shape) and re-enters
     * the plan as a literal.
     */
   def decontaminateBloom(docs: DataFrame, bits: Int = bloomBits,
       k: Int = bloomHashes): DataFrame = {
-    import graft.functions.Portable.hexToLong
     val ws = split(col("text"), " ")
     val grams = docs.filter(size(ws) >= contamN)
       .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("dg"))
-      .select(col("doc_id"),
-        hexToLong(col("dg"), 1).as("h1"),
-        // force h2 odd so the double-hash stride cycles the whole table
-        hexToLong(col("dg"), 16).bitwiseOR(lit(1L)).as("h2"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h1"))
+      // stride from the high bits (the index uses the low 20), forced odd
+      // so it cycles the whole table
+      .withColumn("h2", shiftrightunsigned(col("h1"), 24).bitwiseOR(lit(1L)))
     def pos(i: Int) = pmod(col("h1") + lit(i.toLong) * col("h2"), lit(bits.toLong))
     val words = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
       .select(explode(array((0 until k).map(pos): _*)).as("p"))
