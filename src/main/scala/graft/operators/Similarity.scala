@@ -164,6 +164,39 @@ object Similarity {
         col("n_members"))
   }
 
+  /** Probe count for [[ivfMultiprobeTopK]]. */
+  val ivfProbes = 2
+
+  /** Multiprobe IVF: each query scores the vectors of its `probes` NEAREST
+    * cells instead of only its own — the standard recall lever for inverted
+    * files (a query near a cell boundary misses neighbors filed on the other
+    * side; probing the runner-up cells recovers them). Cost scales linearly
+    * in probes, still O(|Q|·probes·N/cells) — nowhere near brute force.
+    * Deterministic (quantized dots, cell/id tie-breaks) → fully
+    * oracle-checked; recall ≥ single-probe recall is spec-tested.
+    */
+  def ivfMultiprobeTopK(embs: DataFrame, queryPred: Column,
+      probes: Int = ivfProbes, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val assigned = ivfAssign(embs)
+    val centroids = embs.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(
+      GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
+    val qcells = embs.filter(queryPred)
+      .join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= probes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        GraftExpressions.qdot(col("embedding"), col("embedding")).as("q_n2"),
+        col("cell").as("q_cell"))
+    val scored = assigned.join(broadcast(qcells),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Lloyd iterations for [[kmeansTrain]]'s coarse-quantizer codebook. */
   val kmeansIters = 3
 
@@ -327,6 +360,29 @@ object Similarity {
     // one-iteration equivalence with sim_ivf_train_step is spec-tested.
     Op.rowsOnly("sim_kmeans_train") { (s, d) =>
       kmeansTrain(Tables.embeddings(s, d))
+    },
+
+    Op.sql("sim_topk_ivf_multiprobe",
+      s"""WITH $ivfAssignedCte,
+         |qc AS (
+         |  SELECT query_id, embedding, n2, cell FROM (
+         |    SELECT e.vec_id AS query_id, e.embedding,
+         |           ${GraftExpressions.qdotSql("e.embedding", "e.embedding")} AS n2,
+         |           c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 20)
+         |  WHERE rn <= $ivfProbes),
+         |scored AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM qc q JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      ivfMultiprobeTopK(Tables.embeddings(s, d), col("vec_id") < 20)
     },
 
     Op.sql("sim_topk_lsh",

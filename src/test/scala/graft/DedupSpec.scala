@@ -73,6 +73,20 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(step((1L, 1L))._1 - 0.95) < 1e-6 && step((1L, 0L))._1 == 0.0)
   }
 
+  test("multiprobe IVF: probes=1 equals single-probe; recall never decreases") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val qp = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs(Similarity.ivfMultiprobeTopK(embs, qp, probes = 1))
+      == pairs(Similarity.ivfTopK(embs, qp)))
+    val brute = pairs(Similarity.bruteForceTopK(embs, qp))
+    val single = pairs(Similarity.ivfTopK(embs, qp))
+    val multi = pairs(Similarity.ivfMultiprobeTopK(embs, qp))
+    assert((multi & brute).size >= (single & brute).size,
+      s"multiprobe recall ${(multi & brute).size} fell below single ${(single & brute).size}")
+  }
+
   test("kmeans loop: one iteration reproduces the train step; loop is deterministic") {
     val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
