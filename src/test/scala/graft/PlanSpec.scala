@@ -103,6 +103,26 @@ class PlanSpec extends AnyFunSuite {
         "a shuffle join would repartition the whole corpus on gram hash")
   }
 
+  test("rollup and cube EXPAND over pre-aggregated leaves, not the fact table") {
+    // the grouping-set EXPAND multiplies its input ×3 (rollup) / ×4 (cube);
+    // a leaf-grain aggregate must sit BELOW it so the multiplier applies to
+    // thousands of leaves, not every item row
+    Seq(
+      graft.operators.Analytics.categoryRollup(Kpi.consolidatedOf(spark, TestSession.sf)),
+      graft.operators.Analytics.categoryCube(Kpi.consolidatedOf(spark, TestSession.sf))
+    ).foreach { df =>
+      val expands = df.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e
+      }
+      assert(expands.nonEmpty, "grouping sets must plan an EXPAND")
+      expands.foreach { e =>
+        assert(e.child.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }.isDefined, "EXPAND must read the leaf-grain aggregate, not raw facts")
+      }
+    }
+  }
+
   test("bloom decontamination probe is join-free: the filter enters as a literal") {
     val df = graft.operators.TextOps.decontaminateBloom(Tables.documents(spark, TestSession.sf))
     val plan = df.queryExecution.sparkPlan
