@@ -260,6 +260,29 @@ object Similarity {
     }.toDF("cell", "dim", "centroid", "n_members")
   }
 
+  /** Semantic near-dup pairs within IVF cells (the SemDeDup shape): candidate
+    * pairs share a coarse-quantizer cell, verified by exact quantized cosine
+    * ≥ τ. Complements [[Dedup.embeddingNearDups]]: hyperplane LSH buckets are
+    * data-INdependent (fixed planes), while quantizer cells adapt to the
+    * corpus distribution — dense regions get their own cells, so candidate
+    * blocks track real semantic clusters. Same 100 TB shape as every dedup
+    * op: one equi-join on a small blocking key (cell), pair work bounded by
+    * cell sizes, norms computed once per vector, no all-pairs anywhere.
+    */
+  def semanticCellPairs(embs: DataFrame): DataFrame = {
+    // consumed twice by the self-join; assignment (broadcast 16-centroid
+    // cross + per-vector argmax window) should run once
+    val assigned = ivfAssign(embs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Dedup.cosQ(col("a.embedding"), col("b.embedding"), col("a.n2"), col("b.n2"))
+          .as("cos"))
+      .filter(col("cos") >= Dedup.cosineTau)
+  }
+
   /** Top-k within the query's IVF cell. */
   def ivfTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val assigned = ivfAssign(embs)
@@ -383,6 +406,17 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       ivfMultiprobeTopK(Tables.embeddings(s, d), col("vec_id") < 20)
+    },
+
+    Op.sql("dedup_semantic_cells",
+      s"""WITH $ivfAssignedCte
+         |SELECT cell, vec_a, vec_b, cos FROM (
+         |  SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${Dedup.cosQSql("a", "b")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON b.cell = a.cell AND a.vec_id < b.vec_id)
+         |WHERE cos >= ${Dedup.cosineTau}""".stripMargin) { (s, d) =>
+      semanticCellPairs(Tables.embeddings(s, d))
     },
 
     Op.sql("sim_topk_lsh",

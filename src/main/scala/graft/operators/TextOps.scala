@@ -266,6 +266,67 @@ object TextOps {
           .when(col("bucket") < splitValUpper, "val")
           .otherwise("test"))
 
+  /** Default mixture spec: source → acceptance percent. Four weight tiers
+    * cycled over the corpus's sources — the shape of an LLM data recipe
+    * (keep all of the curated tier, thin the crawl tiers).
+    */
+  val mixtureSpec: Seq[(String, Int)] =
+    (0 until 20).map(i => ("src" + i, Seq(100, 60, 30, 10)(i % 4)))
+
+  /** Weighted source mixture: downsample each source to its target acceptance
+    * rate, deterministically. A document is kept iff
+    * `hash("mix:" + doc_id) mod 100 < pct(source)` — content-keyed like
+    * [[splitAssign]] (different salt, so mixing and splitting stay
+    * independent), which means membership NEVER changes as the corpus grows
+    * and a rerun reproduces the mix bit-for-bit — the properties
+    * `sample(fraction=…)` (seeded per-partition RNG, partitioning-dependent)
+    * cannot give. The weights are a tiny dim frame broadcast against the
+    * corpus: one narrow pass, zero shuffle at any scale. Sources absent from
+    * the spec are dropped (an explicit recipe lists everything it admits).
+    */
+  def mixtureSample(docs: DataFrame, weights: Seq[(String, Int)] = mixtureSpec): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF("source", "pct")
+    docs
+      .select(col("doc_id"), col("source"),
+        pmod(hash60(concat(lit("mix:"), col("doc_id").cast(StringType))), lit(100))
+          .as("mix_bucket"))
+      .join(broadcast(w), "source")
+      .filter(col("mix_bucket") < col("pct"))
+      .select(col("doc_id"), col("source"), col("pct"), col("mix_bucket"))
+  }
+
+  /** Shard count for [[globalShuffle]] — the parallelism/file-size knob; at
+    * production scale it is corpus_size / target_shard_bytes (thousands), so
+    * every shard sorts in its own task.
+    */
+  val shuffleShards = 8
+
+  /** Deterministic global shuffle for training order: every document gets a
+    * seeded hash key, a shard (key mod shards), and a dense 1-based position
+    * within its shard (key order, doc_id tie-break). Equivalent to a uniform
+    * random permutation chunked into shard files — but reproducible across
+    * runs, engines, and partitionings, because the permutation is a pure
+    * function of document identity.
+    *
+    * Scale shape: the only wide op is the per-shard `row_number`, one task
+    * per shard — shards is sized so a shard fits a task (a production writer
+    * gets the same order free via `partitionBy(shard)` +
+    * `sortWithinPartitions(key)`; the explicit position column is what makes
+    * the contract oracle-checkable).
+    */
+  def globalShuffle(docs: DataFrame, shards: Int = shuffleShards): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        hash60(concat(lit("shuffle:"), col("doc_id").cast(StringType))).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(shards)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Per-document bigram repetition metrics (the Gopher/C4-style repetition
     * filters): duplicate-bigram fraction and most-frequent-bigram share.
     * A pure NARROW pass: sort the document's bigrams, then the single-scan
@@ -610,6 +671,30 @@ object TextOps {
          |  FROM documents)
          |WHERE src_rank <= $sourceQuota""".stripMargin) { (s, d) =>
       quotaPerSourceAgg(Tables.documents(s, d))
+    },
+
+    Op.sql("sample_mixture_weighted", {
+      val values = mixtureSpec.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS t(source, pct))
+         |SELECT doc_id, d.source, pct, mix_bucket
+         |FROM (SELECT doc_id, source,
+         |        ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS mix_bucket
+         |      FROM documents) d
+         |JOIN w USING (source)
+         |WHERE mix_bucket < pct""".stripMargin
+    }) { (s, d) =>
+      mixtureSample(Tables.documents(s, d))
+    },
+
+    Op.sql("sample_global_shuffle",
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, skey % $shuffleShards AS shard,
+         |         ROW_NUMBER() OVER (PARTITION BY skey % $shuffleShards
+         |                            ORDER BY skey, doc_id) AS pos
+         |  FROM (SELECT doc_id,
+         |          ${hash60Sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS skey
+         |        FROM documents))""".stripMargin) { (s, d) =>
+      globalShuffle(Tables.documents(s, d))
     },
 
     Op.sql("text_vocab",

@@ -87,6 +87,24 @@ class DedupSpec extends AnyFunSuite {
       s"multiprobe recall ${(multi & brute).size} fell below single ${(single & brute).size}")
   }
 
+  test("semantic cells: same-cell pairs verified by cosine; clusters never cross cells") {
+    // two semantic clusters on the axes; every vector is its own candidate
+    // centroid (id < ivfCells) but the argmax assignment pulls the scaled
+    // copies into the unit vectors' cells: cell0 = {0, 2, 4}, cell1 = {1, 3}
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.0f)), (3L, Array(0.0f, 0.9f)),
+      (4L, Array(0.8f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticCellPairs(embs).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) -> r.getAs[Double]("cos"))
+      .toMap
+    assert(pairs.keySet == Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L)),
+      s"within-cell near-dups only, got ${pairs.keySet}")
+    assert(pairs.values.forall(_ >= Dedup.cosineTau))
+    assert(pairs((0L, 2L)) == 1.0, "collinear vectors have cosine exactly 1")
+  }
+
   test("kmeans loop: one iteration reproduces the train step; loop is deterministic") {
     val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -95,6 +95,39 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partial top-k before the source shuffle: $aggModes")
   }
 
+  test("mixture sample broadcasts the weights frame; corpus stays un-shuffled") {
+    val df = graft.operators.TextOps.mixtureSample(Tables.documents(spark, TestSession.sf))
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the mixture recipe must reach the join as a broadcast")
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty, "a weighted downsample must never shuffle the corpus")
+    val readCols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("doc_id", "source"),
+      s"mixture scan read $readCols — should read only id + source")
+  }
+
+  test("global shuffle pays exactly one exchange (by shard) and key-only scan") {
+    val df = graft.operators.TextOps.globalShuffle(Tables.documents(spark, TestSession.sf))
+    // sparkPlan predates EnsureRequirements — exchanges only exist in the
+    // prepared plan (unwrap AQE like scans() does)
+    val prepared = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.length == 1,
+      s"expected the single shard repartition, got ${exchanges.length} exchanges")
+    val readCols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("doc_id"), s"shuffle scan read $readCols — key only")
+  }
+
   test("decontamination joins the corpus against a BROADCAST benchmark gram set") {
     val df = graft.operators.TextOps.decontaminate(Tables.documents(spark, TestSession.sf))
     val plan = df.queryExecution.sparkPlan

@@ -47,6 +47,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a1.forall { case (id, s) => grown(id) == s })
   }
 
+  test("mixture sample: per-source rates honored, membership stable under growth") {
+    def corpus(n: Long) = (1L to n).map(i => (i, s"doc $i", "en", "src" + (i % 4), 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val weights = Seq("src0" -> 100, "src1" -> 50, "src2" -> 0) // src3 not in the recipe
+    val kept = TextOps.mixtureSample(corpus(400), weights).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 100, "a 100% source keeps every doc")
+    assert(!bySrc.contains("src2"), "a 0% source keeps nothing")
+    assert(!bySrc.contains("src3"), "a source absent from the recipe is dropped")
+    val r1 = bySrc.getOrElse("src1", 0)
+    assert(r1 > 25 && r1 < 75, s"src1 kept $r1 of 100 docs; target rate is 50%")
+    // growing the corpus never revokes or changes an existing doc's membership
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val grownIds = TextOps.mixtureSample(corpus(800), weights).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(grownIds.filter(_ <= 400) == keptIds)
+  }
+
+  test("global shuffle: shards partition the corpus; dense positions; order is not id order") {
+    val d = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val rows = TextOps.globalShuffle(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(rows.map(_._1).toSet == (1L to 200L).toSet, "every doc lands in exactly one shard")
+    val byShard = rows.groupBy(_._2)
+    byShard.foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong),
+        s"shard $shard positions must be dense 1..n")
+    }
+    assert(byShard.size == TextOps.shuffleShards, "200 hashed docs reach all 8 shards")
+    // a shuffle, not a sort: at least one shard's hash order inverts the id order
+    assert(byShard.values.exists { rs =>
+      val inOrder = rs.sortBy(_._3).map(_._1).toSeq
+      inOrder != inOrder.sorted
+    }, "positions must follow the hash permutation, not doc_id order")
+    val again = TextOps.globalShuffle(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(rows.toSet == again.toSet, "the permutation is reproducible")
+  }
+
   test("repetition: duplicate and top-bigram fractions; short docs excluded") {
     val d = docs(1L -> "a b a b a b", 2L -> "u v w x", 3L -> "solo")
     val r = TextOps.repetitionStats(d).collect()
