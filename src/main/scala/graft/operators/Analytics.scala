@@ -209,6 +209,55 @@ object Analytics {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Market-basket co-occurrence: product pairs bought together, with lift.
+    *
+    * Scale shape: ONE shuffle reduces order_items to per-order sorted
+    * distinct product arrays, then pairs explode narrowly from each array —
+    * replication is C(basket,2), bounded by [[basketMaxItems]] (a degenerate
+    * mega-basket — a crawler account, a data bug — would otherwise explode
+    * quadratically; dropping it is the documented contract, same philosophy
+    * as the dedup family's blocking caps). The self-join formulation the
+    * oracle uses would shuffle the item table twice and hit the same skew
+    * wall un-capped. Per-product order counts ride the same pre-aggregated
+    * baskets; the final lift ranking sorts only the surviving pair
+    * aggregate (vocabulary-sized, min-support-pruned), never the fact table.
+    * Lift = c12·N / (c1·c2) computed in exact integers with a single IEEE
+    * division, so the DuckDB oracle matches bit-for-bit.
+    */
+  val basketMinSupport = 2
+  val basketMaxItems = 100
+  val basketK = 50
+
+  def marketBasket(orderItems: DataFrame): DataFrame = {
+    val baskets = orderItems
+      .groupBy(col("order_id"))
+      .agg(array_sort(collect_set(col("product_id"))).as("items"))
+      .filter(size(col("items")) <= basketMaxItems)
+      .persist()
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val prodCounts = baskets
+      .select(explode(col("items")).as("product_id"))
+      .groupBy(col("product_id")).agg(count(lit(1)).as("c"))
+    // all (i < j) pairs from the sorted array, generated in-partition
+    val pairs = baskets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("p1"), y.as("p2")))))).as("pair"))
+      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= basketMinSupport)
+    val out = pairs
+      .join(prodCounts.withColumnRenamed("product_id", "p1").withColumnRenamed("c", "c1"), "p1")
+      .join(prodCounts.withColumnRenamed("product_id", "p2").withColumnRenamed("c", "c2"), "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12") * col("n_orders")).cast(DoubleType) / (col("c1") * col("c2")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(basketK)
+    out
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -313,6 +362,28 @@ object Analytics {
     // span containment on the discrete frequency dimension).
     Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+    },
+
+    Op.sql("analytics_market_basket",
+      s"""${Tables.domainCtes},
+         |oi AS (SELECT DISTINCT order_id, product_id FROM order_items),
+         |baskets AS (SELECT order_id FROM oi GROUP BY order_id
+         |            HAVING COUNT(*) <= $basketMaxItems),
+         |oik AS (SELECT oi.* FROM oi JOIN baskets USING (order_id)),
+         |n AS (SELECT COUNT(DISTINCT order_id) AS n_orders FROM oik),
+         |c AS (SELECT product_id, COUNT(*) AS c FROM oik GROUP BY product_id),
+         |p AS (
+         |  SELECT a.product_id AS p1, b.product_id AS p2, COUNT(*) AS c12
+         |  FROM oik a JOIN oik b
+         |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $basketMinSupport)
+         |SELECT p1, p2, c12, c1.c AS c1, c2.c AS c2,
+         |       CAST(c12 * n_orders AS DOUBLE) / (c1.c * c2.c) AS lift
+         |FROM p JOIN c c1 ON p1 = c1.product_id
+         |       JOIN c c2 ON p2 = c2.product_id
+         |       CROSS JOIN n
+         |ORDER BY lift DESC, p1, p2 LIMIT $basketK""".stripMargin) { (s, d) =>
+      marketBasket(Tables.orderItems(s, d))
     },
 
     Op.sql("analytics_rfm_segments",

@@ -44,6 +44,29 @@ object EventOps {
       .filter(col("rank") <= k)
   }
 
+  /** Keep-newest record per key — the CDC/compaction dedup shape (latest
+    * event per user here). One hash aggregate via `max_by` over a
+    * (ts, event_id) ordering struct: partial aggregation keeps ≤1 row per
+    * key per task map-side, so no window sort and no per-key shuffle of the
+    * full history — the formulation that survives 100 TB of updates where
+    * `row_number() = 1` would sort every key's history. Ties on ts break on
+    * event_id (highest wins), so the survivor is deterministic.
+    */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"),
+        col("n_events"))
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
@@ -216,6 +239,19 @@ object EventOps {
          |  FROM daily)
          |SELECT day, user_id, n_events, rank FROM ranked WHERE rank <= $topUsersK""".stripMargin) { (s, d) =>
       topUsersDaily(Tables.events(s, d))
+    },
+
+    Op.sql("events_latest_per_user",
+      s"""WITH $eventsCte,
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+         |  FROM ev)
+         |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+         |       event_type AS last_event_type, value AS last_value, n_events
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      latestPerUser(Tables.events(s, d))
     },
 
     Op.sql("events_sessions",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
+import graft.functions.HeavyHittersAggregator
 import graft.functions.Portable._
 import graft.sources.Tables
 
@@ -178,6 +179,62 @@ object TextOps {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(k)
+
+  /** Per-source corpus health report — the dashboard a curation pass reads
+    * before setting filter thresholds: document counts, exact-duplicate rate,
+    * quality-clearing rate, mean length, language spread, per source.
+    *
+    * Scale shape: one hash-aggregate on the 60-bit text fingerprint for
+    * duplicate multiplicity, a fingerprint-keyed join to carry the flag
+    * back, then one aggregate to source grain (sources are few — the output
+    * is dashboard-sized). All reported numbers derive from integer counts
+    * and one IEEE division, so the DuckDB oracle matches bit-for-bit; the
+    * quality threshold compares doubles both engines computed identically.
+    */
+  val healthMinQuality = 0.5
+
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    val enriched = docs
+      .withColumn("ws", words(col("text")))
+      .withColumn("quality",
+        qualityExprs(col("text"), col("ws")).toMap.apply("quality"))
+      .select(col("source"), col("lang"), col("n_chars"),
+        hash60(col("text")).as("fp"), col("quality"))
+    val copies = enriched.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    enriched.join(copies, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("quality") >= healthMinQuality, 1L).otherwise(0L)).as("n_quality_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  /** Heavy-hitters sketch size and report length for [[heavyHittersApprox]]. */
+  val hhSketchSize = 64
+  val hhK = 20
+
+  /** Approximate corpus-frequency heavy hitters via a Misra-Gries sketch
+    * ([[graft.functions.HeavyHittersAggregator]]) — [[vocabulary]]'s scale
+    * path for open vocabularies: the token stream reduces to a ≤ 64-entry
+    * summary per task map-side, so nothing vocabulary-sized ever shuffles.
+    * Approximate by design (counts may undershoot by ≤ N/(m+1), merge-order
+    * dependent once the sketch saturates) → rows-only check; the error
+    * bound, the no-false-negative guarantee for true heavy hitters, and
+    * exactness below saturation are spec-tested (TextOpsSpec).
+    */
+  def heavyHittersApprox(docs: DataFrame, m: Int = hhSketchSize, k: Int = hhK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = docs
+      .select(explode(split(col("text"), " ")).as("token")).as[String]
+    tokens
+      .select(new HeavyHittersAggregator(m).toColumn.name("sketch"))
+      .select(explode(col("sketch")).as(Seq("token", "est_count")))
+      .orderBy(col("est_count").desc, col("token").asc)
+      .limit(k)
+  }
 
   /** Per-document characteristic terms: top `perDoc` tokens by a TF-IDF-style
     * score `tf/df` — a rational idf surrogate (monotone in 1/df) chosen so
@@ -421,6 +478,39 @@ object TextOps {
       .join(broadcast(bench), "gh")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gh")).as("n_hits"))
+  }
+
+  /** Inter-document duplication profile (the Gopher-style corpus signal):
+    * per document, the fraction of its distinct [[contamN]]-grams that also
+    * occur in at least one OTHER document. Complements the dedup family —
+    * pair ops say WHICH documents collide; this scores HOW MUCH of each
+    * document is boilerplate shared across the corpus (the filter threshold
+    * a curation pass sets before training).
+    *
+    * Scale shape: shingles are distinct per doc, so one hash-aggregate on the
+    * 60-bit gram hash yields each gram's document frequency; a gram-keyed
+    * shuffle join carries the shared/unique flag back and a second aggregate
+    * reduces to doc grain. Both branches consume the FULL gram set (unlike
+    * [[decontaminate]]'s 1/[[benchmarkMod]] slice), so the gram frame is
+    * persisted — at corpus scale this materialization IS the gram index the
+    * incremental-dedup loop already maintains on disk, paid once per corpus,
+    * not per query. No driver state; gram-frequency skew lands in a count
+    * aggregate (partial map-side), never a collect_list.
+    */
+  def dupNgramFraction(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = docs.filter(size(ws) >= contamN)
+      .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+      .persist()
+    val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_frac",
+        col("n_shared").cast(DoubleType) / col("n_grams"))
   }
 
   /** Bloom filter geometry for [[decontaminateBloom]]: 2²⁰ bits (128 KB) and
@@ -705,6 +795,12 @@ object TextOps {
       vocabulary(Tables.documents(s, d))
     },
 
+    // Misra-Gries sketch — approximate by design once saturated → rows-only;
+    // error bound + saturation exactness are spec-tested.
+    Op.rowsOnly("text_heavy_hitters_approx") { (s, d) =>
+      heavyHittersApprox(Tables.documents(s, d))
+    },
+
     Op.sql("text_top_terms",
       s"""WITH $docTermFreqSql,
          |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
@@ -786,6 +882,38 @@ object TextOps {
          |WHERE doc_id % $benchmarkMod <> 0
          |GROUP BY doc_id""".stripMargin) { (s, d) =>
       decontaminate(Tables.documents(s, d))
+    },
+
+    Op.sql("text_corpus_health",
+      s"""WITH q AS (
+         |  SELECT source, lang, n_chars, ${hash60Sql("text")} AS fp,
+         |    (least(CAST(${markerCountSql("ws", "en")} AS DOUBLE) * 5 / len(ws), CAST(1 AS DOUBLE))
+         |     + least(CAST(length(text) AS DOUBLE) / 500, CAST(1 AS DOUBLE))
+         |     + CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) / 3 AS quality
+         |  FROM (SELECT source, lang, n_chars, text, string_split(text, ' ') AS ws
+         |        FROM documents)),
+         |c AS (SELECT fp, COUNT(*) AS n_copies FROM q GROUP BY fp)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(CASE WHEN quality >= $healthMinQuality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs,
+         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+         |  COUNT(DISTINCT lang) AS n_langs
+         |FROM q JOIN c USING (fp) GROUP BY source""".stripMargin) { (s, d) =>
+      corpusHealth(Tables.documents(s, d))
+    },
+
+    Op.sql("text_dup_ngram_fraction",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, ${hash60Sql("gram")} AS gh
+         |  FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |        FROM ws WHERE len(ws) >= $contamN)),
+         |f AS (SELECT gh, COUNT(*) AS n_docs FROM g GROUP BY gh)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+         |FROM g JOIN f USING (gh) GROUP BY doc_id""".stripMargin) { (s, d) =>
+      dupNgramFraction(Tables.documents(s, d))
     },
 
     // Bloom-filter decontamination — approximate by design (false positives

@@ -106,6 +106,29 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(Seq(r, f, m).forall(s => s >= 1 && s <= 5)) }
   }
 
+  test("market basket: pair counts, lift arithmetic, min-support and basket cap") {
+    import spark.implicits._
+    // orders: 1:{10,20,30} 2:{10,20} 3:{20,30} 4:{10,20} (+ dup row, dedup'd)
+    val base = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L),
+      (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 20L))
+    // a degenerate mega-basket above the cap must drop out entirely
+    val mega = (1L to (Analytics.basketMaxItems + 1).toLong).map(p => (99L, 1000L + p))
+    val oi = (base ++ mega).toDF("order_id", "product_id")
+    val out = Analytics.marketBasket(oi).collect()
+      .map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) ->
+        ((r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Double]("lift"))))
+      .toMap
+    // (10,30) co-occurs once → below min support; mega-basket pairs absent
+    assert(out.keySet == Set((10L, 20L), (20L, 30L)))
+    // n_orders = 4 (mega-basket excluded from the denominator too)
+    assert(out((10L, 20L)) == ((3L, 3L, 4L, 3.0 * 4 / (3 * 4))))
+    assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
+  }
+
   test("approx uniques within 15% of exact counts per date") {
     val approx = Analytics.dailyUniquesApprox(Tables.ordersDomain(spark, TestSession.sf))
       .collect().map(r => r.getDate(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -93,6 +93,26 @@ class EventSpec extends AnyFunSuite {
       ("2024-01-15", 0L) -> 1L)) // user 3's own cohort
   }
 
+  test("latest per user: max_by survivor, ties break on event_id") {
+    import spark.implicits._
+    // user 1: two events share the max ts — the higher event_id wins
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "click", 2.0, ""),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "buy", 3.0, ""),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 4.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = EventOps.latestPerUser(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("last_event_id"), r.getAs[String]("last_event_type"),
+          r.getAs[Long]("n_events"))))
+      .toMap
+    assert(m == Map(1L -> ((3L, "click", 3L)), 2L -> ((4L, "view", 1L))))
+    // no Window/sort in the plan — the whole point of the max_by shape
+    val plan = EventOps.latestPerUser(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "latestPerUser must not plan a window sort")
+  }
+
   test("user stats: counts, distinct types, exact value sum") {
     val u = EventOps.userStats(events).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),

@@ -175,6 +175,25 @@ class PlanSpec extends AnyFunSuite {
       s"split scan read $readCols — should read only the key")
   }
 
+  test("market basket pairs explode from per-order arrays — no order-keyed self-join") {
+    // the oracle's self-join formulation shuffles the fact table twice on
+    // order_id and explodes quadratically on a skewed mega-basket; the
+    // engine's plan must pair up inside each basket array instead, so the
+    // only joins left are on the (tiny, min-support-pruned) pair aggregate
+    val df = graft.operators.Analytics.marketBasket(
+      Tables.orderItems(spark, TestSession.sf))
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joinKeyNames = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        (j.leftKeys ++ j.rightKeys).flatMap(_.references.map(_.name))
+    }.flatten
+    assert(!joinKeyNames.contains("order_id"),
+      s"pairs must come from per-order arrays, not an order-keyed self-join: $joinKeyNames")
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 

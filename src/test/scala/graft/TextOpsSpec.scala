@@ -213,6 +213,72 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ranks.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(Array(1L, 2L))))
   }
 
+  test("dup ngram fraction: shared vs unique 5-grams, short docs excluded") {
+    // doc 1: grams {a b c d e, b c d e f}; doc 2 shares only the first;
+    // doc 3 is fully unique; doc 4 is too short to have any 5-gram
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e x",
+      3L -> "p q r s t u",
+      4L -> "too short")
+    val out = TextOps.dupNgramFraction(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("dup_frac"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("corpus health: dup and quality counts roll up per source") {
+    val good = (1 to 60).map(i => if (i % 7 == 0) "the" else s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, good, "en", "a", good.length.toLong),
+      (2L, good, "en", "a", good.length.toLong),  // exact duplicate of 1
+      (3L, "zz zz", "de", "a", 5L),
+      (4L, "yy yy", "en", "b", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val h = TextOps.corpusHealth(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("n_langs"), r.getAs[Double]("avg_chars"))))
+      .toMap
+    val aChars = (2 * good.length + 5).toDouble / 3
+    assert(h("a") == ((3L, 2L, 2L, aChars)))
+    assert(h("b") == ((1L, 0L, 1L, 5.0)))
+    // both copies of the good doc clear the threshold; the short ones don't
+    val nq = TextOps.corpusHealth(d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_quality_docs")).toMap
+    assert(nq == Map("a" -> 2L, "b" -> 0L))
+  }
+
+  test("heavy hitters: exact below saturation, bounded error above it") {
+    // below saturation (vocab << m): the sketch IS the exact count map
+    val small = docs(1L -> "a a a b b c", 2L -> "b c c")
+    val est = TextOps.heavyHittersApprox(small, m = 16, k = 10).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(est == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
+
+    // saturated: hot token (freq 500) + 360 rare singletons, m = 16.
+    // N = 860, bound N/(m+1) ≈ 50.6 — the hot token MUST survive with an
+    // undercount of at most the bound, across the map-side merge tree
+    // (repartition(8) forces real partial-sketch merges).
+    val hot = Seq.fill(500)("hot") ++ (1 to 360).map(i => s"rare$i")
+    val corpus = docs(hot.zipWithIndex.map { case (w, i) =>
+      (i + 1).toLong -> w }: _*).repartition(8)
+    val n = hot.size
+    val m = 16
+    val bound = n.toDouble / (m + 1)
+    val sat = TextOps.heavyHittersApprox(corpus, m = m, k = m).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(sat.contains("hot"), s"true heavy hitter evicted: $sat")
+    val e = sat("hot")
+    assert(e <= 500 && e >= 500 - bound.ceil.toLong,
+      s"estimate $e outside [${500 - bound.ceil.toLong}, 500]")
+  }
+
   test("curate keeps only canonical, on-language, quality-clearing docs") {
     val good = (1 to 60).map(i => if (i % 7 == 0) "the" else s"w$i").mkString(" ") // has stopwords, diverse
     val d = docs(1L -> good, 2L -> good, 3L -> "zz zz zz zz")
