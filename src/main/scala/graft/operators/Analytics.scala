@@ -212,40 +212,52 @@ object Analytics {
   /** Market-basket co-occurrence: product pairs bought together, with lift.
     *
     * Scale shape: ONE shuffle reduces order_items to per-order sorted
-    * distinct product arrays, then pairs explode narrowly from each array —
-    * replication is C(basket,2), bounded by [[basketMaxItems]] (a degenerate
-    * mega-basket — a crawler account, a data bug — would otherwise explode
-    * quadratically; dropping it is the documented contract, same philosophy
-    * as the dedup family's blocking caps). The self-join formulation the
-    * oracle uses would shuffle the item table twice and hit the same skew
-    * wall un-capped. Per-product order counts ride the same pre-aggregated
-    * baskets; the final lift ranking sorts only the surviving pair
-    * aggregate (vocabulary-sized, min-support-pruned), never the fact table.
-    * Lift = c12·N / (c1·c2) computed in exact integers with a single IEEE
-    * division, so the DuckDB oracle matches bit-for-bit.
+    * distinct product arrays; a second, single shuffle aggregates EVERYTHING
+    * the lift formula needs at once — each basket emits a tagged union of
+    * its (i < j) pairs, its single items, and one order-marker row, so pair
+    * counts, per-product counts, and the order total come out of one hash
+    * aggregate with no persist of the basket frame (at corpus scale a cached
+    * basket frame re-read three times is recompute or spill; here it is
+    * consumed exactly once). Pair replication is C(basket,2), bounded by
+    * [[basketMaxItems]] (a degenerate mega-basket — a crawler account, a
+    * data bug — would otherwise explode quadratically; dropping it is the
+    * documented contract, same philosophy as the dedup family's blocking
+    * caps). The self-join formulation the oracle uses would shuffle the item
+    * table twice and hit the same skew wall un-capped. The count split and
+    * the lift join touch only the count aggregate (vocabulary-sized), never
+    * the fact table, and the final ranking sorts only the min-support
+    * survivors. Lift = c12·N / (c1·c2) computed in exact integers with a
+    * single IEEE division, so the DuckDB oracle matches bit-for-bit.
     */
   val basketMinSupport = 2
   val basketMaxItems = 100
   val basketK = 50
 
   def marketBasket(orderItems: DataFrame): DataFrame = {
+    val pidType = orderItems.schema("product_id").dataType
+    val pnull = lit(null).cast(pidType)
     val baskets = orderItems
       .groupBy(col("order_id"))
       .agg(array_sort(collect_set(col("product_id"))).as("items"))
       .filter(size(col("items")) <= basketMaxItems)
-      .persist()
-    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-    val prodCounts = baskets
-      .select(explode(col("items")).as("product_id"))
-      .groupBy(col("product_id")).agg(count(lit(1)).as("c"))
-    // all (i < j) pairs from the sorted array, generated in-partition
-    val pairs = baskets
-      .select(explode(flatten(transform(col("items"), (x, i) =>
-        transform(slice(col("items"), i + lit(2), size(col("items"))),
-          y => struct(x.as("p1"), y.as("p2")))))).as("pair"))
-      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
-      .agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= basketMinSupport)
+    // tagged union per basket: (null,null) marks the order, (x,null) each
+    // item, (x,y) each sorted pair — one explode, one aggregate, all grains
+    val counts = baskets
+      .select(explode(concat(
+        array(struct(pnull.as("p1"), pnull.as("p2"))),
+        transform(col("items"), x => struct(x.as("p1"), pnull.as("p2"))),
+        flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("p1"), y.as("p2"))))))).as("t"))
+      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // aggregate-sized (vocab + pruned pairs), read three ways
+    val nOrders = counts.filter(col("p1").isNull && col("p2").isNull)
+      .select(col("c").as("n_orders"))
+    val prodCounts = counts.filter(col("p1").isNotNull && col("p2").isNull)
+      .select(col("p1").as("product_id"), col("c"))
+    val pairs = counts.filter(col("p2").isNotNull && col("c") >= basketMinSupport)
+      .select(col("p1"), col("p2"), col("c").as("c12"))
     val out = pairs
       .join(prodCounts.withColumnRenamed("product_id", "p1").withColumnRenamed("c", "c1"), "p1")
       .join(prodCounts.withColumnRenamed("product_id", "p2").withColumnRenamed("c", "c2"), "p2")

@@ -67,6 +67,58 @@ object EventOps {
         col("last.value").as("last_value"),
         col("n_events"))
 
+  /** Event-type transition matrix (first-order Markov): for every observed
+    * (from → to) pair of CONSECUTIVE events within a user's timeline, the
+    * transition count and the conditional probability P(to | from).
+    *
+    * Scale shape: one shuffle on user_id with an in-partition (ts, event_id)
+    * sort — the inherent cost of sequence analysis; per-user history is the
+    * natural unit and never crosses executors. Everything after the `lead`
+    * collapses to type-pair grain (|event types|² rows), so the probability
+    * window runs over a dashboard-sized frame. p = n / total is two exact
+    * integers under one IEEE division → bit-identical to the oracle.
+    */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast(DoubleType))
+  }
+
+  /** Gaps-and-islands run-length encoding: each user's timeline split into
+    * maximal runs of the SAME event_type (run_seq is the 1-based run index,
+    * with the run's bounds and length) — the classic sessionless sequence
+    * compaction (bot detection: long single-type runs; engagement: type
+    * switching cadence).
+    *
+    * Scale shape: the same single user-keyed shuffle as [[typeTransitions]];
+    * the change-flag + running-sum windows and the final run aggregate all
+    * share that one partitioning, so Catalyst plans ONE exchange and the
+    * run groupBy needs no second shuffle (user_id is a prefix of the
+    * grouping key... the aggregate is partial map-side either way).
+    */
+  def typeRuns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_seq", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("run_seq"))
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts")).as("run_start"),
+        max(col("ts")).as("run_end"),
+        count(lit(1)).as("run_len"))
+  }
+
   def hourlyRollup(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
@@ -252,6 +304,37 @@ object EventOps {
          |       event_type AS last_event_type, value AS last_value, n_events
          |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
       latestPerUser(Tables.events(s, d))
+    },
+
+    Op.sql("events_type_transitions",
+      s"""WITH $eventsCte,
+         |nx AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM ev),
+         |t AS (SELECT from_type, to_type, COUNT(*) AS n FROM nx
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         |FROM t""".stripMargin) { (s, d) =>
+      typeTransitions(Tables.events(s, d))
+    },
+
+    Op.sql("events_type_runs",
+      s"""WITH $eventsCte,
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN LAG(event_type) OVER w IS NULL
+         |           OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |runs AS (
+         |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_seq
+         |  FROM flagged)
+         |SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq,
+         |       MIN(event_type) AS event_type,
+         |       MIN(ts) AS run_start, MAX(ts) AS run_end, COUNT(*) AS run_len
+         |FROM runs GROUP BY user_id, run_seq""".stripMargin) { (s, d) =>
+      typeRuns(Tables.events(s, d))
     },
 
     Op.sql("events_sessions",

@@ -94,6 +94,30 @@ object Relational {
       .withColumn("weight", lit(1000).cast(DoubleType) / col("rate"))
   }
 
+  /** Sample size for [[bottomKUniform]]. */
+  val uniformK = 1000
+
+  /** Deterministic uniform k-sample: the k rows with the smallest seeded
+    * content hash — bottom-k sampling, the distributed reservoir. Ranking by
+    * a hash of the key is a uniform permutation of the table, so the result
+    * is an exact uniform sample without replacement, reproducible on any
+    * partitioning and stable under reruns (`df.sample`'s per-partition RNG
+    * changes membership whenever partitioning does).
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * each task keeps only its own k smallest rows in a bounded heap and the
+    * singleton merge sees tasks × k candidates; the table is never globally
+    * sorted and never shuffles on a data key (PlanSpec locks the shape).
+    * Growing the corpus only swaps members at the hash boundary.
+    */
+  def bottomKUniform(orders: DataFrame, k: Int = uniformK): DataFrame =
+    orders.select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        hexToLong(md5(concat(col("o_orderkey").cast(StringType), lit("|u1"))), 1).as("skey"))
+      .orderBy(col("skey"), col("order_id"))
+      .limit(k)
+
   def ops: Seq[Op] = Seq(
     // The domain views themselves are the P1/P2 projection layer.
     Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
@@ -172,6 +196,13 @@ object Relational {
          |  FROM orders)
          |WHERE bucket < rate""".stripMargin
     }) { (s, d) => stratifiedSample(Tables.orders(s, d)) },
+
+    Op.sql("sample_bottomk_uniform",
+      s"""SELECT o_orderkey AS order_id, o_custkey AS user_id,
+         |       ${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR) || '|u1')", 1)} AS skey
+         |FROM orders ORDER BY skey, order_id LIMIT $uniformK""".stripMargin) { (s, d) =>
+      bottomKUniform(Tables.orders(s, d))
+    },
 
     // Set operations (EXCEPT/INTERSECT): customers active in 1995 but not
     // 1996, and in both — capabilities the reference lacks entirely.

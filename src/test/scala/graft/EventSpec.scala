@@ -113,6 +113,46 @@ class EventSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "latestPerUser must not plan a window sort")
   }
 
+  test("type transitions: consecutive bigrams per user, conditional probability") {
+    import spark.implicits._
+    // user 1: view → click → view;  user 2: view → buy
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0, ""),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "view", 1.0, ""),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, ""),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "buy", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t = EventOps.typeTransitions(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    // user boundaries never produce a transition (user 1's last → user 2's first)
+    assert(t == Map(
+      ("view", "click") -> ((1L, 0.5)), ("view", "buy") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
+  test("type runs: maximal same-type islands with bounds and lengths") {
+    import spark.implicits._
+    // user 1: view view click view → 3 runs; user 2: buy → 1 run
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0, ""),
+      (4L, ts("2024-01-01 10:15:00"), 1L, "view", 1.0, ""),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "buy", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val runs = EventOps.typeRuns(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_seq")) ->
+        ((r.getAs[String]("event_type"), r.getAs[Timestamp]("run_start"),
+          r.getAs[Timestamp]("run_end"), r.getAs[Long]("run_len")))).toMap
+    assert(runs == Map(
+      (1L, 1L) -> (("view", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2L)),
+      (1L, 2L) -> (("click", ts("2024-01-01 10:10:00"), ts("2024-01-01 10:10:00"), 1L)),
+      (1L, 3L) -> (("view", ts("2024-01-01 10:15:00"), ts("2024-01-01 10:15:00"), 1L)),
+      (2L, 1L) -> (("buy", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L))))
+  }
+
   test("user stats: counts, distinct types, exact value sum") {
     val u = EventOps.userStats(events).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),

@@ -194,6 +194,26 @@ class PlanSpec extends AnyFunSuite {
       s"pairs must come from per-order arrays, not an order-keyed self-join: $joinKeyNames")
   }
 
+  test("bottom-k uniform sample: bounded TakeOrdered plan, membership = sort prefix") {
+    val orders = Tables.orders(spark, TestSession.sf)
+    val df = graft.operators.Relational.bottomKUniform(orders, 25)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // per-task bounded heap + singleton merge — never a global SortExec over the table
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject, got:\n$plan")
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "bottom-k must not globally sort the table")
+    // membership equals the true k-smallest by (skey, order_id)
+    val got = df.collect().map(r => (r.getAs[Long]("skey"), r.getAs[Long]("order_id"))).toSet
+    val want = graft.operators.Relational.bottomKUniform(orders, 1000000)
+      .collect().map(r => (r.getAs[Long]("skey"), r.getAs[Long]("order_id")))
+      .sorted.take(25).toSet
+    assert(got == want)
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 
