@@ -42,6 +42,53 @@ object Portable {
   def hexToLongSql(digest: String, start: Int): String =
     s"CAST(('0x'||substr($digest,$start,15)) AS BIGINT)"
 
+  /** Bit positions for an MSB-aligned Morton (Z-order) interleave of an
+    * `aBits`-bit and a `bBits`-bit value: most-significant bits of BOTH
+    * dimensions land in the top positions of the key, alternating while both
+    * have bits left. Plain LSB interleaving would let the wider dimension's
+    * high bits monopolize the top of the key — a Z-sort would then degrade
+    * to a single-column sort and the narrow dimension would never cluster.
+    */
+  private def zorderPositions(aBits: Int, bBits: Int): (Array[Int], Array[Int]) = {
+    val pa = new Array[Int](aBits)
+    val pb = new Array[Int](bBits)
+    var pos = aBits + bBits - 1
+    (0 until math.max(aBits, bBits)).foreach { d =>
+      if (d < aBits) { pa(aBits - 1 - d) = pos; pos -= 1 }
+      if (d < bBits) { pb(bBits - 1 - d) = pos; pos -= 1 }
+    }
+    (pa, pb)
+  }
+
+  /** Morton (Z-order) clustering key over the low `aBits`/`bBits` bits of
+    * two non-negative integer columns — sorting by it keeps BOTH dimensions
+    * locally narrow, so parquet file/row-group min-max stats prune scans
+    * filtered on EITHER column (a single-column sort leaves the other
+    * dimension full-range in every file; see [[graft.sources.Layout]]).
+    * Pure integer shift/mask arithmetic, bit-identical in any engine.
+    * Callers size the bit widths from column stats (values above the width
+    * alias into the same key range — harmless for layout, but widths should
+    * cover the domain for best clustering).
+    */
+  def zorderKey(a: Column, aBits: Int, b: Column, bBits: Int): Column = {
+    val (pa, pb) = zorderPositions(aBits, bBits)
+    val terms =
+      pa.zipWithIndex.map { case (p, j) =>
+        shiftright(a.cast(LongType), j).bitwiseAND(lit(1L)) * lit(1L << p) } ++
+      pb.zipWithIndex.map { case (p, j) =>
+        shiftright(b.cast(LongType), j).bitwiseAND(lit(1L)) * lit(1L << p) }
+    terms.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[zorderKey]]. */
+  def zorderKeySql(a: String, aBits: Int, b: String, bBits: Int): String = {
+    val (pa, pb) = zorderPositions(aBits, bBits)
+    val terms =
+      pa.zipWithIndex.map { case (p, j) => s"((($a) >> $j) & 1) * ${1L << p}" } ++
+      pb.zipWithIndex.map { case (p, j) => s"((($b) >> $j) & 1) * ${1L << p}" }
+    terms.mkString("(", " + ", ")")
+  }
+
   /** Word n-gram shingles of a (pre-split) words array, deduplicated.
     * Caller must ensure `size(words) >= n` (Spark's `sequence(1, k)` with k<1
     * would count DOWN; the ops filter short docs out explicitly on both sides).

@@ -118,6 +118,31 @@ object Relational {
       .orderBy(col("skey"), col("order_id"))
       .limit(k)
 
+  /** Sample size for [[weightedPrioritySample]]. */
+  val priorityK = 500
+
+  /** Deterministic weighted sample without replacement (sequential Poisson /
+    * priority sampling, Ohlsson 1998): rank every row by
+    * `priority = u / w` where `u` is its seeded content hash (a fixed
+    * uniform) and `w` its weight, keep the k smallest — heavy rows get
+    * proportionally small priorities, so inclusion probability is
+    * approximately proportional to weight, and membership is reproducible
+    * on any partitioning. `priority` is one IEEE division of a hash-derived
+    * integer by the weight both engines read identically from parquet, so
+    * the oracle matches bit-for-bit.
+    *
+    * Scale shape: same bounded TakeOrdered plan as [[bottomKUniform]] — a
+    * per-task k-heap and a singleton merge; no global sort, no RNG state.
+    */
+  def weightedPrioritySample(orders: DataFrame, k: Int = priorityK): DataFrame =
+    orders.select(
+        col("o_orderkey").as("order_id"),
+        col("o_totalprice").as("weight"),
+        (hexToLong(md5(concat(col("o_orderkey").cast(StringType), lit("|w1"))), 1)
+          .cast(DoubleType) / col("o_totalprice")).as("priority"))
+      .orderBy(col("priority"), col("order_id"))
+      .limit(k)
+
   def ops: Seq[Op] = Seq(
     // The domain views themselves are the P1/P2 projection layer.
     Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
@@ -196,6 +221,28 @@ object Relational {
          |  FROM orders)
          |WHERE bucket < rate""".stripMargin
     }) { (s, d) => stratifiedSample(Tables.orders(s, d)) },
+
+    // Z-order clustering key (the layout side lives in sources/Layout): the
+    // oracle pins the MSB-aligned interleave arithmetic bit-for-bit.
+    Op.sql("layout_zorder_key",
+      s"""SELECT l_orderkey AS order_id, l_partkey AS product_id,
+         |       l_suppkey AS supplier_id,
+         |       ${zorderKeySql("l_partkey", 16, "l_suppkey", 16)} AS z
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("supplier_id"),
+        zorderKey(col("l_partkey"), 16, col("l_suppkey"), 16).as("z"))
+    },
+
+    Op.sql("sample_weighted_priority",
+      s"""SELECT o_orderkey AS order_id, o_totalprice AS weight,
+         |  CAST(${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR) || '|w1')", 1)} AS DOUBLE)
+         |    / o_totalprice AS priority
+         |FROM orders ORDER BY priority, order_id LIMIT $priorityK""".stripMargin) { (s, d) =>
+      weightedPrioritySample(Tables.orders(s, d))
+    },
 
     Op.sql("sample_bottomk_uniform",
       s"""SELECT o_orderkey AS order_id, o_custkey AS user_id,

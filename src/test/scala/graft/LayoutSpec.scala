@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Portable.zorderKey
+import graft.sources.{Layout, Tables}
+
+/** Z-order clustered layout: after a Z-write on (partkey, suppkey), EVERY
+  * file covers a narrow rectangle in both dimensions — so min-max stats can
+  * prune scans filtered on either column. The single-column baseline layout
+  * clusters only its sort column and leaves the other full-range per file.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  /** Mean per-file normalized min-max width of `c` over the files of a
+    * parquet dir — the fraction of the column's full range a scan of that
+    * file cannot rule out.
+    */
+  private def meanFileWidth(dir: String, c: String, lo: Long, hi: Long): Double = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, s"expected multiple files in $dir")
+    val widths = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble / (hi - lo)
+    }
+    widths.sum / widths.length
+  }
+
+  test("z-order write keeps BOTH dimensions narrow per file; single-sort leaves one full-range") {
+    val li = Tables.lineitem(spark, TestSession.sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val base = Files.createTempDirectory("graft-layout").toString
+    // partkey spans 8 bits, suppkey 4 at this SF (widths from table stats)
+    Layout.zorderWrite(li, "l_partkey", 8, "l_suppkey", 4, s"$base/z", 16)
+    Layout.sortedWrite(li, "l_partkey", s"$base/single", 16)
+
+    val zPart = meanFileWidth(s"$base/z", "l_partkey", 0, 199)
+    val zSupp = meanFileWidth(s"$base/z", "l_suppkey", 0, 9)
+    val sPart = meanFileWidth(s"$base/single", "l_partkey", 0, 199)
+    val sSupp = meanFileWidth(s"$base/single", "l_suppkey", 0, 9)
+
+    // z-layout: both dimensions clustered — skippable on either filter
+    assert(zPart <= 0.6, s"z-layout partkey width $zPart")
+    assert(zSupp <= 0.6, s"z-layout suppkey width $zSupp")
+    // baseline: its sort column is tight but the other dimension is useless
+    assert(sPart <= 0.2, s"single-sort partkey width $sPart")
+    assert(sSupp >= 0.9, s"single-sort suppkey width $sSupp — expected full-range")
+  }
+
+  test("zorder key: MSB-aligned interleave orders the plane in Morton order") {
+    import spark.implicits._
+    // 2-bit × 2-bit: z of (a,b) must be a1 b1 a0 b0
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L), (3L, 3L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), zorderKey(col("a"), 2, col("b"), 2).as("z"))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z == Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 1L) -> 3L,
+      (2L, 0L) -> 8L, (0L, 2L) -> 4L, (3L, 3L) -> 15L))
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.{avg, col}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -212,6 +213,20 @@ class PlanSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("skey"), r.getAs[Long]("order_id")))
       .sorted.take(25).toSet
     assert(got == want)
+  }
+
+  test("weighted priority sample: heavy rows overrepresented, rerun-stable on any partitioning") {
+    val orders = Tables.orders(spark, TestSession.sf)
+    val sampled = graft.operators.Relational.weightedPrioritySample(orders, 100).collect()
+    // inclusion ∝ weight ⇒ the sample's mean weight must exceed the population's
+    val meanW = sampled.map(_.getAs[Double]("weight")).sum / sampled.length
+    val overall = orders.agg(avg(col("o_totalprice"))).head.getDouble(0)
+    assert(meanW > overall,
+      s"weighted sample mean $meanW not above population mean $overall")
+    // membership is a pure function of content — partitioning must not matter
+    val re = graft.operators.Relational.weightedPrioritySample(orders.repartition(13), 100)
+      .collect().map(_.getAs[Long]("order_id")).toSet
+    assert(re == sampled.map(_.getAs[Long]("order_id")).toSet)
   }
 
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
