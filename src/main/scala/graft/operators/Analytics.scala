@@ -233,6 +233,54 @@ object Analytics {
   val basketMaxItems = 100
   val basketK = 50
 
+  /** Product-popularity histogram: products bucketed by floor(log2(order
+    * count)) — the standard power-law profile of a catalog (how heavy is the
+    * head, how long is the tail). Bucket = binary-digit-count − 1, exact
+    * integer arithmetic on both engines (a float log2 would disagree at the
+    * exact powers of two).
+    *
+    * Scale shape: one product-grain aggregate, then a histogram-sized one;
+    * skew lands in `count(distinct)` partial aggregation, never a sort.
+    */
+  def popularityHistogram(orderItems: DataFrame): DataFrame =
+    orderItems
+      .groupBy(col("product_id"))
+      .agg(countDistinct(col("order_id")).as("n_orders"))
+      .withColumn("bucket", (length(conv(col("n_orders"), 10, 2)) - 1).cast(IntegerType))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_products"),
+        sum(col("n_orders")).as("orders_mass"),
+        min(col("n_orders")).as("min_orders"),
+        max(col("n_orders")).as("max_orders"))
+
+  /** HLL-sketch week-over-week audience overlap: per ISO week, the
+    * approximate count of active users, and — via sketch ALGEBRA
+    * (|A∩B| = |A| + |B| − |A∪B|, the union estimated from merged sketches,
+    * never from rows) — the approximate overlap with the previous week.
+    *
+    * This is what survives 100 TB where an exact self-join of week×users
+    * would shuffle the user universe twice: sketches are a few KB per week,
+    * mergeable map-side, and the join carries sketches, not users. Estimates
+    * are approximate by design → rows-only gate; the error bound vs the
+    * exact intersection is spec-tested.
+    */
+  def weeklyOverlapApprox(events: DataFrame): DataFrame = {
+    val weekly = events
+      .groupBy(date_trunc("week", col("ts")).as("week_start"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    weekly.alias("a")
+      .join(weekly.alias("b"),
+        col("b.week_start") === col("a.week_start") + expr("INTERVAL 7 DAYS"))
+      .select(
+        col("a.week_start").as("week_start"),
+        hll_sketch_estimate(col("a.sk")).as("users_approx"),
+        hll_sketch_estimate(col("b.sk")).as("next_users_approx"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+          .as("overlap_approx"))
+  }
+
   def marketBasket(orderItems: DataFrame): DataFrame = {
     val pidType = orderItems.schema("product_id").dataType
     val pnull = lit(null).cast(pidType)
@@ -374,6 +422,23 @@ object Analytics {
     // span containment on the discrete frequency dimension).
     Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+    },
+
+    Op.sql("analytics_popularity_histogram",
+      s"""${Tables.domainCtes},
+         |pc AS (SELECT product_id, COUNT(DISTINCT order_id) AS n_orders
+         |       FROM order_items GROUP BY 1)
+         |SELECT CAST(length(bin(n_orders)) - 1 AS INTEGER) AS bucket,
+         |       COUNT(*) AS n_products, CAST(SUM(n_orders) AS BIGINT) AS orders_mass,
+         |       MIN(n_orders) AS min_orders, MAX(n_orders) AS max_orders
+         |FROM pc GROUP BY 1""".stripMargin) { (s, d) =>
+      popularityHistogram(Tables.orderItems(s, d))
+    },
+
+    // Sketch estimates are approximate by design → rows-only; the error
+    // bound vs exact intersections is spec-tested (AnalyticsSpec).
+    Op.rowsOnly("analytics_weekly_overlap_approx") { (s, d) =>
+      weeklyOverlapApprox(Tables.events(s, d))
     },
 
     Op.sql("analytics_market_basket",

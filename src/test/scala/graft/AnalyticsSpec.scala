@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, date_trunc}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Analytics, Kpi}
@@ -127,6 +128,42 @@ class AnalyticsSpec extends AnyFunSuite {
     // n_orders = 4 (mega-basket excluded from the denominator too)
     assert(out((10L, 20L)) == ((3L, 3L, 4L, 3.0 * 4 / (3 * 4))))
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
+  }
+
+  test("popularity histogram: exact log2 buckets, including the power-of-two boundary") {
+    import spark.implicits._
+    // product 10 in 1 order (bucket 0), 20 in 2 (bucket 1), 30 in 4 (bucket 2 —
+    // the boundary a float log2 could misplace), 40 in 3 (bucket 1)
+    val oi = (Seq((1L, 10L)) ++ (1 to 2).map(i => (100L + i, 20L)) ++
+      (1 to 4).map(i => (200L + i, 30L)) ++ (1 to 3).map(i => (300L + i, 40L)))
+      .toDF("order_id", "product_id")
+    val h = Analytics.popularityHistogram(oi).collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n_products"), r.getAs[Long]("orders_mass"),
+          r.getAs[Long]("min_orders"), r.getAs[Long]("max_orders")))).toMap
+    assert(h == Map(
+      0 -> ((1L, 1L, 1L, 1L)),
+      1 -> ((2L, 5L, 2L, 3L)),
+      2 -> ((1L, 4L, 4L, 4L))))
+  }
+
+  test("weekly overlap sketch estimates within 15% of exact intersections") {
+    val events = Tables.events(spark, TestSession.sf)
+    val approx = Analytics.weeklyOverlapApprox(events).collect()
+      .map(r => r.getTimestamp(0) ->
+        ((r.getAs[Long]("users_approx"), r.getAs[Long]("overlap_approx")))).toMap
+    assert(approx.nonEmpty)
+    import spark.implicits._
+    val weekly = events.select(date_trunc("week", col("ts")).as("week_start"), col("user_id"))
+      .distinct().collect().groupBy(_.getTimestamp(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    approx.foreach { case (w, (ua, ov)) =>
+      val cur = weekly(w)
+      val next = weekly(new java.sql.Timestamp(w.getTime + 7L * 86400 * 1000))
+      assert(math.abs(ua - cur.size).toDouble <= 0.15 * cur.size, s"$w users $ua vs ${cur.size}")
+      val exact = (cur & next).size
+      assert(math.abs(ov - exact).toDouble <= math.max(0.15 * exact, 3.0), s"$w overlap $ov vs $exact")
+    }
   }
 
   test("approx uniques within 15% of exact counts per date") {
