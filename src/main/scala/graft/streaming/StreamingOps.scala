@@ -98,6 +98,25 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming gap-based sessionization via native `session_window` — the
+    * streaming twin of [[graft.operators.EventOps.sessionWindows]] (same
+    * grouping, same DECIMAL-quantized sum), plus a watermark bounding state:
+    * sessions whose end falls behind the watermark are finalized and their
+    * state evicted, so open-session state is O(active users), not O(stream).
+    * Spark merges overlapping session fragments across micro-batches
+    * incrementally — the semantics the batch lag-formulation can't stream.
+    */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drops events whose `event_id` was already seen
     * within the watermark horizon — the streaming half of the Dedup family
     * (an at-least-once source becomes effectively-once downstream). State is

@@ -131,6 +131,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayedPairs == batch)
   }
 
+  test("streaming session windows converge to the batch session_window answer") {
+    val dir = stageEvents()
+    val q = StreamingOps.runAvailableNow(
+      StreamingOps.sessionRollup(StreamingOps.eventStream(spark, dir)),
+      "sessions_test", Files.createTempDirectory("graft-ckpt7").toString)
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions_test")
+    // identical grouping + DECIMAL-quantized sum, batch execution — the
+    // DuckDB-gated events_session_windows op
+    val batch = EventOps.sessionWindows(Tables.events(spark, TestSession.sf))
+      .select("user_id", "session_start", "n_events", "total_value")
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+  }
+
   test("mapGroupsWithState running user stats equal batch per-user totals") {
     import spark.implicits._
     val dir = stageEvents()
