@@ -125,10 +125,12 @@ object EventOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Gap-based sessionization: a new session starts after > 30 min idle.
-    * Deterministic ordering (ts, event_id) for equal timestamps.
+  /** Session numbering shared by [[sessionize]] and [[sessionPaths]]: the
+    * lag/cumsum gap split. Both windows and the downstream session aggregate
+    * share ONE user-keyed shuffle; ordering (ts, event_id) is deterministic
+    * for equal timestamps.
     */
-  def sessionize(events: DataFrame): DataFrame = {
+  private def numberedSessions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
@@ -138,13 +140,54 @@ object EventOps {
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Gap-based sessionization: a new session starts after > 30 min idle. */
+  def sessionize(events: DataFrame): DataFrame =
+    numberedSessions(events)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("total_value"))
-  }
+
+  /** Per-session ordered action path ("view>click>purchase") — the
+    * behavioral-sequence export a sequence-model training pipeline reads
+    * (each session becomes one training example). The path is assembled
+    * in-group: collect the (ts, event_id, type) structs, `array_sort` (struct
+    * field order = the deterministic session ordering), project the types.
+    *
+    * Scale shape: the same single user-keyed shuffle as [[sessionize]];
+    * per-group state is one session's events — bounded by the 30-min gap
+    * rule, never by user-lifetime history.
+    */
+  def sessionPaths(events: DataFrame): DataFrame =
+    numberedSessions(events)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        concat_ws(">",
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type"))).as("path"))
+
+  /** Top converting session paths: of sessions containing a purchase, the
+    * k most frequent action paths — the funnel-discovery complement of the
+    * fixed-stage [[funnel]]. Deterministic top-k (count desc, path) via
+    * TakeOrdered: after [[sessionPaths]] the frame is path-grain, and the
+    * bounded heap never sorts it globally.
+    */
+  val conversionPathsK = 20
+
+  def conversionPaths(events: DataFrame, k: Int = conversionPathsK): DataFrame =
+    sessionPaths(events)
+      .filter(col("path").contains("purchase"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("total_events"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
 
   /** Sliding event-time windows: 1-hour windows every 30 minutes — each
     * event lands in exactly 2 overlapping windows (length/slide), computed by
@@ -393,6 +436,51 @@ object EventOps {
          |       COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
          |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
       sessionWindows(Tables.events(s, d))
+    },
+
+    Op.sql("events_session_paths",
+      s"""WITH $eventsCte,
+         |gapped AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > $sessionGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM gapped),
+         |numbered AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |       MIN(ts) AS session_start, COUNT(*) AS n_events,
+         |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |FROM numbered GROUP BY user_id, session_seq""".stripMargin) { (s, d) =>
+      sessionPaths(Tables.events(s, d))
+    },
+
+    Op.sql("events_conversion_paths",
+      s"""WITH $eventsCte,
+         |gapped AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > $sessionGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM gapped),
+         |numbered AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged),
+         |paths AS (
+         |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |  FROM numbered GROUP BY user_id, session_seq)
+         |SELECT path, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS total_events
+         |FROM paths WHERE path LIKE '%purchase%'
+         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT $conversionPathsK""".stripMargin) { (s, d) =>
+      conversionPaths(Tables.events(s, d))
     },
 
     Op.sql("events_daily_anomalies",

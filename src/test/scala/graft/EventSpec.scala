@@ -28,6 +28,40 @@ class EventSpec extends AnyFunSuite {
     assert(s.toSeq == Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 10.0)))
   }
 
+  test("session paths: ordered type sequence per session, equal-ts ties on event_id") {
+    // user 3: two events share a timestamp — path order must follow event_id
+    val tied = events.union(Seq(
+      (6L, ts("2024-01-01 12:00:00"), 3L, "cart", 0.0, ""),
+      (5L, ts("2024-01-01 12:00:00"), 3L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val p = EventOps.sessionPaths(tied).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+        ((r.getAs[String]("path"), r.getAs[Long]("n_events")))).toMap
+    assert(p == Map(
+      (1L, 1L) -> (("view>click", 2L)),
+      (1L, 2L) -> (("view", 1L)),
+      (2L, 1L) -> (("buy", 1L)),
+      (3L, 1L) -> (("view>cart", 2L))))
+  }
+
+  test("conversion paths: only purchase-containing sessions, count-desc ties on path") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, ""),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "purchase", 0.0, ""),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0, ""),
+      (4L, ts("2024-01-01 10:01:00"), 2L, "purchase", 0.0, ""),
+      (5L, ts("2024-01-01 10:00:00"), 3L, "purchase", 0.0, ""),
+      (6L, ts("2024-01-01 10:00:00"), 4L, "view", 0.0, "") // never converts
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val c = EventOps.conversionPaths(ev).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("total_events")))
+    assert(c.toSeq == Seq(("view>purchase", 2L, 4L), ("purchase", 1L, 1L)))
+    // k caps the report deterministically
+    assert(EventOps.conversionPaths(ev, k = 1).collect()
+      .map(_.getAs[String]("path")).toSeq == Seq("view>purchase"))
+  }
+
   test("hourly rollup: window start is the hour truncation") {
     val h = EventOps.hourlyRollup(events).collect()
       .map(r => (r.getAs[Timestamp]("hour_start"), r.getAs[String]("event_type"),
