@@ -414,7 +414,7 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // large-star: every neighbor LARGER than u re-attaches to the minimum of
     // u's closed neighborhood — long tails collapse onto small ids. Output
@@ -456,30 +456,26 @@ object Dedup {
     var prev = checksum(edges)
     var converged = prev._1 == 0 // no edges: trivially a (empty) star set
     var iter = 0
-    var retiring: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
-      // persist + the checksum action materializes the round in ONE job;
-      // every 4th round localCheckpoint instead, truncating the growing
-      // lineage (a real cluster job would checkpoint to reliable storage)
-      val round = smallStar(largeStar(edges))
-      val next =
-        if (iter % 4 == 3) round.localCheckpoint()
-        else round.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint EVERY round: materializes the round in one job AND
+      // truncates lineage. Truncation is not optional hygiene here — each
+      // star round references its input frame several times, so an
+      // untruncated logical plan grows multiplicatively per round and the
+      // per-action plan walk (UI description / explain of a tree with that
+      // much sharing) dominates wall time long before execution does. A
+      // real cluster job would checkpoint to reliable storage instead;
+      // superseded round blocks are retired by the ContextCleaner once
+      // unreferenced.
+      val next = smallStar(largeStar(edges)).localCheckpoint()
       val cur = checksum(next)
       // checksum-flat is necessary, not sufficient — confirm set equality
       // exactly (both sides are distinct sets, so equal counts + empty
       // difference ⇔ equal sets); runs ~once, at the fixpoint
       converged = cur == prev && next.exceptAll(edges).isEmpty
-      // the PREVIOUS round's cache fed this round's materialization and the
-      // fixpoint check — only now is it safe to retire (one round late, so
-      // a recompute never cascades through an evicted parent mid-round)
-      retiring.foreach(_.unpersist(false))
-      retiring = Some(edges)
       prev = cur
       edges = next
       iter += 1
     }
-    retiring.foreach(_.unpersist(false))
     // an unconverged exit would silently report one real component as several
     // clusters — fail loudly instead (recovery: raise maxIter; rounds scale
     // with log² n, so hitting this means something is structurally wrong)
@@ -488,7 +484,7 @@ object Dedup {
         s"connected components did not converge within $maxIter rounds")
     // fixpoint is a star forest: non-roots point straight at the component
     // minimum; roots label themselves. Materialized (node-grain, small) so
-    // the round caches can retire before the caller executes its plan.
+    // superseded round blocks can retire before the caller executes its plan.
     val labels = edges.select(col("u").as("node"), col("v").as("label"))
       .union(edges.select(col("v").as("node"), col("v").as("label")))
       .distinct()
@@ -535,6 +531,27 @@ object Dedup {
           .select(col("node").as("doc_id"), col("label").as("cid")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+
+  /** Canonical survivor per near-dup cluster: the highest-quality document
+    * wins (ties → lowest doc_id) — the decision [[clusters]] feeds: not just
+    * WHICH documents duplicate each other but which copy to KEEP. Quality is
+    * [[TextOps.qualityScore]]'s composite (already bit-identical to the
+    * DuckDB oracle), so the argmax is deterministic on both engines.
+    *
+    * Scale shape: one equi-join on doc_id, then one hash aggregate at
+    * cluster grain whose `max_by` keeps ≤1 candidate per cluster per task
+    * map-side — no per-cluster sort, no window over the corpus.
+    */
+  def clusterSurvivors(docs: DataFrame): DataFrame =
+    clusters(docs)
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), -col("doc_id"))).as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("w.doc_id").as("survivor_id"),
+        col("w.quality").as("survivor_quality"), col("cluster_size"))
 
   // --------------------------------------------------------------------------
   // Embedding cosine near-dup (LSH-bucketed)
@@ -656,6 +673,31 @@ object Dedup {
          |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin) { (s, d) =>
       clusters(Tables.documents(s, d))
+    },
+
+    Op.sql("dedup_cluster_survivors",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |cl AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+         |q AS (${TextOps.qualityCteSql}),
+         |ranked AS (
+         |  SELECT cl.cluster_id, cl.doc_id, q.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY q.quality DESC, cl.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_quality,
+         |       cluster_size
+         |FROM ranked WHERE rn = 1""".stripMargin) { (s, d) =>
+      clusterSurvivors(Tables.documents(s, d))
     },
 
     Op.sql("dedup_simhash_docs",

@@ -40,6 +40,17 @@ object TextOps {
     s"len(list_filter($ws, w -> w IN ($set)))"
   }
 
+  /** The composite quality score as a DuckDB CTE body (doc_id, quality) —
+    * the oracle twin of [[qualityExprs]]'s `quality` column, shared by the
+    * curate / corpus-health / cluster-survivor oracles.
+    */
+  private[operators] def qualityCteSql: String =
+    s"""SELECT doc_id,
+       |    (least(CAST(${markerCountSql("ws", "en")} AS DOUBLE) * 5 / len(ws), CAST(1 AS DOUBLE))
+       |     + least(CAST(length(text) AS DOUBLE) / 500, CAST(1 AS DOUBLE))
+       |     + CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) / 3 AS quality
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)""".stripMargin
+
   /** Per-document token statistics (counts, distinct ratio, mean token length). */
   def textStats(docs: DataFrame): DataFrame =
     docs

@@ -172,6 +172,28 @@ class DedupSpec extends AnyFunSuite {
     assert(c(3L) == 3L)                               // unrelated: own cluster
   }
 
+  test("cluster survivors: max quality wins, ties to min doc_id, singletons self-survive") {
+    val q = graft.operators.TextOps.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val cl = Dedup.clusters(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    // first-principles argmax per cluster: (quality desc, doc_id asc)
+    val expected = cl.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.map(_._1)
+      val best = ids.maxBy(id => (q(id), -id))
+      cid -> ((best, q(best), ids.length.toLong))
+    }
+    val got = Dedup.clusterSurvivors(docs).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("survivor_id"), r.getAs[Double]("survivor_quality"),
+          r.getAs[Long]("cluster_size")))).toMap
+    assert(got == expected)
+    // the exact+near dup cluster {0,1,2} resolves to ONE kept copy;
+    // the unrelated doc survives alone
+    assert(got(0L)._3 == 3L)
+    assert(got(3L) == ((3L, q(3L), 1L)))
+  }
+
   test("containment pairs: near-subset found across a length gap Jaccard blocking misses") {
     // doc 11 is doc 10's full prefix — 3× the length apart, so the Jaccard
     // op's size-ratio prefilter would never even pair them
