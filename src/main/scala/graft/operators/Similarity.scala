@@ -260,6 +260,106 @@ object Similarity {
     }.toDF("cell", "dim", "centroid", "n_members")
   }
 
+  // --------------------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric-distance (ADC) search
+  // --------------------------------------------------------------------------
+
+  /** PQ geometry: 64-dim vectors split into [[pqM]] subspaces of
+    * [[pqSubDim]] dims, each quantized to one of [[pqK]] codewords — a
+    * vector compresses from 256 bytes of float32 to [[pqM]] small codes.
+    * That compression is the 100 TB lever: an ADC scan reads the CODES
+    * table (a few bytes per vector) plus one m×k lookup table per query,
+    * never the raw embeddings.
+    */
+  val pqM = 4
+  val pqSubDim = 16
+  val pqK = 16
+
+  /** Driver-resident PQ codebook (like [[kmeansTrain]]'s): codeword j of
+    * subspace s is the s-th slice of vector j — the same deterministic
+    * seeding as [[ivfAssign]]'s coarse quantizer (a per-subspace Lloyd loop
+    * would refine it; the encode/search mechanics are identical). Requires
+    * vec_ids 0..pqK-1 present (the canonical layout of the embeddings
+    * table), so codes index the codebook directly on both engines.
+    */
+  private def pqCodebook(embs: DataFrame): Array[Array[Array[Float]]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = embs.filter(col("vec_id") < pqK)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1)
+    require(base.map(_._1).toSeq == (0L until pqK),
+      s"PQ codebook seeding expects contiguous vec_ids 0..${pqK - 1}")
+    Array.tabulate(pqM)(s => base.map(_._2.slice(s * pqSubDim, (s + 1) * pqSubDim).toArray))
+  }
+
+  /** Scala twin of [[GraftExpressions.qdot]] for driver-side codeword norms. */
+  private def qdotLocal(a: Array[Float], b: Array[Float]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) =>
+      math.floor(x.toDouble * GraftExpressions.Quant).toLong *
+        math.floor(y.toDouble * GraftExpressions.Quant).toLong
+    }.sum
+
+  /** Argmin codeword for subspace `s` — quantized L2²
+    * (x·x − 2x·c + c·c, exact integers) against each codeword literal;
+    * `array_position` of the min takes the FIRST hit, so ties break to the
+    * lowest code on both engines.
+    */
+  private def pqCodeExpr(emb: Column, cbS: Array[Array[Float]], s: Int): Column = {
+    val sub = slice(emb, s * pqSubDim + 1, pqSubDim)
+    val xx = GraftExpressions.qdot(sub, sub)
+    val dists = array(cbS.map { c =>
+      xx - lit(2L) * GraftExpressions.qdot(sub, typedLit(c.toSeq)) + lit(qdotLocal(c, c))
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** One row per vector with its PQ code array — the compressed corpus
+    * representation [[pqAdcTopK]] scans. Zero shuffle: the whole encode is
+    * a narrow codegen projection against the broadcast-free driver-resident
+    * codebook literals.
+    */
+  def pqCodesWide(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val cb = pqCodebook(embs)
+    embs.select(col("vec_id"),
+      array((0 until pqM).map(s => pqCodeExpr(col("embedding"), cb(s), s)): _*).as("codes"))
+  }
+
+  /** [[pqCodesWide]] in flat (vec_id, subspace, code) form for the oracle. */
+  def pqCodes(embs: DataFrame): DataFrame =
+    pqCodesWide(embs)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+
+  /** PQ/ADC top-k: queries keep their EXACT vector; corpus vectors are
+    * replaced by their PQ codes. Each broadcast query row carries its
+    * m×k lookup table (qdot of the query slice against every codeword —
+    * computed once per query), so scoring a pair is [[pqM]] integer array
+    * lookups, not a dot product, over a corpus representation 16× smaller
+    * than the raw floats — the classic Jégou-style ADC scan, exact
+    * integers end to end, hence fully oracle-checked. Approximation error
+    * vs [[bruteForceTopK]] comes only from quantizing the corpus side.
+    */
+  def pqAdcTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val cb = pqCodebook(embs)
+    val lut = array((0 until pqM).map { s =>
+      val qSub = slice(col("q_emb"), s * pqSubDim + 1, pqSubDim)
+      array(cb(s).map(c => GraftExpressions.qdot(qSub, typedLit(c.toSeq))): _*)
+    }: _*)
+    val queries = embs.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("lut"))
+    val adc = (0 until pqM).map { s =>
+      element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = pqCodesWide(embs).join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Semantic near-dup pairs within IVF cells (the SemDeDup shape): candidate
     * pairs share a coarse-quantizer cell, verified by exact quantized cosine
     * ≥ τ. Complements [[Dedup.embeddingNearDups]]: hyperplane LSH buckets are
@@ -310,6 +410,31 @@ object Similarity {
        |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
        |    FROM embeddings e CROSS JOIN cent c)
        |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB CTE chain ending in `coded(vec_id, subspace, code)` + `cb` —
+    * the oracle twin of [[pqCodes]] (1-based inclusive list slices mirror
+    * Spark's `slice`; ORDER BY dist, code mirrors first-hit argmin).
+    */
+  private lazy val pqCodedCtes: String = {
+    def qdistSql(x: String, c: String) =
+      s"(${GraftExpressions.qdotSql(x, x)} - 2*${GraftExpressions.qdotSql(x, c)} + ${GraftExpressions.qdotSql(c, c)})"
+    s"""cb AS (
+       |  SELECT CAST(s.s AS INTEGER) AS subspace, CAST(e.vec_id AS INTEGER) AS code,
+       |         e.embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS c_sub
+       |  FROM embeddings e CROSS JOIN generate_series(0, ${pqM - 1}) s(s)
+       |  WHERE e.vec_id < $pqK),
+       |sub AS (
+       |  SELECT e.vec_id, CAST(s.s AS INTEGER) AS subspace,
+       |         e.embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS x_sub
+       |  FROM embeddings e CROSS JOIN generate_series(0, ${pqM - 1}) s(s)),
+       |coded AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT sub.vec_id, sub.subspace, cb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.subspace
+       |        ORDER BY ${qdistSql("sub.x_sub", "cb.c_sub")}, cb.code) AS rn
+       |    FROM sub JOIN cb USING (subspace))
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   private def bruteForceOracle(kExpr: String): String =
     s"""WITH ev AS (
@@ -417,6 +542,35 @@ object Similarity {
          |    ON b.cell = a.cell AND a.vec_id < b.vec_id)
          |WHERE cos >= ${Dedup.cosineTau}""".stripMargin) { (s, d) =>
       semanticCellPairs(Tables.embeddings(s, d))
+    },
+
+    Op.sql("sim_pq_codes",
+      s"""WITH $pqCodedCtes
+         |SELECT vec_id, subspace, code FROM coded""".stripMargin) { (s, d) =>
+      pqCodes(Tables.embeddings(s, d))
+    },
+
+    Op.sql("sim_topk_pq_adc",
+      s"""WITH $pqCodedCtes,
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         |qsub AS (
+         |  SELECT query_id, CAST(s.s AS INTEGER) AS subspace,
+         |         embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS q_sub
+         |  FROM q CROSS JOIN generate_series(0, ${pqM - 1}) s(s)),
+         |scored AS (
+         |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+         |         CAST(SUM(${GraftExpressions.qdotSql("qs.q_sub", "cb.c_sub")}) AS BIGINT) AS adc
+         |  FROM coded c
+         |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+         |  JOIN qsub qs ON qs.subspace = c.subspace
+         |  WHERE c.vec_id <> qs.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      pqAdcTopK(Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     Op.sql("sim_topk_lsh",

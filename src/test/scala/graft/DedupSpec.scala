@@ -276,6 +276,34 @@ class DedupSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("pq: codewords self-encode; ADC against codeword neighbors is the exact dot") {
+    import graft.functions.GraftExpressions
+    val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val codes = Similarity.pqCodesWide(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toList).toMap
+    // every vector gets pqM codes, each within the codebook
+    assert(codes.values.forall(cs => cs.length == Similarity.pqM &&
+      cs.forall(c => c >= 0 && c < Similarity.pqK)))
+    // codebook seed vectors quantize to themselves in every subspace
+    (0 until Similarity.pqK).foreach { j =>
+      assert(codes(j.toLong) == Seq.fill(Similarity.pqM)(j),
+        s"seed vec $j -> ${codes(j.toLong)}")
+    }
+    // ADC is EXACT for neighbors whose vector IS a codeword reconstruction:
+    // the per-subspace lookups sum to the full quantized dot
+    GraftExpressions.register(spark)
+    val exact = e.filter(col("vec_id") === 17L).select(col("embedding").as("q"))
+      .crossJoin(e.filter(col("vec_id") < Similarity.pqK))
+      .select(col("vec_id"), GraftExpressions.qdot(col("q"), col("embedding")).as("dot"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dot")).toMap
+    val adc = Similarity.pqAdcTopK(e, col("vec_id") === 17L, k = e.count().toInt)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("adc")).toMap
+    (0 until Similarity.pqK).foreach { j =>
+      assert(adc(j.toLong) == exact(j.toLong), s"neighbor $j adc vs exact")
+    }
+  }
+
   test("LSH top-k returns a subset consistent with brute force on the fixture") {
     val sf = TestSession.sf
     val e = graft.sources.Tables.embeddings(spark, sf)
