@@ -483,6 +483,14 @@ object EventOps {
       conversionPaths(Tables.events(s, d))
     },
 
+    // Stored-sketch range uniques: approximate by design (datasketches HLL
+    // has no DuckDB twin) → rows-only; accuracy, incremental-equals-rebuild
+    // and partition pruning are spec-tested (SketchStoreSpec).
+    Op.rowsOnly("events_range_uniques_sketch") { (s, d) =>
+      graft.sources.SketchStore.uniquesBetween(s,
+        graft.sources.SketchStore.ensureFixture(s, d), "2024-01-08", "2024-01-21")
+    },
+
     Op.sql("events_daily_anomalies",
       s"""WITH $eventsCte,
          |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{SketchStore, Tables}
+
+/** The persisted daily-HLL store: accuracy vs exact distinct counts,
+  * incremental ingest ≡ full rebuild, redelivery idempotence, and the
+  * partition-pruned range read.
+  */
+class SketchStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private lazy val events = Tables.events(spark, TestSession.sf)
+
+  test("per-day estimates within 15% of exact distinct users") {
+    val dir = Files.createTempDirectory("graft-sketch").toString + "/daily"
+    SketchStore.buildDaily(events, dir)
+    val approx = SketchStore.dailyEstimates(spark, dir).collect()
+      .map(r => r.getDate(0) -> r.getAs[Long]("users_approx")).toMap
+    val exact = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getDate(0) -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(approx(d) - n).toDouble <= math.max(0.15 * n, 3.0),
+        s"$d: approx ${approx(d)} vs exact $n")
+    }
+  }
+
+  test("range uniques: merged sketches track the exact range distinct; reads prune by day") {
+    val dir = Files.createTempDirectory("graft-sketch2").toString + "/daily"
+    SketchStore.buildDaily(events, dir)
+    val (from, to) = ("2024-01-08", "2024-01-21")
+    val range = SketchStore.uniquesBetween(spark, dir, from, to)
+    val row = range.collect()(0)
+    val exact = events
+      .filter(to_date(col("ts")).between(from, to))
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(row.getAs[Long]("n_days") == 14)
+    val approx = row.getAs[Long]("users_approx")
+    assert(math.abs(approx - exact).toDouble <= math.max(0.15 * exact, 3.0),
+      s"range approx $approx vs exact $exact")
+    // the day range must prune the sketch scan at the partition level —
+    // a range query opens 14 day files, never the whole store (checked on a
+    // fresh plan: post-execution AQE wraps the scan in query stages)
+    val plan = SketchStore.uniquesBetween(spark, dir, from, to)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "day")),
+      s"day range did not become a PartitionFilter: ${scan.partitionFilters}")
+  }
+
+  test("incremental day-wave ingest equals full rebuild; redelivery replaces, never double-counts") {
+    val full = Files.createTempDirectory("graft-sketch3").toString + "/daily"
+    val inc = Files.createTempDirectory("graft-sketch4").toString + "/daily"
+    SketchStore.buildDaily(events, full)
+    // two arrival waves split by day parity — complete days per wave
+    SketchStore.upsertDaily(events.filter(dayofmonth(col("ts")) % 2 === 0), inc)
+    SketchStore.upsertDaily(events.filter(dayofmonth(col("ts")) % 2 === 1), inc)
+    // a full day redelivered: overwrites its partition, estimates unchanged
+    SketchStore.upsertDaily(events.filter(dayofmonth(col("ts")) === 3), inc)
+    def estimates(dir: String) = SketchStore.dailyEstimates(spark, dir).collect()
+      .map(r => (r.getDate(0), r.getAs[Long]("users_approx"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(estimates(inc) == estimates(full))
+    def rangeRow(dir: String) = {
+      val r = SketchStore.uniquesBetween(spark, dir, "2024-01-01", "2024-01-30").collect()(0)
+      (r.getAs[Long]("n_days"), r.getAs[Long]("users_approx"), r.getAs[Long]("n_events"))
+    }
+    assert(rangeRow(inc) == rangeRow(full))
+  }
+}
