@@ -143,6 +143,32 @@ object Relational {
       .orderBy(col("priority"), col("order_id"))
       .limit(k)
 
+  /** Per-group sample size for [[uniformPerDay]]. */
+  val perDayK = 5
+
+  /** Deterministic per-group uniform sample: the k smallest seeded content
+    * hashes WITHIN each group (k orders per order date) — the group-local
+    * [[bottomKUniform]], and the uniform counterpart of
+    * [[TextOps.quotaPerSourceAgg]]'s lowest-id quota. Membership is a pure
+    * function of (order_id, day), so a group's sample only changes when
+    * that group's rows do.
+    *
+    * Scale shape: the rank window partitions by day — each sort is local
+    * to one day's rows, never global. A pathological single-giant-group
+    * corpus takes the bounded TopKAggregator formulation proven in
+    * [[TextOps.quotaPerSourceAgg]] with the hash as the score.
+    */
+  def uniformPerDay(orders: DataFrame, k: Int = perDayK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("day").orderBy("skey", "order_id")
+    orders.select(
+        to_date(col("o_orderdate")).as("day"),
+        col("o_orderkey").as("order_id"),
+        hexToLong(md5(concat(col("o_orderkey").cast(StringType), lit("|g1"))), 1).as("skey"))
+      .withColumn("day_rank", row_number().over(w).cast(LongType))
+      .filter(col("day_rank") <= k)
+  }
+
   def ops: Seq[Op] = Seq(
     // The domain views themselves are the P1/P2 projection layer.
     Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
@@ -249,6 +275,18 @@ object Relational {
          |       ${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR) || '|u1')", 1)} AS skey
          |FROM orders ORDER BY skey, order_id LIMIT $uniformK""".stripMargin) { (s, d) =>
       bottomKUniform(Tables.orders(s, d))
+    },
+
+    Op.sql("sample_uniform_per_day",
+      s"""SELECT day, order_id, skey, day_rank FROM (
+         |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderkey AS order_id,
+         |         ${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR) || '|g1')", 1)} AS skey,
+         |         ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+         |           ORDER BY ${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR) || '|g1')", 1)},
+         |                    o_orderkey) AS day_rank
+         |  FROM orders)
+         |WHERE day_rank <= $perDayK""".stripMargin) { (s, d) =>
+      uniformPerDay(Tables.orders(s, d))
     },
 
     // Set operations (EXCEPT/INTERSECT): customers active in 1995 but not

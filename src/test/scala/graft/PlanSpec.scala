@@ -215,6 +215,31 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("per-day uniform sample: k per group, hash-prefix membership, partition-invariant") {
+    import org.apache.spark.sql.functions.{concat, lit, md5, to_date}
+    val orders = Tables.orders(spark, TestSession.sf)
+    val got = graft.operators.Relational.uniformPerDay(orders, 3).collect()
+      .map(r => (r.getDate(0), r.getAs[Long]("order_id"), r.getAs[Long]("day_rank")))
+    // at most k per day, ranks contiguous from 1
+    val byDay = got.groupBy(_._1)
+    assert(byDay.values.forall(rows =>
+      rows.length <= 3 && rows.map(_._3).sorted.toSeq == (1L to rows.length)))
+    // membership = each day's 3 smallest (skey, order_id) — brute-force check
+    val all = orders.select(
+        to_date(col("o_orderdate")).as("day"), col("o_orderkey").as("order_id"),
+        graft.functions.Portable.hexToLong(
+          md5(concat(col("o_orderkey").cast("string"), lit("|g1"))), 1).as("skey"))
+      .collect().map(r => (r.getDate(0), r.getAs[Long]("skey"), r.getAs[Long]("order_id")))
+    val want = all.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
+      rows.sortBy(r => (r._2, r._3)).take(3).map(r => (d, r._3)).toSeq
+    }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet == want)
+    // membership is a pure function of content — partitioning must not matter
+    val re = graft.operators.Relational.uniformPerDay(orders.repartition(13), 3)
+      .collect().map(r => (r.getDate(0), r.getAs[Long]("order_id"))).toSet
+    assert(re == got.map(r => (r._1, r._2)).toSet)
+  }
+
   test("weighted priority sample: heavy rows overrepresented, rerun-stable on any partitioning") {
     val orders = Tables.orders(spark, TestSession.sf)
     val sampled = graft.operators.Relational.weightedPrioritySample(orders, 100).collect()
