@@ -79,6 +79,38 @@ object Quality {
       expr("percentile(l_quantity, 0.5)").as("qty_p50"),
       expr("percentile(l_quantity, 0.75)").as("qty_p75"))
 
+  /** Edit-distance threshold for [[fuzzyNamePairs]]. */
+  val fuzzyTau = 2
+
+  /** Entity resolution over a name catalog: candidate pairs of DISTINCT
+    * names that share a blocking key (the last name token — "cold bolt" and
+    * "old bolt" block together on "bolt") and verify at
+    * `levenshtein ≤ [[fuzzyTau]]` — the blocked fuzzy-match join that
+    * reconciles vendor catalogs / user-entered names, which the reference's
+    * exact `isin` checks cannot express. Blocking is part of the contract
+    * (as in every dedup op here); the spec brute-forces the fixture to show
+    * the block loses nothing at this τ.
+    *
+    * Scale shape: entity resolution runs on the DISTINCT-name frame (one
+    * hash agg collapses the table to its catalog, with min-key canonical
+    * ids), then one equi-join on the block key; the verify is per-candidate
+    * codegen. No all-pairs: pair work is bounded by block sizes, the
+    * standard ER decomposition.
+    */
+  def fuzzyNamePairs(part: DataFrame, tau: Int = fuzzyTau): DataFrame = {
+    val names = part.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("pid"), count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+      .select(
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("lev"),
+        col("a.pid").as("pid_a"), col("b.pid").as("pid_b"),
+        (col("a.n_parts") + col("b.n_parts")).as("n_parts_affected"))
+      .filter(col("lev") <= tau)
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -118,6 +150,24 @@ object Quality {
         |       quantile_cont(l_quantity, 0.75) AS qty_p75
         |FROM lineitem""".stripMargin) { (s, d) =>
       profileLineitem(Tables.lineitem(s, d))
+    },
+
+    Op.sql("quality_fuzzy_part_pairs",
+      s"""WITH names AS (
+         |  SELECT p_name, MIN(p_partkey) AS pid, COUNT(*) AS n_parts,
+         |         string_split(p_name, ' ')[-1] AS block
+         |  FROM part GROUP BY p_name),
+         |cand AS (
+         |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         |         levenshtein(a.p_name, b.p_name) AS lev,
+         |         a.pid AS pid_a, b.pid AS pid_b,
+         |         a.n_parts + b.n_parts AS n_parts_affected
+         |  FROM names a JOIN names b
+         |    ON a.block = b.block AND a.p_name < b.p_name)
+         |SELECT name_a, name_b, CAST(lev AS INTEGER) AS lev, pid_a, pid_b,
+         |       n_parts_affected
+         |FROM cand WHERE lev <= $fuzzyTau""".stripMargin) { (s, d) =>
+      fuzzyNamePairs(Tables.part(s, d))
     },
 
     // Violating FK with a real payoff: events.user_id is not constrained to

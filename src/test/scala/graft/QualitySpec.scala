@@ -54,6 +54,30 @@ class QualitySpec extends AnyFunSuite {
     assert(salted.count() == 500)
   }
 
+  test("fuzzy name pairs: blocked join finds exactly the brute-force pairs at tau") {
+    val part = graft.sources.Tables.part(spark, TestSession.sf)
+    val got = Quality.fuzzyNamePairs(part).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"),
+        r.getAs[Int]("lev"))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, l) => a < b && l <= Quality.fuzzyTau })
+    // honesty check on the fixture: blocking on the last token must lose
+    // NOTHING vs all-pairs at this tau (a cross-block near-pair would fail here)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = part.select("p_name").distinct().collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= Quality.fuzzyTau
+    } yield (a, b)).toSet
+    assert(got.map(p => (p._1, p._2)) == brute,
+      s"blocked pairs ${got.size} vs brute-force ${brute.size}")
+  }
+
   test("top-N is deterministic under ties (revenue desc, category asc)") {
     val c = Seq(("a", 1.0), ("b", 1.0), ("c", 2.0)).toDF("category", "sale_price")
     val top = Relational.topCategoriesByRevenue(c, 2).collect().map(_.getString(0))
