@@ -596,6 +596,38 @@ object TextOps {
       .groupBy(col("bucket_start"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** Rarity threshold (corpus occurrences) for [[lmCommonness]]. */
+  val rareMaxCount = 2L
+
+  /** Unigram-LM familiarity scoring — the log-free stand-in for the
+    * CCNet/KenLM perplexity filter: per document, the mean corpus frequency
+    * of its tokens (rare-token-heavy text scores low, boilerplate scores
+    * high) and the fraction of tokens occurring ≤ [[rareMaxCount]] times in
+    * the corpus (the OOV-ish signal). Both are exact-integer sums under one
+    * IEEE division, so the scores — unlike a log-probability sum — are
+    * bit-identical across engines and fully oracle-checked.
+    *
+    * Scale shape: the inherent LM-scoring decomposition — one token-grain
+    * aggregate builds the frequency table, then tokens re-join it keyed by
+    * token and collapse back to doc grain. The token join key is Zipf-skewed
+    * by nature; AQE skew-join splits the hot partitions (same lever as every
+    * skewed join here — the vocabulary is far too large to broadcast at
+    * corpus scale).
+    */
+  def lmCommonness(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    toks.join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cf")).as("sum_cf"),
+        (sum(col("cf")).cast(DoubleType) / count(lit(1))).as("mean_cf"),
+        sum(when(col("cf") <= rareMaxCount, 1L).otherwise(0L)).as("n_rare"),
+        (sum(when(col("cf") <= rareMaxCount, 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1))).as("rare_frac"))
+  }
+
   /** Token budget per training pack (power of two: division by it is exact
     * in binary floating point, so the floor lands bit-identically).
     */
@@ -941,6 +973,21 @@ object TextOps {
          |      FROM documents)
          |GROUP BY 1""".stripMargin) { (s, d) =>
       lengthHistogram(Tables.documents(s, d))
+    },
+
+    Op.sql("text_lm_commonness",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |vocab AS (SELECT w, COUNT(*) AS cf FROM toks GROUP BY w)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(cf) AS BIGINT) AS sum_cf,
+         |  CAST(SUM(cf) AS DOUBLE) / COUNT(*) AS mean_cf,
+         |  CAST(SUM(CASE WHEN cf <= $rareMaxCount THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(SUM(CASE WHEN cf <= $rareMaxCount THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS rare_frac
+         |FROM toks JOIN vocab USING (w)
+         |GROUP BY doc_id""".stripMargin) { (s, d) =>
+      lmCommonness(Tables.documents(s, d))
     },
 
     Op.sql("sample_pack_chunks",

@@ -214,6 +214,35 @@ object StreamingOps {
       .start()
   }
 
+  /** The sketch store's ingest as a streaming query: the days present in
+    * each micro-batch of arriving event files drive a day-scoped sketch
+    * recompute over the full static events table, upserted by dynamic
+    * partition overwrite — the [[incrementalDailyKpis]] recompute argument
+    * applied to [[graft.sources.SketchStore]]. Recomputing a day from the
+    * static table is idempotent AND correct under partial-day arrivals
+    * (a day split across micro-batches is simply recomputed twice), so
+    * at-least-once replay still yields exactly-once sketch state.
+    */
+  def incrementalSketchStore(spark: SparkSession, eventsStreamDir: String,
+      staticEvents: DataFrame, sketchDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(eventsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val days = batch.select(to_date(col("ts")).as("d"))
+          .distinct().collect().map(_.getDate(0)).toSeq
+        if (days.nonEmpty)
+          graft.sources.SketchStore.upsertDaily(
+            staticEvents.filter(to_date(col("ts")).isin(days: _*)), sketchDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The reference's incremental-recompute loop as a streaming query
     * (SURVEY.md §2.2.5): each micro-batch of newly-arrived order files drives
     * a date-scoped KPI recompute over the full static tables, upserted by

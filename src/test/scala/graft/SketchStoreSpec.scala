@@ -59,6 +59,25 @@ class SketchStoreSpec extends AnyFunSuite {
       s"day range did not become a PartitionFilter: ${scan.partitionFilters}")
   }
 
+  test("streaming ingest loop converges to the batch-built store, even with days split across batches") {
+    import graft.streaming.StreamingOps
+    val inDir = Files.createTempDirectory("graft-sketch-in").toString
+    val full = Files.createTempDirectory("graft-sketch5").toString + "/daily"
+    val streamed = Files.createTempDirectory("graft-sketch6").toString + "/daily"
+    SketchStore.buildDaily(events, full)
+    // two arrival files split by event PARITY — every day straddles both
+    // micro-batches, exercising the recompute-from-static correctness path
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(inDir)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalSketchStore(spark, inDir, events, streamed,
+      Files.createTempDirectory("graft-ckpt-sk").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    def estimates(dir: String) = SketchStore.dailyEstimates(spark, dir).collect()
+      .map(r => (r.getDate(0), r.getAs[Long]("users_approx"), r.getAs[Long]("n_events")))
+      .toSet
+    assert(estimates(streamed) == estimates(full))
+  }
+
   test("incremental day-wave ingest equals full rebuild; redelivery replaces, never double-counts") {
     val full = Files.createTempDirectory("graft-sketch3").toString + "/daily"
     val inc = Files.createTempDirectory("graft-sketch4").toString + "/daily"

@@ -18,6 +18,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == "hello world x 1")
   }
 
+  test("lm commonness: mean corpus frequency and rare-token fraction, exact arithmetic") {
+    // vocab: a→3, b→1, c→1 (b and c are "rare" at the ≤2 threshold; a is not)
+    val out = TextOps.lmCommonness(docs(1L -> "a a b", 2L -> "a c")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_cf"), r.getAs[Double]("mean_cf"),
+          r.getAs[Long]("n_rare"), r.getAs[Double]("rare_frac")))).toMap
+    assert(out(1L) == ((3L, 7L, 7.0 / 3, 1L, 1.0 / 3)))
+    assert(out(2L) == ((2L, 4L, 2.0, 1L, 0.5)))
+  }
+
   test("edge inputs: empty and single-word docs do not break the stats ops") {
     val d = docs(1L -> "", 2L -> "word", 3L -> "a a a")
     val stats = TextOps.textStats(d).collect().map(r => r.getLong(0) -> r).toMap
