@@ -66,7 +66,11 @@ object Bench {
     // A warm-up failure is surfaced in the output JSON: the first incremental
     // query would silently absorb the build cost otherwise.
     val warmupError: Option[String] =
-      try { operators.Kpi.ensureFixtureStore(spark, sfDir); None }
+      try {
+        operators.Kpi.ensureFixtureStore(spark, sfDir)
+        sources.SketchStore.ensureFixture(spark, sfDir) // same argument: ingest-time
+        None
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] store build failed: ${e.getMessage}")
         Some(s"store build failed: ${e.getMessage}")
