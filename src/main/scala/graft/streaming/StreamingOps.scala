@@ -85,6 +85,80 @@ object StreamingOps {
       }
   }
 
+  /** One open/closed session interval in [[sessionizeStream]]'s state
+    * (event-time micros; the value sum in exact 1e-4 units like
+    * [[UserState]]).
+    */
+  final case class SessAtom(startUs: Long, lastUs: Long, n: Long, totalScaled: Long)
+
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private def tsToUs(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+  private def scaledValue(v: Double): Long =
+    (BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+
+  /** Gap-based sessionization as CUSTOM streaming state — the
+    * flatMapGroupsWithState formulation with event-time timeouts, for
+    * semantics `session_window` can't carry (here: the exact DECIMAL-scaled
+    * sum and the batch twin's session arithmetic; in general: arbitrary
+    * per-session state machines).
+    *
+    * Per user, state is the list of OPEN session intervals. Each batch's
+    * arrivals merge in by the >30-min-gap rule (order-insensitive: session
+    * membership depends only on timestamp gaps, so unordered and cross-batch
+    * arrivals land correctly). A session whose end is more than a gap behind
+    * the watermark can never be extended — it is emitted EXACTLY ONCE and
+    * dropped from state; the event-time timeout re-arms at the oldest open
+    * session's close point so finished sessions flush even when a user goes
+    * quiet. State is O(open sessions per active user), watermark-bounded.
+    *
+    * Emission ≡ the batch [[graft.operators.EventOps.sessionize]] rows whose
+    * `session_end + gap <` the final watermark (spec-locked).
+    */
+  def sessionizeStream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapUs = graft.operators.EventOps.sessionGapUs
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[SessAtom], UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Seq[SessAtom]]) =>
+          val arrivals = batch
+            .map(e => SessAtom(tsToUs(e.ts), tsToUs(e.ts), 1L, scaledValue(e.value)))
+            .toList
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ arrivals)
+            .sortBy(_.startUs).toList match {
+            case Nil => Nil
+            case h :: t =>
+              t.foldLeft(List(h)) { (acc, a) =>
+                val cur = acc.head
+                if (a.startUs - cur.lastUs > gapUs) a :: acc
+                else SessAtom(cur.startUs, math.max(cur.lastUs, a.lastUs),
+                  cur.n + a.n, cur.totalScaled + a.totalScaled) :: acc.tail
+              }.reverse
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(s => s.lastUs + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.lastUs).min / 1000L + gapUs / 1000L + 1L)
+          }
+          closed.iterator.map(s => UserSession(uid, usToTs(s.startUs), usToTs(s.lastUs),
+            s.n, (BigDecimal(s.totalScaled) / 10000).toDouble))
+      }
+  }
+
   /** Drains all currently-available input and stops (the reference's
     * poll-then-process batch trigger, as a streaming query).
     */

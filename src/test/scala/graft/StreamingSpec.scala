@@ -147,6 +147,36 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.count()} batch=${batch.count()}")
   }
 
+  test("flatMapGroupsWithState sessions: exactly the batch sessions closed by the final watermark") {
+    import spark.implicits._
+    val dir = stageEvents()
+    val typed = StreamingOps.eventStream(spark, dir).as[StreamingOps.Event]
+    val q = StreamingOps.runAvailableNow(
+      StreamingOps.sessionizeStream(typed).toDF(),
+      "fsess_test", Files.createTempDirectory("graft-ckpt8").toString,
+      outputMode = "append")
+    q.awaitTermination(180000)
+    val streamed = spark.table("fsess_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    // final watermark = max event time − 30 min; the stream must emit exactly
+    // the batch sessions that closed (end + gap) strictly before it
+    val events = Tables.events(spark, TestSession.sf)
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmUs = maxUs - 30L * 60 * 1000000
+    val gapUs = EventOps.sessionGapUs
+    val expected = EventOps.sessionize(events).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+      .filter(s => s._3.getTime / 1000L * 1000000L + s._3.getNanos / 1000L + gapUs < wmUs)
+      .toSet
+    assert(expected.nonEmpty)
+    assert(streamed == expected,
+      s"streamed ${streamed.size} sessions, expected ${expected.size}")
+  }
+
   test("mapGroupsWithState running user stats equal batch per-user totals") {
     import spark.implicits._
     val dir = stageEvents()
