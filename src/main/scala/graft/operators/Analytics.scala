@@ -233,6 +233,40 @@ object Analytics {
   val basketMaxItems = 100
   val basketK = 50
 
+  /** Price-bucket width and the period split for [[priceDrift]]. */
+  val driftBucketWidth = 10000.0
+  val driftSplitDate = "1998-01-01"
+
+  /** Distribution drift between two order periods (the ML-ops population-
+    * stability check run before retraining on a new data window): order
+    * totals bucketed by [[driftBucketWidth]], per-bucket early/late shares,
+    * and the χ²-style contribution ((p−q)²/(p+q)) per bucket — a log-free
+    * PSI surrogate whose arithmetic is integer counts under a fixed chain of
+    * IEEE operations, hence bit-identical across engines (ln(p/q) would
+    * drift in the last ULP between libm implementations).
+    *
+    * Scale shape: one narrow bucket projection, one bucket-grain aggregate,
+    * and a broadcast 1-row totals frame (the [[TextOps.collocations]]
+    * pattern) — the fact table is scanned once and never joined to itself.
+    */
+  def priceDrift(orders: DataFrame): DataFrame = {
+    val bucketed = orders.select(
+      floor(col("o_totalprice") / lit(driftBucketWidth)).cast(LongType).as("bucket"),
+      (col("o_orderdate") < lit(driftSplitDate).cast(TimestampType)).as("early"))
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_b"))
+    val totals = bucketed.agg(
+      sum(when(col("early"), 1L).otherwise(0L)).as("t_a"),
+      sum(when(!col("early"), 1L).otherwise(0L)).as("t_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (col("n_a").cast(DoubleType) / col("t_a")).as("p"),
+        (col("n_b").cast(DoubleType) / col("t_b")).as("q"))
+      .withColumn("contrib",
+        ((col("p") - col("q")) * (col("p") - col("q"))) / (col("p") + col("q")))
+  }
+
   /** Product-popularity histogram: products bucketed by floor(log2(order
     * count)) — the standard power-law profile of a catalog (how heavy is the
     * head, how long is the tail). Bucket = binary-digit-count − 1, exact
@@ -422,6 +456,27 @@ object Analytics {
     // span containment on the discrete frequency dimension).
     Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+    },
+
+    Op.sql("analytics_price_drift",
+      s"""WITH b AS (
+         |  SELECT CAST(FLOOR(o_totalprice / $driftBucketWidth) AS BIGINT) AS bucket,
+         |         o_orderdate < TIMESTAMP '$driftSplitDate' AS early
+         |  FROM orders),
+         |c AS (SELECT bucket,
+         |        CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |      FROM b GROUP BY bucket),
+         |t AS (SELECT CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS t_a,
+         |             CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS t_b
+         |      FROM b),
+         |pq AS (
+         |  SELECT bucket, n_a, n_b,
+         |         CAST(n_a AS DOUBLE) / t_a AS p, CAST(n_b AS DOUBLE) / t_b AS q
+         |  FROM c CROSS JOIN t)
+         |SELECT bucket, n_a, n_b, p, q, ((p - q) * (p - q)) / (p + q) AS contrib
+         |FROM pq""".stripMargin) { (s, d) =>
+      priceDrift(Tables.orders(s, d))
     },
 
     Op.sql("analytics_popularity_histogram",

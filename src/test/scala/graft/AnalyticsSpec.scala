@@ -130,6 +130,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
   }
 
+  test("price drift: shares sum to 1 per period, contribution is the chi-square form") {
+    val drift = Analytics.priceDrift(Tables.orders(spark, TestSession.sf)).collect()
+    assert(drift.nonEmpty)
+    val (ps, qs) = (drift.map(_.getAs[Double]("p")).sum, drift.map(_.getAs[Double]("q")).sum)
+    assert(math.abs(ps - 1.0) < 1e-9 && math.abs(qs - 1.0) < 1e-9)
+    drift.foreach { r =>
+      val (p, q, c) = (r.getAs[Double]("p"), r.getAs[Double]("q"), r.getAs[Double]("contrib"))
+      assert(c == ((p - q) * (p - q)) / (p + q))
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") > 0)
+    }
+    // an identical-to-itself distribution has zero drift in every bucket
+    val early = Tables.orders(spark, TestSession.sf)
+      .filter(col("o_orderdate") < Analytics.driftSplitDate)
+    val self = Analytics.priceDrift(
+      early.union(early.withColumn("o_orderdate",
+        col("o_orderdate") + org.apache.spark.sql.functions.expr("INTERVAL 10 YEARS"))))
+      .collect()
+    assert(self.forall(_.getAs[Double]("contrib") == 0.0))
+  }
+
   test("popularity histogram: exact log2 buckets, including the power-of-two boundary") {
     import spark.implicits._
     // product 10 in 1 order (bucket 0), 20 in 2 (bucket 1), 30 in 4 (bucket 2 —
