@@ -340,7 +340,7 @@ object Similarity {
     * integers end to end, hence fully oracle-checked. Approximation error
     * vs [[bruteForceTopK]] comes only from quantizing the corpus side.
     */
-  def pqAdcTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+  private def pqAdcScored(embs: DataFrame, queryPred: Column): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
     val cb = pqCodebook(embs)
     val lut = array((0 until pqM).map { s =>
@@ -354,10 +354,36 @@ object Similarity {
     val adc = (0 until pqM).map { s =>
       element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val scored = pqCodesWide(embs).join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    pqCodesWide(embs).join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+  }
+
+  def pqAdcTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    pqAdcScored(embs, queryPred)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[pqAdcTopK]] through the bounded [[TopKAggregator]] — identical rows
+    * (ADC values are ≤ 2^46 integers, exact in the aggregator's double
+    * score), but candidates reduce to ≤ k per task MAP-SIDE before any
+    * shuffle: the window version shuffles |Q|·N scored rows; this one
+    * shuffles |Q|·k·tasks. Combined with the codes-only scan, this is the
+    * full 100 TB ANN read path: compressed corpus in, bounded heaps out.
+    */
+  def pqAdcTopKAgg(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    pqAdcScored(embs, queryPred).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new TopKAggregator[(Long, Long, Long)](k,
+        { case (_, id, adc) => Scored(id, adc.toDouble) }).toColumn)
+      .flatMap { case (q, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) =>
+          (q, s.id, s.score.toLong, i + 1)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc", "rank")
   }
 
   /** Semantic near-dup pairs within IVF cells (the SemDeDup shape): candidate
@@ -435,6 +461,28 @@ object Similarity {
        |    FROM sub JOIN cb USING (subspace))
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** Oracle twin of the ADC scan (shared by the window and aggregator ops). */
+  private lazy val pqAdcOracle: String =
+    s"""WITH $pqCodedCtes,
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |qsub AS (
+       |  SELECT query_id, CAST(s.s AS INTEGER) AS subspace,
+       |         embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS q_sub
+       |  FROM q CROSS JOIN generate_series(0, ${pqM - 1}) s(s)),
+       |scored AS (
+       |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+       |         CAST(SUM(${GraftExpressions.qdotSql("qs.q_sub", "cb.c_sub")}) AS BIGINT) AS adc
+       |  FROM coded c
+       |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+       |  JOIN qsub qs ON qs.subspace = c.subspace
+       |  WHERE c.vec_id <> qs.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $defaultK""".stripMargin
 
   private def bruteForceOracle(kExpr: String): String =
     s"""WITH ev AS (
@@ -550,27 +598,14 @@ object Similarity {
       pqCodes(Tables.embeddings(s, d))
     },
 
-    Op.sql("sim_topk_pq_adc",
-      s"""WITH $pqCodedCtes,
-         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
-         |qsub AS (
-         |  SELECT query_id, CAST(s.s AS INTEGER) AS subspace,
-         |         embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS q_sub
-         |  FROM q CROSS JOIN generate_series(0, ${pqM - 1}) s(s)),
-         |scored AS (
-         |  SELECT qs.query_id, c.vec_id AS neighbor_id,
-         |         CAST(SUM(${GraftExpressions.qdotSql("qs.q_sub", "cb.c_sub")}) AS BIGINT) AS adc
-         |  FROM coded c
-         |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
-         |  JOIN qsub qs ON qs.subspace = c.subspace
-         |  WHERE c.vec_id <> qs.query_id
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+    Op.sql("sim_topk_pq_adc", pqAdcOracle) { (s, d) =>
       pqAdcTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    // Same ADC scan through the bounded aggregator — must equal the window
+    // formulation's oracle exactly (same integer scores, same tie-break).
+    Op.sql("sim_topk_pq_adc_agg", pqAdcOracle) { (s, d) =>
+      pqAdcTopKAgg(Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     Op.sql("sim_topk_lsh",
