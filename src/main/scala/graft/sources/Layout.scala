@@ -42,4 +42,22 @@ object Layout {
     df.repartitionByRange(numFiles, col(c1))
       .sortWithinPartitions(c1)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** Training-reader export: the corpus written as `shard=`-partitioned
+    * parquet with rows in the deterministic
+    * [[graft.operators.TextOps.globalShuffle]] order — one file per shard, so
+    * N data-loader workers each stream one file sequentially and the
+    * concatenation replays the same global permutation on every run (epoch
+    * shuffling without an in-training shuffle buffer). One exchange keyed by
+    * shard; the in-task sort is (shard, pos), never global.
+    */
+  def shuffledExport(docs: DataFrame, outDir: String, shards: Int): Unit = {
+    val positions = graft.operators.TextOps.globalShuffle(docs, shards)
+    docs.join(positions, "doc_id")
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+  }
 }

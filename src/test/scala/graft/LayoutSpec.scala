@@ -52,6 +52,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(sSupp >= 0.9, s"single-sort suppkey width $sSupp — expected full-range")
   }
 
+  test("shuffled export: one file per shard, rows in global-shuffle order, corpus complete") {
+    val docs = Tables.documents(spark, TestSession.sf)
+    val out = Files.createTempDirectory("graft-export").toString + "/shuffled"
+    Layout.shuffledExport(docs, out, shards = 4)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    var seen = Set.empty[Long]
+    shardDirs.foreach { dir =>
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${dir.getName}: expected one file, got ${files.length}")
+      // a sequential read of the single file must replay pos order exactly
+      val rows = spark.read.parquet(files.head.getPath).select("doc_id", "pos")
+        .coalesce(1).collect()
+      val ps = rows.map(_.getAs[Long]("pos"))
+      assert(ps.toSeq == (1L to ps.length), s"${dir.getName} not in pos order")
+      seen ++= rows.map(_.getAs[Long]("doc_id"))
+    }
+    // the export is a permutation of the corpus: nothing lost, nothing doubled
+    assert(seen == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("zorder key: MSB-aligned interleave orders the plane in Morton order") {
     import spark.implicits._
     // 2-bit × 2-bit: z of (a,b) must be a1 b1 a0 b0
