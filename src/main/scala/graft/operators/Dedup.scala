@@ -532,6 +532,23 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
 
+  /** Incremental duplicate clustering: fold a new batch's near-dup pairs
+    * into STORED cluster labels without re-clustering the corpus. A star
+    * forest (node → label) is connectivity-equivalent to the pair set it
+    * was computed from — the union-find invariant — so connected components
+    * over (label edges ∪ batch pairs) yields exactly the labels a full
+    * re-cluster of every pair ever seen would, at the cost of the label
+    * table (node-grain) plus the batch pairs; the historical pair set is
+    * never revisited. Together with [[incrementalMinhashPairs]] this closes
+    * the loop: per batch, hash only the batch, band-join only the batch,
+    * and merge only the batch's pairs.
+    */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    connectedComponents(
+      labels.filter(col("node") =!= col("label"))
+        .select(col("node").as("doc_a"), col("label").as("doc_b"))
+        .union(newPairs.select(col("doc_a"), col("doc_b"))))
+
   /** Canonical survivor per near-dup cluster: the highest-quality document
     * wins (ties → lowest doc_id) — the decision [[clusters]] feeds: not just
     * WHICH documents duplicate each other but which copy to KEEP. Quality is
@@ -627,6 +644,23 @@ object Dedup {
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
+  /** Full-corpus clustering oracle (recursive-CTE reachability + min label),
+    * shared by the one-shot and incremental clustering ops — the incremental
+    * op's contract is exactly "lands on the full re-cluster's labels".
+    */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+       |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op.sql("dedup_exact_groups",
       """SELECT md5(text) AS text_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
@@ -660,19 +694,27 @@ object Dedup {
       incrementalMinhashPairs(docs.filter(pmod(col("doc_id"), lit(7)) === 0), idx)
     },
 
-    Op.sql("dedup_clusters",
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
-         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
-         |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin) { (s, d) =>
+    Op.sql("dedup_clusters", clustersOracleSql) { (s, d) =>
       clusters(Tables.documents(s, d))
+    },
+
+    // The incremental path must land on the SAME labels as a full re-cluster
+    // of the whole corpus — so its oracle IS the full-recluster oracle.
+    Op.sql("dedup_clusters_incremental", clustersOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldDocs = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      // the stored state a production loop carries: the old corpus's labels
+      // and signature index (caller-owned persist, per the contract)
+      val idx = minhashIndex(oldDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = updateClusters(
+        connectedComponents(minhashPairs(oldDocs)),
+        incrementalMinhashPairs(newDocs, idx))
+      docs.select(col("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("label").as("cid")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
     },
 
     Op.sql("dedup_cluster_survivors",

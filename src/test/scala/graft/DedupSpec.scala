@@ -172,6 +172,33 @@ class DedupSpec extends AnyFunSuite {
     assert(c(3L) == 3L)                               // unrelated: own cluster
   }
 
+  test("incremental clustering: label edges + batch pairs reproduce the full re-cluster") {
+    // the hard case: a new doc BRIDGES two stored clusters — {0,1} and {5,6}
+    // must merge into one component labeled by the global minimum
+    val storedLabels = Dedup.connectedComponents(
+      Seq((0L, 1L), (5L, 6L)).toDF("doc_a", "doc_b"))
+    val batchPairs = Seq((1L, 9L), (9L, 5L)).toDF("doc_a", "doc_b")
+    val updated = Dedup.updateClusters(storedLabels, batchPairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(updated == Map(0L -> 0L, 1L -> 0L, 5L -> 0L, 6L -> 0L, 9L -> 0L))
+    // end-to-end on the text fixture: old/new split through the stored
+    // signature index lands on exactly the one-shot clusters
+    val oldDocs = docs.filter($"doc_id" =!= 2L)
+    val newDocs = docs.filter($"doc_id" === 2L)
+    val idx = Dedup.minhashIndex(oldDocs).cache()
+    val labels = Dedup.updateClusters(
+      Dedup.connectedComponents(Dedup.minhashPairs(oldDocs)),
+      Dedup.incrementalMinhashPairs(newDocs, idx))
+    val incremental = docs.select($"doc_id")
+      .join(labels.select($"node".as("doc_id"), $"label".as("cid")), Seq("doc_id"), "left")
+      .select($"doc_id", org.apache.spark.sql.functions.coalesce($"cid", $"doc_id").as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.clusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental == full)
+    idx.unpersist()
+  }
+
   test("cluster survivors: max quality wins, ties to min doc_id, singletons self-survive") {
     val q = graft.operators.TextOps.qualityScore(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
