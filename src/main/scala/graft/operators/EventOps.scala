@@ -284,6 +284,53 @@ object EventOps {
       .filter(abs(col("zscore")) >= anomalyZ)
   }
 
+  /** Weekday-adjusted volume anomalies: each day scored against ITS OWN
+    * weekday's mean/std — the seasonality correction [[dailyAnomalies]]
+    * lacks (a quiet Sunday is normal; the same count on a Tuesday is an
+    * incident). Same exact-integer moment recipe (sqrt is IEEE
+    * correctly-rounded → bit-identical); weekday baselines are a broadcast
+    * 7-row frame. Zero-variance weekdays are excluded on both engines
+    * rather than risking engine-specific division-by-zero semantics.
+    */
+  def weekdayAnomalies(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", dayofweek(col("day")))
+    val st = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+      .filter(col("sxx") * col("n_days") - col("sx") * col("sx") > 0)
+    val mean = col("sx").cast(DoubleType) / col("n_days")
+    val std = sqrt((col("sxx") * col("n_days") - col("sx") * col("sx"))
+      .cast(DoubleType)) / col("n_days")
+    daily.join(broadcast(st), "dow")
+      .select(col("day"), col("dow"), col("n_events"),
+        ((col("n_events").cast(DoubleType) - mean) / std).as("zscore"))
+      .filter(abs(col("zscore")) >= weekdayAnomalyZ)
+  }
+
+  /** Lower than [[anomalyZ]]: per-weekday baselines have ~n/7 samples. */
+  val weekdayAnomalyZ = 1.5
+
+  /** Time-to-convert: for each user, the first view and the first purchase
+    * STRICTLY AFTER it, with the delay in whole seconds — the activation
+    * latency metric. One filtered min-aggregate, one equi-join on user_id,
+    * one more min — the [[funnel]] stage shape, kept to two event types.
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val firstViews = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    events.filter(col("event_type") === "purchase")
+      .join(firstViews, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("ts")).as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_purchase"),
+        expr("(unix_micros(first_purchase) - unix_micros(first_view)) div 1000000")
+          .as("secs_to_convert"))
+  }
+
   /** Weekly retention cohorts: users grouped by the ISO week of their first
     * event; `n_users` counts how many of each cohort are active `week_offset`
     * weeks later — the activation/retention matrix every growth dashboard
@@ -505,6 +552,39 @@ object EventOps {
          |WHERE ABS((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_days)
          |          / (sqrt(CAST(sxx * n_days - sx * sx AS DOUBLE)) / n_days)) >= $anomalyZ""".stripMargin) { (s, d) =>
       dailyAnomalies(Tables.events(s, d))
+    },
+
+    Op.sql("events_weekday_anomalies",
+      s"""WITH $eventsCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+         |          FROM ev GROUP BY 1),
+         |dw AS (SELECT *, CAST(dayofweek(day) + 1 AS INTEGER) AS dow FROM daily),
+         |st AS (SELECT dow, COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS sx,
+         |              CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
+         |       FROM dw GROUP BY dow
+         |       HAVING SUM(n_events * n_events) * COUNT(*) - SUM(n_events) * SUM(n_events) > 0),
+         |z AS (
+         |  SELECT dw.day, dw.dow, dw.n_events,
+         |         (CAST(dw.n_events AS DOUBLE) - CAST(st.sx AS DOUBLE) / st.n_days)
+         |           / (sqrt(CAST(st.sxx * st.n_days - st.sx * st.sx AS DOUBLE)) / st.n_days) AS zscore
+         |  FROM dw JOIN st USING (dow))
+         |SELECT day, dow, n_events, zscore FROM z
+         |WHERE ABS(zscore) >= $weekdayAnomalyZ""".stripMargin) { (s, d) =>
+      weekdayAnomalies(Tables.events(s, d))
+    },
+
+    Op.sql("events_time_to_convert",
+      s"""WITH $eventsCte,
+         |fv AS (SELECT user_id, MIN(ts) AS first_view FROM ev
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |fp AS (SELECT e.user_id, fv.first_view, MIN(e.ts) AS first_purchase
+         |       FROM ev e JOIN fv ON fv.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+         |       GROUP BY e.user_id, fv.first_view)
+         |SELECT user_id, first_view, first_purchase,
+         |       (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000 AS secs_to_convert
+         |FROM fp""".stripMargin) { (s, d) =>
+      timeToConvert(Tables.events(s, d))
     },
 
     Op.sql("events_retention_cohorts",

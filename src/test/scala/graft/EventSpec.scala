@@ -93,6 +93,38 @@ class EventSpec extends AnyFunSuite {
     assert(f("purchase") == ((1L, Some(1.0))))
   }
 
+  test("weekday anomalies: spike flagged against its own weekday; zero-variance weekdays excluded") {
+    import spark.implicits._
+    // four Mondays (10,10,10,40 events) and two constant Tuesdays (5,5)
+    val dayCounts = Seq(
+      ("2024-01-01", 10), ("2024-01-08", 10), ("2024-01-15", 10), ("2024-01-22", 40),
+      ("2024-01-02", 5), ("2024-01-09", 5))
+    val ev = dayCounts.zipWithIndex.flatMap { case ((d, n), di) =>
+      (0 until n).map(i => (di * 1000L + i, ts(s"$d 10:00:00"), 1L, "view", 0.0, ""))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flagged = EventOps.weekdayAnomalies(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("n_events"), r.getAs[Double]("zscore")))
+    // only the Monday spike flags: Tuesdays have zero variance (excluded),
+    // baseline Mondays sit at |z| ≈ 0.58
+    assert(flagged.map(f => (f._1, f._2)).toSeq == Seq(("2024-01-22", 40L)))
+    assert(flagged.head._3 > 1.5)
+  }
+
+  test("time to convert: first purchase strictly after the first view, whole seconds") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, ""),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "purchase", 0.0, ""),
+      (3L, ts("2024-01-01 10:30:00"), 1L, "purchase", 0.0, ""), // later; ignored
+      (4L, ts("2024-01-01 09:00:00"), 2L, "purchase", 0.0, ""), // before any view
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0, ""),
+      (6L, ts("2024-01-01 11:00:00"), 3L, "purchase", 0.0, "")  // never viewed
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.timeToConvert(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("secs_to_convert")).toMap
+    assert(out == Map(1L -> 300L)) // users 2 and 3 never convert after a view
+  }
+
   test("daily anomalies: only the spike day clears the z threshold") {
     import spark.implicits._
     def ts(s: String) = Timestamp.valueOf(s)
