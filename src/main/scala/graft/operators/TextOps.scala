@@ -596,6 +596,35 @@ object TextOps {
       .groupBy(col("bucket_start"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** Report size for [[bigramLm]]. */
+  val bigramLmK = 50
+
+  /** Bigram language model head: the k most frequent token bigrams with
+    * their conditional probability P(w2 | w1) = n(w1 w2) / Σ_w n(w1 w), the
+    * table a bigram LM actually stores — [[lmCommonness]]'s unigram scoring
+    * one order up. Exact integers under one IEEE division (the
+    * [[graft.operators.EventOps.typeTransitions]] recipe on text).
+    *
+    * Scale shape: bigrams collapse to vocab²-grain in one hash aggregate
+    * (map-side partial absorbs the corpus); the normalizing window and the
+    * bounded top-k run over the bigram VOCABULARY, never the corpus.
+    */
+  def bigramLm(docs: DataFrame, k: Int = bigramLmK): DataFrame = {
+    val ws = split(col("text"), " ")
+    val counts = docs.filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2))))).as("bg"))
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast(DoubleType) /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("w1"))
+          .cast(DoubleType))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Rarity threshold (corpus occurrences) for [[lmCommonness]]. */
   val rareMaxCount = 2L
 
@@ -973,6 +1002,19 @@ object TextOps {
          |      FROM documents)
          |GROUP BY 1""".stripMargin) { (s, d) =>
       lengthHistogram(Tables.documents(s, d))
+    },
+
+    Op.sql("text_bigram_lm",
+      s"""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+         |  FROM t WHERE len(ws) >= 2),
+         |c AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |             COUNT(*) AS n
+         |      FROM bg GROUP BY 1, 2)
+         |SELECT w1, w2, n, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY w1) AS p
+         |FROM c ORDER BY n DESC, w1, w2 LIMIT $bigramLmK""".stripMargin) { (s, d) =>
+      bigramLm(Tables.documents(s, d))
     },
 
     Op.sql("text_lm_commonness",

@@ -18,6 +18,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == "hello world x 1")
   }
 
+  test("bigram lm: conditional probabilities normalize per first token, count-desc order") {
+    // "a b a b" → (a b)×2, (b a)×1; "a c" → (a c)×1. P(·|a) over 3 starts.
+    val out = TextOps.bigramLm(docs(1L -> "a b a b", 2L -> "a c")).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n"), r.getAs[Double]("p")))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 2.0 / 3), ("a", "c", 1L, 1.0 / 3), ("b", "a", 1L, 1.0)))
+    // k caps the table deterministically
+    assert(TextOps.bigramLm(docs(1L -> "a b a b", 2L -> "a c"), k = 1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+  }
+
   test("lm commonness: mean corpus frequency and rare-token fraction, exact arithmetic") {
     // vocab: a→3, b→1, c→1 (b and c are "rare" at the ≤2 threshold; a is not)
     val out = TextOps.lmCommonness(docs(1L -> "a a b", 2L -> "a c")).collect()
