@@ -215,6 +215,16 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pq encode is a pure narrow plan: no exchange, argmin in the projection") {
+    val e = Tables.embeddings(spark, TestSession.sf)
+    val plan = graft.operators.Similarity.pqCodesWide(e).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"PQ encode must not shuffle the corpus:\n$plan")
+  }
+
   test("per-day uniform sample: k per group, hash-prefix membership, partition-invariant") {
     import org.apache.spark.sql.functions.{concat, lit, md5, to_date}
     val orders = Tables.orders(spark, TestSession.sf)
