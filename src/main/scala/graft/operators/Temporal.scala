@@ -54,6 +54,32 @@ object Temporal {
   private def bandOf(time: Column, widthUs: Long): Column =
     floor(unix_micros(time) / lit(widthUs))
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with the
+    * same key and `leftTime <= rightTime <= leftTime + toleranceUs` — the
+    * "next event after" lookup ([[asofJoin]] mirrored in time; ties on time
+    * break by lowest right id). A right row at band b can only serve left
+    * rows in bands b and b−1, so it is replicated to exactly those two —
+    * the same bounded-candidates argument as the backward join.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftId: String, leftTime: String, rightTime: String, rightId: String,
+      toleranceUs: Long): DataFrame = {
+    val lt = unix_micros(col(s"l.$leftTime"))
+    val rt = unix_micros(col(s"r.$rightTime"))
+    val banded = right.withColumn("_band",
+      explode(array(bandOf(col(rightTime), toleranceUs),
+        bandOf(col(rightTime), toleranceUs) - 1)))
+    val cand = left.as("l").join(banded.as("r"),
+      col(s"l.$key") === col(s"r.$key")
+        && bandOf(col(s"l.$leftTime"), toleranceUs) === col(s"r._band")
+        && rt >= lt && rt - lt <= toleranceUs)
+    val w = Window.partitionBy(col(s"l.$leftId"))
+      .orderBy(col(s"r.$rightTime").asc, col(s"r.$rightId").asc)
+    cand.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_band")
+  }
+
   /** Range-join aggregation: per left row, counts right rows with the same
     * key within ±`windowUs`. Banded like [[asofJoin]] (a ± window spans at
     * most the band and both neighbors → 3 replicas), left rows surviving
@@ -112,6 +138,35 @@ object Temporal {
           col("l.ts").as("click_ts"), col("r.event_id").as("view_id"),
           col("r.ts").as("view_ts"),
           (unix_micros(col("l.ts")) - unix_micros(col("r.ts"))).as("gap_us"))
+    },
+
+    // Forward as-of: the first error within 30 min AFTER each purchase —
+    // the checkout-flow reliability signal (did the purchase's session
+    // subsequently fail).
+    Op.sql("events_asof_next_error",
+      s"""WITH $eventsCte,
+         |buys AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         |errs AS (SELECT * FROM ev WHERE event_type = 'error'),
+         |cand AS (
+         |  SELECT b.event_id AS purchase_id, b.user_id, b.ts AS purchase_ts,
+         |         e.event_id AS error_id, e.ts AS error_ts,
+         |         ROW_NUMBER() OVER (PARTITION BY b.event_id
+         |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+         |  FROM buys b JOIN errs e ON b.user_id = e.user_id
+         |    AND epoch_us(e.ts) >= epoch_us(b.ts)
+         |    AND epoch_us(e.ts) - epoch_us(b.ts) <= $attributionToleranceUs)
+         |SELECT purchase_id, user_id, purchase_ts, error_id, error_ts,
+         |       epoch_us(error_ts) - epoch_us(purchase_ts) AS gap_us
+         |FROM cand WHERE rn = 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val buys = ev.filter(col("event_type") === "purchase")
+      val errs = ev.filter(col("event_type") === "error")
+      asofJoinForward(buys, errs, "user_id", "event_id", "ts", "ts", "event_id",
+        attributionToleranceUs)
+        .select(col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
+          col("l.ts").as("purchase_ts"), col("r.event_id").as("error_id"),
+          col("r.ts").as("error_ts"),
+          (unix_micros(col("r.ts")) - unix_micros(col("l.ts"))).as("gap_us"))
     },
 
     // Range join: views within ±15 min of each purchase, per user.

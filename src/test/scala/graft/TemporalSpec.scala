@@ -36,6 +36,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Map(100L -> 2L, 102L -> 4L)) // 101 unmatched (beyond tolerance)
   }
 
+  test("forward as-of: earliest later match within tolerance; ties by lowest id") {
+    // left 100 @10:30 → right candidates after it within 30 min: none for
+    // user 1 (views are earlier) — so flip roles: use left 102 @10:10 with
+    // a later fixture. Build a dedicated fixture instead:
+    val l = Seq(
+      (100L, ts("2024-01-01 10:00:00"), 1L), // errors at 10:10 and 10:20 → 10:10 wins
+      (101L, ts("2024-01-01 11:00:00"), 1L), // next error 11:40 is 40 min out → no match
+      (102L, ts("2024-01-01 10:00:00"), 2L)  // two errors at the same ts → lowest id wins
+    ).toDF("event_id", "ts", "user_id")
+    val r = Seq(
+      (1L, ts("2024-01-01 09:50:00"), 1L), // BEFORE the left row — never matches
+      (2L, ts("2024-01-01 10:10:00"), 1L),
+      (3L, ts("2024-01-01 10:20:00"), 1L),
+      (4L, ts("2024-01-01 11:40:00"), 1L),
+      (6L, ts("2024-01-01 10:05:00"), 2L),
+      (5L, ts("2024-01-01 10:05:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Temporal.asofJoinForward(l, r, "user_id", "event_id", "ts", "ts",
+        "event_id", 30L * 60 * 1000 * 1000)
+      .select($"l.event_id", $"r.event_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == Map(100L -> 2L, 102L -> 5L))
+  }
+
   test("range join count: left rows with no match survive with 0") {
     val out = Temporal.rangeJoinCount(left, right, "user_id", "event_id", "ts", "ts",
         15L * 60 * 1000 * 1000)
