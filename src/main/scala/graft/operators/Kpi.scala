@@ -133,6 +133,22 @@ object Kpi {
       .withColumn("total_items_sold", col("total_items_sold").cast(IntegerType))
       .na.fill(0, Seq("total_items_sold"))
 
+  /** Order→ship fulfillment latency per order month: item count and
+    * min/avg/max days between the order's creation and each item's ship
+    * date — the operational SLA dashboard. One fact-fact equi-join on
+    * order_id (the J2 shape) and a month-grain aggregate; the average is an
+    * exact integer day sum under one IEEE division.
+    */
+  def fulfillmentLag(orders: DataFrame, items: DataFrame): DataFrame =
+    items.join(orders.select(col("order_id"), col("created_at").as("ordered_at")), "order_id")
+      .select(to_date(date_trunc("month", col("ordered_at"))).as("month"),
+        datediff(to_date(col("created_at")), to_date(col("ordered_at"))).as("lag_days"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("lag_days")).cast(LongType).as("min_lag_days"),
+        max(col("lag_days")).cast(LongType).as("max_lag_days"),
+        (sum(col("lag_days")).cast(DoubleType) / count(lit(1))).as("avg_lag_days"))
+
   // --------------------------------------------------------------------------
   // Date-partitioned fact store (the incremental-recompute scale path)
   // --------------------------------------------------------------------------
@@ -287,6 +303,19 @@ object Kpi {
     Op.sql("kpi_category_incremental",
       categoryKpiSelect(s"WHERE order_date IN $incrementalDatesSqlList")) { (s, d) =>
       categoryKpisFromStore(s, ensureFixtureStore(s, d), incrementalDates)
+    },
+
+    Op.sql("kpi_fulfillment_lag",
+      s"""${Tables.domainCtes}
+         |SELECT CAST(date_trunc('month', o.created_at) AS DATE) AS month,
+         |       COUNT(*) AS n_items,
+         |       MIN(date_diff('day', CAST(o.created_at AS DATE), CAST(i.created_at AS DATE))) AS min_lag_days,
+         |       MAX(date_diff('day', CAST(o.created_at AS DATE), CAST(i.created_at AS DATE))) AS max_lag_days,
+         |       CAST(SUM(date_diff('day', CAST(o.created_at AS DATE), CAST(i.created_at AS DATE))) AS DOUBLE)
+         |         / COUNT(*) AS avg_lag_days
+         |FROM order_items i JOIN orders_v o USING (order_id)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      fulfillmentLag(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },
 
     Op.sql("kpi_daily", orderKpiSql("")) { (s, d) =>

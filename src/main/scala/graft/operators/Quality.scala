@@ -79,6 +79,32 @@ object Quality {
       expr("percentile(l_quantity, 0.5)").as("qty_p50"),
       expr("percentile(l_quantity, 0.75)").as("qty_p75"))
 
+  /** Null-rate drift between two ingest periods — the schema-health monitor
+    * a pipeline runs on every new data window ([[Analytics.priceDrift]]'s
+    * value-distribution check, applied to nullability): per column, the
+    * early/late null rates and their delta. A sudden null-rate jump is the
+    * classic upstream-schema-change symptom. ONE aggregate pass over the
+    * fact table (conditional sums, like [[nullCounts]]); rates are exact
+    * integer counts under one IEEE division each.
+    */
+  def nullRateDrift(items: DataFrame, cols: Seq[String],
+      splitDate: String = Analytics.driftSplitDate): DataFrame = {
+    val early = col("created_at") < lit(splitDate).cast(
+      org.apache.spark.sql.types.TimestampType)
+    def cnt(e: org.apache.spark.sql.Column) = sum(when(e, 1L).otherwise(0L))
+    def nulls(c: String, e: org.apache.spark.sql.Column) =
+      sum(when(e && col(c).isNull, 1L).otherwise(0L))
+    val rates = cols.flatMap { c =>
+      Seq((nulls(c, early).cast("double") / cnt(early)).as(s"${c}_null_early"),
+        (nulls(c, !early).cast("double") / cnt(!early)).as(s"${c}_null_late"))
+    }
+    val aggs = Seq(cnt(early).as("n_early"), cnt(!early).as("n_late")) ++ rates
+    items
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("*") +: cols.map(c =>
+        (col(s"${c}_null_late") - col(s"${c}_null_early")).as(s"${c}_null_drift")): _*)
+  }
+
   /** Edit-distance threshold for [[fuzzyNamePairs]]. */
   val fuzzyTau = 2
 
@@ -150,6 +176,28 @@ object Quality {
         |       quantile_cont(l_quantity, 0.75) AS qty_p75
         |FROM lineitem""".stripMargin) { (s, d) =>
       profileLineitem(Tables.lineitem(s, d))
+    },
+
+    Op.sql("quality_null_drift_items", {
+      val cs = Seq("returned_at", "sale_price")
+      val rateSql = cs.flatMap { c =>
+        Seq(
+          s"CAST(SUM(CASE WHEN early AND $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN early THEN 1 ELSE 0 END) AS ${c}_null_early",
+          s"CAST(SUM(CASE WHEN NOT early AND $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS ${c}_null_late")
+      }.mkString(",\n       ")
+      val driftSql = cs.map(c => s"${c}_null_late - ${c}_null_early AS ${c}_null_drift")
+        .mkString(", ")
+      s"""${Tables.domainCtes},
+         |b AS (SELECT *, created_at < TIMESTAMP '${Analytics.driftSplitDate}' AS early
+         |      FROM order_items),
+         |r AS (
+         |  SELECT CAST(SUM(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         |         CAST(SUM(CASE WHEN NOT early THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |       $rateSql
+         |  FROM b)
+         |SELECT *, $driftSql FROM r""".stripMargin
+    }) { (s, d) =>
+      nullRateDrift(Tables.orderItems(s, d), Seq("returned_at", "sale_price"))
     },
 
     Op.sql("quality_fuzzy_part_pairs",

@@ -94,6 +94,27 @@ class KpiSpec extends AnyFunSuite {
       .forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
   }
 
+  test("fulfillment lag: month-grain min/avg/max of ship-minus-order days") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, 10L, t("2024-01-01 00:00:00"), Option.empty[Timestamp]),
+      (2L, 11L, t("2024-02-05 00:00:00"), Option.empty[Timestamp])
+    ).toDF("order_id", "user_id", "created_at", "returned_at")
+    val items = Seq(
+      (1L, 100L, 5.0, Option.empty[Timestamp], t("2024-01-03 00:00:00")), // +2 d
+      (1L, 101L, 5.0, Option.empty[Timestamp], t("2024-01-05 00:00:00")), // +4 d
+      (2L, 102L, 5.0, Option.empty[Timestamp], t("2024-02-05 00:00:00"))  // same day
+    ).toDF("order_id", "product_id", "sale_price", "returned_at", "created_at")
+    val out = Kpi.fulfillmentLag(orders, items).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("min_lag_days"),
+          r.getAs[Long]("max_lag_days"), r.getAs[Double]("avg_lag_days")))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L, 4L, 3.0)),
+      "2024-02-01" -> ((1L, 0L, 0L, 0.0))))
+  }
+
   test("incremental date filter prunes to target dates (F1/§2.2.5)") {
     val k = Kpi.categoryKpis(Kpi.consolidated(products, orders, items),
       Some(Seq(Date.valueOf("2024-01-02"))))

@@ -54,6 +54,25 @@ class QualitySpec extends AnyFunSuite {
     assert(salted.count() == 500)
   }
 
+  test("null-rate drift: per-column early/late rates and delta, exact divisions") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // early (2 rows, 1 null) → 0.5; late (4 rows, 1 null) → 0.25; drift −0.25
+    val rows = Seq(
+      (1L, Option.empty[Timestamp], t("1997-05-01 00:00:00")),
+      (2L, Some(t("1997-06-01 00:00:00")), t("1997-06-01 00:00:00")),
+      (3L, Option.empty[Timestamp], t("1999-01-01 00:00:00")),
+      (4L, Some(t("1999-02-01 00:00:00")), t("1999-02-01 00:00:00")),
+      (5L, Some(t("1999-03-01 00:00:00")), t("1999-03-01 00:00:00")),
+      (6L, Some(t("1999-04-01 00:00:00")), t("1999-04-01 00:00:00"))
+    ).toDF("order_id", "returned_at", "created_at")
+    val r = Quality.nullRateDrift(rows, Seq("returned_at")).collect()(0)
+    assert(r.getAs[Long]("n_early") == 2L && r.getAs[Long]("n_late") == 4L)
+    assert(r.getAs[Double]("returned_at_null_early") == 0.5)
+    assert(r.getAs[Double]("returned_at_null_late") == 0.25)
+    assert(r.getAs[Double]("returned_at_null_drift") == -0.25)
+  }
+
   test("fuzzy name pairs: blocked join finds exactly the brute-force pairs at tau") {
     val part = graft.sources.Tables.part(spark, TestSession.sf)
     val got = Quality.fuzzyNamePairs(part).collect()
