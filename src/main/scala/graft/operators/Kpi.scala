@@ -133,6 +133,27 @@ object Kpi {
       .withColumn("total_items_sold", col("total_items_sold").cast(IntegerType))
       .na.fill(0, Seq("total_items_sold"))
 
+  /** Revenue by customer geography: the star-schema rollup through the
+    * full dimension chain (orders → customer → nation → region). All three
+    * dims broadcast — Catalyst chains the broadcast hash joins, so the fact
+    * table streams through once with zero fact-side shuffles before the
+    * final (region, nation) aggregate. Region/nation grain output; revenue
+    * is the exact DECIMAL sum.
+    */
+  def revenueByNation(orders: DataFrame, items: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame = {
+    val rev = items.groupBy(col("order_id")).agg(dsum(col("sale_price")).as("rev"))
+    orders.join(rev, Seq("order_id"))
+      .join(broadcast(customer.select(col("c_custkey").as("user_id"), col("c_nationkey"))),
+        Seq("user_id"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("user_id")).as("n_customers"),
+        dsum(col("rev")).as("revenue"))
+  }
+
   /** Order→ship fulfillment latency per order month: item count and
     * min/avg/max days between the order's creation and each item's ship
     * date — the operational SLA dashboard. One fact-fact equi-join on
@@ -303,6 +324,23 @@ object Kpi {
     Op.sql("kpi_category_incremental",
       categoryKpiSelect(s"WHERE order_date IN $incrementalDatesSqlList")) { (s, d) =>
       categoryKpisFromStore(s, ensureFixtureStore(s, d), incrementalDates)
+    },
+
+    Op.sql("kpi_revenue_by_nation",
+      s"""${Tables.domainCtes},
+         |rev AS (SELECT order_id, ${dsumSql("sale_price")} AS rev
+         |        FROM order_items GROUP BY 1)
+         |SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_orders,
+         |       COUNT(DISTINCT o.user_id) AS n_customers,
+         |       ${dsumSql("rev")} AS revenue
+         |FROM orders_v o
+         |JOIN rev USING (order_id)
+         |JOIN customer c ON c.c_custkey = o.user_id
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |JOIN region r ON r.r_regionkey = n.n_regionkey
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      revenueByNation(Tables.ordersDomain(s, d), Tables.orderItems(s, d),
+        Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
     },
 
     Op.sql("kpi_fulfillment_lag",

@@ -215,6 +215,21 @@ class PlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("revenue-by-nation star join broadcasts the whole dimension chain") {
+    val d = TestSession.sf
+    val df = Kpi.revenueByNation(Tables.ordersDomain(spark, d), Tables.orderItems(spark, d),
+      Tables.customer(spark, d), Tables.nation(spark, d), Tables.region(spark, d))
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 3,
+      s"customer/nation/region must all join as broadcasts, got ${bhj.size}:\n$plan")
+  }
+
   test("pq encode is a pure narrow plan: no exchange, argmin in the projection") {
     val e = Tables.embeddings(spark, TestSession.sf)
     val plan = graft.operators.Similarity.pqCodesWide(e).queryExecution.executedPlan match {
