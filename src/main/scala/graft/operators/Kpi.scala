@@ -154,6 +154,26 @@ object Kpi {
         dsum(col("rev")).as("revenue"))
   }
 
+  /** Minimum shipped items for a supplier to appear on the scorecard. */
+  val supplierMinItems = 50L
+
+  /** Supplier return-rate scorecard: per supplier (joined broadcast for the
+    * name), shipped-item and returned-item counts and the return share —
+    * floored at [[supplierMinItems]] so the rate is statistically meaningful.
+    * One fact aggregate at supplier grain + one broadcast dim join; the rate
+    * is two exact integers under one IEEE division.
+    */
+  def supplierReturnRate(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+      .filter(col("n_items") >= supplierMinItems)
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("supplier_id"), col("s_name").as("supplier"),
+        col("n_items"), col("n_returned"),
+        (col("n_returned").cast(DoubleType) / col("n_items")).as("return_rate"))
+
   /** Order→ship fulfillment latency per order month: item count and
     * min/avg/max days between the order's creation and each item's ship
     * date — the operational SLA dashboard. One fact-fact equi-join on
@@ -341,6 +361,19 @@ object Kpi {
          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       revenueByNation(Tables.ordersDomain(s, d), Tables.orderItems(s, d),
         Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+    },
+
+    Op.sql("kpi_supplier_return_rate",
+      s"""WITH a AS (
+         |  SELECT l_suppkey, COUNT(*) AS n_items,
+         |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s.s_suppkey AS supplier_id, s.s_name AS supplier,
+         |       a.n_items, a.n_returned,
+         |       CAST(a.n_returned AS DOUBLE) / a.n_items AS return_rate
+         |FROM a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+         |WHERE a.n_items >= $supplierMinItems""".stripMargin) { (s, d) =>
+      supplierReturnRate(Tables.lineitem(s, d), Tables.supplier(s, d))
     },
 
     Op.sql("kpi_fulfillment_lag",

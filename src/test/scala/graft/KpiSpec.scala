@@ -115,6 +115,19 @@ class KpiSpec extends AnyFunSuite {
       "2024-02-01" -> ((1L, 0L, 0L, 0.0))))
   }
 
+  test("supplier return rate: volume floor applies, rate is exact division") {
+    import spark.implicits._
+    val li = ((1 to 60).map(i => (1L, if (i <= 6) "R" else "N")) ++
+      (1 to 10).map(_ => (2L, "R"))).toDF("l_suppkey", "l_returnflag")
+    val sup = Seq((1L, "Acme"), (2L, "Tiny")).toDF("s_suppkey", "s_name")
+    val out = Kpi.supplierReturnRate(li, sup).collect()
+      .map(r => (r.getAs[Long]("supplier_id"), r.getAs[String]("supplier"),
+        r.getAs[Long]("n_items"), r.getAs[Long]("n_returned"),
+        r.getAs[Double]("return_rate")))
+    // supplier 2 is under the 50-item floor despite a 100% return rate
+    assert(out.toSeq == Seq((1L, "Acme", 60L, 6L, 0.1)))
+  }
+
   test("incremental date filter prunes to target dates (F1/§2.2.5)") {
     val k = Kpi.categoryKpis(Kpi.consolidated(products, orders, items),
       Some(Seq(Date.valueOf("2024-01-02"))))
