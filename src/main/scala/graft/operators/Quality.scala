@@ -79,6 +79,23 @@ object Quality {
       expr("percentile(l_quantity, 0.5)").as("qty_p50"),
       expr("percentile(l_quantity, 0.75)").as("qty_p75"))
 
+  /** Validate-while-writing: write `df` to parquet and collect row/null
+    * metrics in the SAME pass via Spark's `Observation` API — the reference
+    * validates with a separate read pass over the batch
+    * (validate_task.py:161-177); observed metrics make that scan free (the
+    * accumulators ride the write job). Returns the metric map once the
+    * write commits; [[nullCounts]] remains the standalone-scan twin the
+    * spec compares against.
+    */
+  def writeWithMetrics(df: DataFrame, cols: Seq[String], path: String): Map[String, Long] = {
+    val obs = org.apache.spark.sql.Observation(s"graft_write_${System.nanoTime()}")
+    val exprs = count(lit(1)).as("n_rows") +:
+      cols.map(c => count(when(col(c).isNull, lit(1))).as(s"${c}_nulls"))
+    df.observe(obs, exprs.head, exprs.tail: _*)
+      .write.mode("overwrite").parquet(path)
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
+
   /** Null-rate drift between two ingest periods — the schema-health monitor
     * a pipeline runs on every new data window ([[Analytics.priceDrift]]'s
     * value-distribution check, applied to nullability): per column, the

@@ -54,6 +54,16 @@ class QualitySpec extends AnyFunSuite {
     assert(salted.count() == 500)
   }
 
+  test("write-with-metrics: observed counts equal a standalone scan; data lands intact") {
+    val out = java.nio.file.Files.createTempDirectory("graft-obs").toString + "/items"
+    val metrics = Quality.writeWithMetrics(items, Seq("sale_price"), out)
+    assert(metrics("n_rows") == 4L)
+    assert(metrics("sale_price_nulls") == 1L) // matches nullCounts' answer
+    val written = spark.read.parquet(out)
+    assert(written.count() == 4L)
+    assert(Quality.nullCounts(written, Seq("sale_price")).head().getLong(0) == 1L)
+  }
+
   test("null-rate drift: per-column early/late rates and delta, exact divisions") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
