@@ -233,6 +233,27 @@ object Analytics {
   val basketMaxItems = 100
   val basketK = 50
 
+  /** Revenue concentration (Pareto/80-20) curve: products bucketed into
+    * revenue-ranked deciles, each with its product count, exact revenue and
+    * share — how head-heavy the catalog is. The rank window is GLOBAL but
+    * runs at product-catalog grain (the fact table reduces to one row per
+    * product first) — a dimension-sized sort, the same stance as every
+    * dashboard op here; revenue sums are exact DECIMAL re-aggregations of
+    * 4-decimal leaves, so decile totals are order-independent.
+    */
+  def revenuePareto(orderItems: DataFrame): DataFrame = {
+    val perProduct = orderItems.groupBy(col("product_id"))
+      .agg(dsum(col("sale_price")).as("rev"))
+    val tiled = perProduct.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("rev").desc, col("product_id"))).cast(LongType))
+    val total = tiled.agg(dsum(col("rev")).as("total"))
+    tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_products"), dsum(col("rev")).as("revenue"))
+      .crossJoin(broadcast(total))
+      .select(col("decile"), col("n_products"), col("revenue"),
+        (col("revenue") / col("total")).as("revenue_share"))
+  }
+
   /** Price-bucket width and the period split for [[priceDrift]]. */
   val driftBucketWidth = 10000.0
   val driftSplitDate = "1998-01-01"
@@ -456,6 +477,20 @@ object Analytics {
     // span containment on the discrete frequency dimension).
     Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+    },
+
+    Op.sql("analytics_revenue_pareto",
+      s"""${Tables.domainCtes},
+         |pp AS (SELECT product_id, ${dsumSql("sale_price")} AS rev
+         |       FROM order_items GROUP BY 1),
+         |tl AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY rev DESC, product_id) AS BIGINT) AS decile
+         |       FROM pp),
+         |t AS (SELECT ${dsumSql("rev")} AS total FROM tl),
+         |d AS (SELECT decile, COUNT(*) AS n_products, ${dsumSql("rev")} AS revenue
+         |      FROM tl GROUP BY 1)
+         |SELECT decile, n_products, revenue, revenue / total AS revenue_share
+         |FROM d CROSS JOIN t""".stripMargin) { (s, d) =>
+      revenuePareto(Tables.orderItems(s, d))
     },
 
     Op.sql("analytics_price_drift",

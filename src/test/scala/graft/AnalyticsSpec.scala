@@ -130,6 +130,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
   }
 
+  test("revenue pareto: shares sum to 1, deciles monotone non-increasing in revenue") {
+    val out = Analytics.revenuePareto(Tables.orderItems(spark, TestSession.sf))
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val shares = out.map(_.getAs[Double]("revenue_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    // revenue-desc tiling ⇒ decile revenues never increase down the curve
+    val revs = out.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // the head decile carries more than its uniform share
+    assert(shares.head > 0.1)
+  }
+
   test("price drift: shares sum to 1 per period, contribution is the chi-square form") {
     val drift = Analytics.priceDrift(Tables.orders(spark, TestSession.sf)).collect()
     assert(drift.nonEmpty)
