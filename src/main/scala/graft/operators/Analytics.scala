@@ -233,6 +233,26 @@ object Analytics {
   val basketMaxItems = 100
   val basketK = 50
 
+  /** Cohort-LTV triangle: users grouped by the month of their FIRST order;
+    * per (cohort month, order month), the buyer count and exact revenue —
+    * the lifetime-value matrix finance reads ([[graft.operators.EventOps
+    * .retentionCohorts]] with revenue instead of activity). Two hash
+    * aggregates and one equi-join on user_id; output is O(months²/2).
+    */
+  def cohortLtv(orders: DataFrame, orderItems: DataFrame): DataFrame = {
+    val month = (c: org.apache.spark.sql.Column) => to_date(date_trunc("month", c))
+    val cohorts = orders.groupBy(col("user_id"))
+      .agg(min(month(col("created_at"))).as("cohort_month"))
+    val orderRev = orderItems.groupBy(col("order_id"))
+      .agg(dsum(col("sale_price")).as("rev"))
+    orders.join(orderRev, Seq("order_id"))
+      .select(col("user_id"), month(col("created_at")).as("order_month"), col("rev"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_month"), col("order_month"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        dsum(col("rev")).as("revenue"))
+  }
+
   /** Revenue concentration (Pareto/80-20) curve: products bucketed into
     * revenue-ranked deciles, each with its product count, exact revenue and
     * share — how head-heavy the catalog is. The rank window is GLOBAL but
@@ -477,6 +497,19 @@ object Analytics {
     // span containment on the discrete frequency dimension).
     Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+    },
+
+    Op.sql("analytics_cohort_ltv",
+      s"""${Tables.domainCtes},
+         |c AS (SELECT user_id, CAST(date_trunc('month', MIN(created_at)) AS DATE) AS cohort_month
+         |      FROM orders_v GROUP BY 1),
+         |r AS (SELECT order_id, ${dsumSql("sale_price")} AS rev
+         |      FROM order_items GROUP BY 1)
+         |SELECT c.cohort_month, CAST(date_trunc('month', o.created_at) AS DATE) AS order_month,
+         |       COUNT(DISTINCT o.user_id) AS n_buyers, ${dsumSql("rev")} AS revenue
+         |FROM orders_v o JOIN r USING (order_id) JOIN c ON c.user_id = o.user_id
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      cohortLtv(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },
 
     Op.sql("analytics_revenue_pareto",

@@ -130,6 +130,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
   }
 
+  test("cohort ltv: first-order month anchors each user's revenue rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00")), (2L, 10L, t("2024-02-10 00:00:00")),
+      (3L, 20L, t("2024-02-20 00:00:00"))
+    ).toDF("order_id", "user_id", "created_at")
+    val items = Seq((1L, 10.0), (2L, 5.0), (3L, 7.0)).toDF("order_id", "sale_price")
+    val out = Analytics.cohortLtv(orders, items).collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString,
+        r.getAs[Long]("n_buyers"), r.getAs[Double]("revenue"))).toSet
+    assert(out == Set(
+      ("2024-01-01", "2024-01-01", 1L, 10.0),
+      ("2024-01-01", "2024-02-01", 1L, 5.0),
+      ("2024-02-01", "2024-02-01", 1L, 7.0)))
+  }
+
   test("revenue pareto: shares sum to 1, deciles monotone non-increasing in revenue") {
     val out = Analytics.revenuePareto(Tables.orderItems(spark, TestSession.sf))
       .collect().sortBy(_.getAs[Long]("decile"))
