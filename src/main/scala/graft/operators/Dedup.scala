@@ -86,9 +86,10 @@ object Dedup {
        |  FROM hmd)""".stripMargin
 
   /** DuckDB CTE chain ending in `mh_pairs(doc_a, doc_b, jaccard)` — shared by
-    * the minhash-pairs oracle and the clustering oracle's recursive closure.
+    * the minhash-pairs oracle, the clustering oracle's recursive closure,
+    * and the training-manifest oracle (TextOps).
     */
-  private val minhashPairsCtes: String =
+  private[operators] val minhashPairsCtes: String =
     s"""$hashedShinglesSql,
        |sig AS (
        |  SELECT doc_id, h1,

@@ -596,6 +596,34 @@ object TextOps {
       .groupBy(col("bucket_start"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** The end-to-end curation capstone: ONE declarative plan emitting the
+    * training manifest — per document, its exact-dup canonicity, near-dup
+    * cluster and survivorship, language, quality, train/val/test split, and
+    * the final keep decision (canonical ∧ cluster survivor ∧ on-language ∧
+    * quality-clearing). Composes [[curate]], [[graft.operators.Dedup
+    * .clusters]]/[[graft.operators.Dedup.clusterSurvivors]] and
+    * [[splitAssign]] by doc_id equi-joins — Catalyst fuses the whole
+    * decision trail into one job; no orchestration layer shuttles
+    * intermediate tables.
+    */
+  def trainingManifest(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5): DataFrame = {
+    val cur = curate(docs, lang, minQuality).drop("keep")
+    val surv = Dedup.clusterSurvivors(docs)
+      .select(col("survivor_id").as("doc_id"), lit(true).as("is_cluster_survivor"))
+    cur
+      .join(Dedup.clusters(docs), "doc_id")
+      .join(surv, Seq("doc_id"), "left")
+      .join(splitAssign(docs).select(col("doc_id"), col("split")), "doc_id")
+      .select(col("doc_id"), col("is_canonical"), col("quality"), col("lang_pred"),
+        col("cluster_id"),
+        coalesce(col("is_cluster_survivor"), lit(false)).as("is_cluster_survivor"),
+        col("split"))
+      .withColumn("keep",
+        col("is_canonical") && col("is_cluster_survivor") &&
+          col("lang_pred") === lang && col("quality") >= minQuality)
+  }
+
   /** Report size for [[bigramLm]]. */
   val bigramLmK = 50
 
@@ -1002,6 +1030,59 @@ object TextOps {
          |      FROM documents)
          |GROUP BY 1""".stripMargin) { (s, d) =>
       lengthHistogram(Tables.documents(s, d))
+    },
+
+    Op.sql("text_training_manifest", {
+      val langCase =
+        """CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+          |     WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+          |     WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+          |     WHEN fr_ct > 0 THEN 'fr'
+          |     ELSE 'unknown' END""".stripMargin
+      val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(", ")
+      s"""WITH RECURSIVE ${Dedup.minhashPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |cl AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+         |q AS ($qualityCteSql),
+         |sv AS (
+         |  SELECT doc_id AS survivor_id FROM (
+         |    SELECT cl.cluster_id, cl.doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |        ORDER BY q.quality DESC, cl.doc_id) AS rn
+         |    FROM cl JOIN q USING (doc_id))
+         |  WHERE rn = 1),
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |l AS (
+         |  SELECT doc_id, $langCase AS lang_pred
+         |  FROM (SELECT doc_id, $cts
+         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bucket < $splitTrainUpper THEN 'train'
+         |         WHEN bucket < $splitValUpper THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |        FROM documents))
+         |SELECT d.doc_id, c.doc_id IS NOT NULL AS is_canonical, q.quality, l.lang_pred,
+         |       cl.cluster_id, sv.survivor_id IS NOT NULL AS is_cluster_survivor,
+         |       sp.split,
+         |       (c.doc_id IS NOT NULL AND sv.survivor_id IS NOT NULL
+         |        AND l.lang_pred = 'en' AND q.quality >= 0.5) AS keep
+         |FROM documents d
+         |JOIN cl USING (doc_id) JOIN q USING (doc_id)
+         |JOIN l USING (doc_id) JOIN sp USING (doc_id)
+         |LEFT JOIN canon c ON c.doc_id = d.doc_id
+         |LEFT JOIN sv ON sv.survivor_id = d.doc_id""".stripMargin
+    }) { (s, d) =>
+      trainingManifest(Tables.documents(s, d))
     },
 
     Op.sql("text_bigram_lm",

@@ -18,6 +18,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == "hello world x 1")
   }
 
+  test("training manifest: one row per doc; keep is exactly the documented conjunction") {
+    val fixture = graft.sources.Tables.documents(spark, TestSession.sf)
+    val m = TextOps.trainingManifest(fixture).collect()
+    assert(m.length == fixture.count())
+    m.foreach { r =>
+      val expect = r.getAs[Boolean]("is_canonical") &&
+        r.getAs[Boolean]("is_cluster_survivor") &&
+        r.getAs[String]("lang_pred") == "en" && r.getAs[Double]("quality") >= 0.5
+      assert(r.getAs[Boolean]("keep") == expect, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(Set("train", "val", "test").contains(r.getAs[String]("split")))
+    }
+    assert(m.exists(_.getAs[Boolean]("keep")))
+    assert(m.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("bigram lm: conditional probabilities normalize per first token, count-desc order") {
     // "a b a b" → (a b)×2, (b a)×1; "a c" → (a c)×1. P(·|a) over 3 starts.
     val out = TextOps.bigramLm(docs(1L -> "a b a b", 2L -> "a c")).collect()
