@@ -601,6 +601,22 @@ object EventOps {
 
     // JSON scalar extraction from the props column (codegen'd
     // get_json_object; no UDF), aggregated per event type.
+    // The same extraction through Spark 4's VARIANT type: props parse ONCE
+    // into a binary variant and fields extract typed — at many fields per
+    // event this beats get_json_object's per-field string re-parse; the
+    // oracle (and the spec vs the string path) pins identical semantics,
+    // including null-on-malformed via try_parse_json.
+    Op.sql("events_props_variant_ksum",
+      s"""WITH $eventsCte
+         |SELECT event_type, CAST(SUM(TRY_CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+         |       COUNT(*) AS n_events
+         |FROM ev GROUP BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(variant_get(try_parse_json(col("props")), "$.k", "long")).as("k_sum"),
+          count(lit(1)).as("n_events"))
+    },
+
     Op.sql("events_props_ksum",
       // TRY_CAST matches Spark's null-on-malformed cast semantics; the outer
       // CAST pins DuckDB's HUGEINT sum back to BIGINT == Spark LongType.

@@ -219,6 +219,17 @@ class EventSpec extends AnyFunSuite {
       (2L, 1L) -> (("buy", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L))))
   }
 
+  test("variant props extraction: typed path get, null on malformed/missing/empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sum => fsum, variant_get, try_parse_json}
+    val df = Seq(
+      """{"k": 7}""", """{"k": 5}""", """{"other": 1}""", "", "not json"
+    ).toDF("props")
+    val got = df.agg(
+      fsum(variant_get(try_parse_json($"props"), "$.k", "long"))).head().getLong(0)
+    assert(got == 12L) // missing key, empty and malformed rows contribute null
+  }
+
   test("user stats: counts, distinct types, exact value sum") {
     val u = EventOps.userStats(events).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
