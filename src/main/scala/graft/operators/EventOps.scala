@@ -91,6 +91,29 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy("from_type")).cast(DoubleType))
   }
 
+  /** Dwell times per transition: for each consecutive (from → to) event
+    * pair within a user's timeline, the count and min/avg/max gap in whole
+    * seconds — [[typeTransitions]] with the clock attached (how long users
+    * sit on a view before carting is the product metric; the probability
+    * alone isn't). Same single user-keyed shuffle; the aggregate collapses
+    * to type-pair grain, and the average is an exact integer-second sum
+    * under one IEEE division.
+    */
+  def dwellTimes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_secs",
+        expr("(unix_micros(lead(ts, 1) over (partition by user_id order by ts, event_id)) - unix_micros(ts)) div 1000000"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("gap_secs")).as("min_gap_secs"),
+        max(col("gap_secs")).as("max_gap_secs"),
+        (sum(col("gap_secs")).cast(DoubleType) / count(lit(1))).as("avg_gap_secs"))
+  }
+
   /** Gaps-and-islands run-length encoding: each user's timeline split into
     * maximal runs of the SAME event_type (run_seq is the 1-based run index,
     * with the run's bounds and length) — the classic sessionless sequence
@@ -408,6 +431,21 @@ object EventOps {
          |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
          |FROM t""".stripMargin) { (s, d) =>
       typeTransitions(Tables.events(s, d))
+    },
+
+    Op.sql("events_dwell_times",
+      s"""WITH $eventsCte,
+         |nx AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type) OVER w AS to_type,
+         |    (epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000 AS gap_secs
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT from_type, to_type, COUNT(*) AS n,
+         |       MIN(gap_secs) AS min_gap_secs, MAX(gap_secs) AS max_gap_secs,
+         |       CAST(SUM(gap_secs) AS DOUBLE) / COUNT(*) AS avg_gap_secs
+         |FROM nx WHERE to_type IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      dwellTimes(Tables.events(s, d))
     },
 
     Op.sql("events_type_runs",

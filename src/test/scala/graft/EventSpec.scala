@@ -179,6 +179,24 @@ class EventSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "latestPerUser must not plan a window sort")
   }
 
+  test("dwell times: per-transition gap stats in whole seconds, never cross-user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, ""),
+      (2L, ts("2024-01-01 10:01:30"), 1L, "click", 0.0, ""),    // view→click 90 s
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 0.0, ""), // click→purchase 30 s
+      (4L, ts("2024-01-01 23:59:00"), 2L, "view", 0.0, ""),
+      (5L, ts("2024-01-02 00:00:00"), 2L, "click", 0.0, "")     // view→click 60 s
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.dwellTimes(ev).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("min_gap_secs"),
+          r.getAs[Long]("max_gap_secs"), r.getAs[Double]("avg_gap_secs")))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 60L, 90L, 75.0)),
+      ("click", "purchase") -> ((1L, 30L, 30L, 30.0))))
+  }
+
   test("type transitions: consecutive bigrams per user, conditional probability") {
     import spark.implicits._
     // user 1: view → click → view;  user 2: view → buy
