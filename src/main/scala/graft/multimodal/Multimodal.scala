@@ -10,13 +10,15 @@ import graft.sources.Tables
   * opaque `binary` payloads with typed metadata, processed by batched
   * executor-side functions.
   *
-  * The actual media codecs are STUBBED ([[decodeStub]] — this container has no
-  * image/audio libraries): the decode produces deterministic fake dimensions
-  * from the bytes. Everything around the stub is real and tested: the binary
-  * schema, the `mapPartitions` batching (the Scala analog of `mapInPandas` —
-  * the executor processes fixed-size record batches, amortizing per-batch
-  * setup like model load), frame sampling, and feature extraction, all of
-  * which survive unchanged when the stub is swapped for a real codec.
+  * IMAGE decoding is REAL: [[decode]] reads width/height from actual image
+  * headers through the JDK's `javax.imageio` readers (PNG/JPEG/BMP/GIF/
+  * TIFF), header-only — no pixel decode. Payloads that aren't images (and
+  * audio/video, for which this container has no libraries) fall back to the
+  * deterministic [[decodeStub]]. Everything around the decode is likewise
+  * real and tested: the binary schema, the `mapPartitions` batching (the
+  * Scala analog of `mapInPandas` — the executor processes fixed-size record
+  * batches, amortizing per-batch setup like model load), frame sampling,
+  * and feature extraction.
   *
   * Scale: payloads never shuffle — every op here is a narrow map over the
   * scan; features (small) are what downstream joins/aggregations consume.
@@ -40,13 +42,45 @@ object Multimodal {
       encode(col("text"), "utf-8").as("payload"))
 
   /** STUB decode — deterministic fake dimensions derived from the payload.
-    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings) without
-    * touching any caller: the signature is bytes → (width, height).
+    * The fallback for payloads no installed image reader claims (the
+    * fixture's text-derived payloads land here, keeping the oracle's
+    * closed-form width/height valid); real image bytes take [[decode]]'s
+    * header path instead.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     val n = payload.length
     (64 + (n % 193), 64 + ((n * 31) % 149))
   }
+
+  /** REAL image decode via `javax.imageio` (JDK built-in readers: PNG, JPEG,
+    * BMP, GIF, TIFF, WBMP): header-only width/height — the reader parses
+    * image metadata, never the pixel planes, so cost is O(header) per
+    * payload regardless of image size. Non-image bytes (no reader claims
+    * the magic numbers) fall back to [[decodeStub]], as does a claimed-but-
+    * corrupt header. The in-memory ImageIO cache is forced once per JVM —
+    * the default disk-scratch cache would add a file create/delete per
+    * record on the executor hot path.
+    */
+  def decode(payload: Array[Byte]): (Int, Int) = {
+    if (payload == null || payload.isEmpty) return decodeStub(payload)
+    ensureMemCache()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) decodeStub(payload)
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+        catch { case _: java.io.IOException => decodeStub(payload) }
+        finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  @volatile private var memCacheSet = false
+  private def ensureMemCache(): Unit =
+    if (!memCacheSet) { javax.imageio.ImageIO.setUseCache(false); memCacheSet = true }
 
   /** Evenly frame-samples a payload into `n` slices (video frame extraction
     * shape); returns a cheap checksum per frame.
@@ -85,7 +119,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec init, model load, ...)
         batch.iterator.map { r =>
-          val (w, h) = decodeStub(r.payload)
+          val (w, h) = decode(r.payload)
           val mean =
             if (r.payload.isEmpty) 0.0
             else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / r.payload.length

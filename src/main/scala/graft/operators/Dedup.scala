@@ -561,7 +561,18 @@ object Dedup {
     * map-side — no per-cluster sort, no window over the corpus.
     */
   def clusterSurvivors(docs: DataFrame): DataFrame =
-    clusters(docs)
+    clusterSurvivors(docs, clusters(docs))
+
+  /** [[clusterSurvivors]] over PRECOMPUTED cluster labels (the frame
+    * [[clusters]] returns). Composites that need both the labels and the
+    * survivors ([[TextOps.trainingManifest]]) call [[clusters]] once and
+    * pass the result here — the iterative connected-components stage (the
+    * priciest subtree, executed eagerly via per-round localCheckpoint) runs
+    * once instead of twice; referencing its checkpointed output from two
+    * places re-reads cached blocks, it does not re-run the loop.
+    */
+  def clusterSurvivors(docs: DataFrame, labels: DataFrame): DataFrame =
+    labels
       .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")), Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(

@@ -384,6 +384,23 @@ object EventOps {
   private val eventsCte =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
+  /** The portable "$.k" extraction rule: a double that is integral, else
+    * NULL (see the events_props_variant_ksum registration comment).
+    */
+  private def integralK(d: Column): Column =
+    when(d === floor(d), d.cast(LongType))
+
+  /** Shared oracle for both props-ksum ops — the same integral-double rule
+    * spelled in DuckDB (TRY_CAST to DOUBLE, then the d = FLOOR(d) guard).
+    */
+  private lazy val propsKsumOracle: String =
+    s"""WITH $eventsCte,
+       |x AS (SELECT event_type, TRY_CAST(props->>'$$.k' AS DOUBLE) AS kd FROM ev)
+       |SELECT event_type,
+       |       CAST(SUM(CASE WHEN kd = FLOOR(kd) THEN CAST(kd AS BIGINT) END) AS BIGINT) AS k_sum,
+       |       COUNT(*) AS n_events
+       |FROM x GROUP BY event_type""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op.sql("events_hourly",
       s"""WITH $eventsCte
@@ -641,30 +658,30 @@ object EventOps {
     // get_json_object; no UDF), aggregated per event type.
     // The same extraction through Spark 4's VARIANT type: props parse ONCE
     // into a binary variant and fields extract typed — at many fields per
-    // event this beats get_json_object's per-field string re-parse; the
-    // oracle (and the spec vs the string path) pins identical semantics,
-    // including null-on-malformed via try_parse_json.
-    Op.sql("events_props_variant_ksum",
-      s"""WITH $eventsCte
-         |SELECT event_type, CAST(SUM(TRY_CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS k_sum,
-         |       COUNT(*) AS n_events
-         |FROM ev GROUP BY event_type""".stripMargin) { (s, d) =>
+    // event this beats get_json_object's per-field string re-parse.
+    //
+    // Extraction CONTRACT (ADVICE r3 — the engines' native casts disagree
+    // on edge inputs: DuckDB TRY_CAST('1.5' AS BIGINT) rounds to 2, a Spark
+    // string cast yields NULL, a Spark variant long-get truncates to 1, and
+    // a plain variant_get would even THROW on {"k":"abc"}): a value
+    // contributes iff it reads as a DOUBLE that is integral (d = floor(d));
+    // everything else — missing key, malformed JSON, non-numeric, fractional
+    // — is NULL. Both ops, both oracles, and the spec pin this one rule.
+    Op.sql("events_props_variant_ksum", propsKsumOracle) { (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(sum(variant_get(try_parse_json(col("props")), "$.k", "long")).as("k_sum"),
+        .agg(sum(integralK(try_variant_get(try_parse_json(col("props")), "$.k", "double")))
+          .as("k_sum"),
           count(lit(1)).as("n_events"))
     },
 
-    Op.sql("events_props_ksum",
-      // TRY_CAST matches Spark's null-on-malformed cast semantics; the outer
-      // CAST pins DuckDB's HUGEINT sum back to BIGINT == Spark LongType.
-      s"""WITH $eventsCte
-         |SELECT event_type, CAST(SUM(TRY_CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS k_sum,
-         |       COUNT(*) AS n_events
-         |FROM ev GROUP BY event_type""".stripMargin) { (s, d) =>
+    Op.sql("events_props_ksum", propsKsumOracle) { (s, d) =>
+      // try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+      // would THROW on a non-numeric k instead of contributing NULL
       Tables.events(s, d)
         .groupBy(col("event_type"))
-        .agg(sum(get_json_object(col("props"), "$.k").cast(LongType)).as("k_sum"),
+        .agg(sum(integralK(get_json_object(col("props"), "$.k").try_cast(DoubleType)))
+          .as("k_sum"),
           count(lit(1)).as("n_events"))
     },
 

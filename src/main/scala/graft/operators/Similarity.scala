@@ -319,11 +319,61 @@ object Similarity {
     * a narrow codegen projection against the broadcast-free driver-resident
     * codebook literals.
     */
-  def pqCodesWide(embs: DataFrame): DataFrame = {
+  def pqCodesWide(embs: DataFrame): DataFrame =
+    pqCodesWide(embs, pqCodebook(embs))
+
+  /** [[pqCodesWide]] against an explicit codebook (seeded or refined). */
+  def pqCodesWide(embs: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
-    val cb = pqCodebook(embs)
     embs.select(col("vec_id"),
       array((0 until pqM).map(s => pqCodeExpr(col("embedding"), cb(s), s)): _*).as("codes"))
+  }
+
+  /** One per-subspace Lloyd refinement step for the PQ codebook: every
+    * vector's subspace slice is assigned to its nearest seed codeword (the
+    * [[pqCodesWide]] argmin — exact quantized-integer L2²), then each
+    * (subspace, code) cell re-centers on the EXACT mean of its member
+    * slices — [[ivfTrainStep]]'s recipe run per subspace. Long form
+    * (subspace, code, dim, centroid, n_members).
+    *
+    * Scale shape: ONE narrow scan (the code and its slice travel together
+    * through an `inline` — no join back to the embeddings), then one hash
+    * aggregate at (subspace, code, dim) grain — m·k·subDim = 1024 groups,
+    * map-side partials absorb the corpus. Integer sums on the power-of-two
+    * [[meanGrid]] make the refined centroids exact and partitioning-
+    * independent, so training is reproducible on any cluster layout.
+    */
+  def pqTrainStep(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val cb = pqCodebook(embs)
+    val coded = array((0 until pqM).map { s =>
+      struct(lit(s).as("subspace"),
+        pqCodeExpr(col("embedding"), cb(s), s).as("code"),
+        slice(col("embedding"), s * pqSubDim + 1, pqSubDim).as("sub"))
+    }: _*)
+    embs.select(inline(coded))
+      .select(col("subspace"), col("code"), posexplode(col("sub")).as(Seq("dim", "x")))
+      .groupBy(col("subspace"), col("code"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * meanGrid)).as("sx"),
+        count(lit(1)).as("n_members"))
+      .select(col("subspace"), col("code"), col("dim"),
+        (col("sx").cast("double") / meanGrid / col("n_members")).as("centroid"),
+        col("n_members"))
+  }
+
+  /** Driver-resident REFINED codebook: the seed codewords re-centered by
+    * one [[pqTrainStep]] (float-cast, like [[kmeansTrain]]'s round
+    * codebooks); a codeword that attracted no members keeps its seed —
+    * the standard empty-cell policy. The collect is m·k·subDim = 1024
+    * rows, the same bounded-driver-artifact category as the k-means
+    * codebook itself.
+    */
+  def pqCodebookRefined(embs: DataFrame): Array[Array[Array[Float]]] = {
+    val out = pqCodebook(embs).map(_.map(_.clone()))
+    pqTrainStep(embs).collect().foreach { r =>
+      out(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+    }
+    out
   }
 
   /** [[pqCodesWide]] in flat (vec_id, subspace, code) form for the oracle. */
@@ -340,9 +390,12 @@ object Similarity {
     * integers end to end, hence fully oracle-checked. Approximation error
     * vs [[bruteForceTopK]] comes only from quantizing the corpus side.
     */
-  private def pqAdcScored(embs: DataFrame, queryPred: Column): DataFrame = {
+  private def pqAdcScored(embs: DataFrame, queryPred: Column): DataFrame =
+    pqAdcScored(embs, queryPred, pqCodebook(embs))
+
+  private def pqAdcScored(embs: DataFrame, queryPred: Column,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
-    val cb = pqCodebook(embs)
     val lut = array((0 until pqM).map { s =>
       val qSub = slice(col("q_emb"), s * pqSubDim + 1, pqSubDim)
       array(cb(s).map(c => GraftExpressions.qdot(qSub, typedLit(c.toSeq))): _*)
@@ -354,13 +407,25 @@ object Similarity {
     val adc = (0 until pqM).map { s =>
       element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    pqCodesWide(embs).join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    pqCodesWide(embs, cb).join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
   }
 
   def pqAdcTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
     pqAdcScored(embs, queryPred)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[pqAdcTopK]] against the [[pqCodebookRefined]] one-Lloyd-step
+    * codebook — identical scan mechanics (codes-only corpus + per-query
+    * LUT); the re-centering reduces total quantization distortion (the
+    * Lloyd guarantee, spec-asserted; per-query top-k recall is not
+    * monotone in it and may move either way on a given corpus).
+    */
+  def pqAdcTopKRefined(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    pqAdcScored(embs, queryPred, pqCodebookRefined(embs))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
@@ -425,6 +490,49 @@ object Similarity {
   /** DuckDB CTE chain ending in `assigned(vec_id, embedding, cell, n2)` —
     * shared by the IVF search oracle and the train-step oracle.
     */
+  /** DuckDB twin of [[kmeansTrain]]: the fixed [[kmeansIters]]-round Lloyd
+    * loop unrolled into a CTE chain. Round r assigns every vector against
+    * codebook cb(r-1) (ROW_NUMBER argmax, the [[ivfAssignedCte]] shape),
+    * aggregates exact integer per-dim sums on the 2^30 grid, and — for
+    * non-final rounds — rebuilds the codebook as REAL(float32) arrays,
+    * mirroring the Scala loop's `e.map(_.toFloat)` driver codebook. The
+    * final SELECT emits the last round's means in exact double long form.
+    */
+  private lazy val kmeansTrainSql: String = {
+    def assign(a: String, cb: String) =
+      s"""$a AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN $cb c)
+         |  WHERE rn = 1)""".stripMargin
+    def means(m: String, a: String) =
+      s"""$m AS (
+         |  SELECT cell, i - 1 AS dim,
+         |         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1073741824) AS BIGINT)) AS BIGINT) AS sx,
+         |         COUNT(*) AS n
+         |  FROM (SELECT cell, unnest(generate_series(1, len(embedding))) AS i,
+         |               unnest(embedding) AS x FROM $a)
+         |  GROUP BY cell, i)""".stripMargin
+    def book(cb: String, m: String) =
+      s"""$cb AS (
+         |  SELECT cell, list(CAST(CAST(sx AS DOUBLE) / 1073741824 / n AS REAL) ORDER BY dim) AS c_emb
+         |  FROM $m GROUP BY cell)""".stripMargin
+    val seed =
+      s"""WITH cb0 AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCells)""".stripMargin
+    val rounds = (1 to kmeansIters).flatMap { r =>
+      Seq(assign(s"a$r", s"cb${r - 1}"), means(s"m$r", s"a$r")) ++
+        (if (r < kmeansIters) Seq(book(s"cb$r", s"m$r")) else Nil)
+    }
+    (seed +: rounds).mkString(",\n") +
+      s"""
+         |SELECT cell, CAST(dim AS BIGINT) AS dim,
+         |       CAST(sx AS DOUBLE) / 1073741824 / n AS centroid, n AS n_members
+         |FROM m$kmeansIters""".stripMargin
+  }
+
   private lazy val ivfAssignedCte: String =
     s"""cent AS (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCells),
@@ -441,9 +549,11 @@ object Similarity {
     * the oracle twin of [[pqCodes]] (1-based inclusive list slices mirror
     * Spark's `slice`; ORDER BY dist, code mirrors first-hit argmin).
     */
+  /** DuckDB twin of the quantized L2² in [[pqCodeExpr]]. */
+  private def qdistSql(x: String, c: String) =
+    s"(${GraftExpressions.qdotSql(x, x)} - 2*${GraftExpressions.qdotSql(x, c)} + ${GraftExpressions.qdotSql(c, c)})"
+
   private lazy val pqCodedCtes: String = {
-    def qdistSql(x: String, c: String) =
-      s"(${GraftExpressions.qdotSql(x, x)} - 2*${GraftExpressions.qdotSql(x, c)} + ${GraftExpressions.qdotSql(c, c)})"
     s"""cb AS (
        |  SELECT CAST(s.s AS INTEGER) AS subspace, CAST(e.vec_id AS INTEGER) AS code,
        |         e.embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS c_sub
@@ -461,6 +571,69 @@ object Similarity {
        |    FROM sub JOIN cb USING (subspace))
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** Per-(subspace, code, dim) exact integer sums over the seed-coded
+    * corpus — the shared train-step core of [[pqTrainStepOracle]] and
+    * [[pqAdcRefinedOracle]]. Ends in `ts(subspace, code, dim, sx, n)`.
+    */
+  private lazy val pqTrainSumsCte: String =
+    s"""ts AS (
+       |  SELECT subspace, code, i - 1 AS dim,
+       |         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1073741824) AS BIGINT)) AS BIGINT) AS sx,
+       |         COUNT(*) AS n
+       |  FROM (SELECT c.subspace, c.code,
+       |               unnest(generate_series(1, $pqSubDim)) AS i,
+       |               unnest(s.x_sub) AS x
+       |        FROM coded c JOIN sub s ON s.vec_id = c.vec_id AND s.subspace = c.subspace)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Oracle twin of [[pqTrainStep]]. */
+  private lazy val pqTrainStepOracle: String =
+    s"""WITH $pqCodedCtes,
+       |$pqTrainSumsCte
+       |SELECT subspace, code, CAST(dim AS INTEGER) AS dim,
+       |       CAST(sx AS DOUBLE) / 1073741824 / n AS centroid, n AS n_members
+       |FROM ts""".stripMargin
+
+  /** Oracle twin of [[pqAdcTopKRefined]]: refined float codewords (seed
+    * fallback for empty cells, mirroring [[pqCodebookRefined]]), corpus
+    * re-encoded against them, then the same ADC scan.
+    */
+  private lazy val pqAdcRefinedOracle: String =
+    s"""WITH $pqCodedCtes,
+       |$pqTrainSumsCte,
+       |rcw AS (
+       |  SELECT subspace, code,
+       |         list(CAST(CAST(sx AS DOUBLE) / 1073741824 / n AS REAL) ORDER BY dim) AS c_sub
+       |  FROM ts GROUP BY 1, 2),
+       |rcb AS (
+       |  SELECT cb.subspace, cb.code, COALESCE(r.c_sub, cb.c_sub) AS c_sub
+       |  FROM cb LEFT JOIN rcw r ON r.subspace = cb.subspace AND r.code = cb.code),
+       |coded2 AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT sub.vec_id, sub.subspace, rcb.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.subspace
+       |        ORDER BY ${qdistSql("sub.x_sub", "rcb.c_sub")}, rcb.code) AS rn
+       |    FROM sub JOIN rcb USING (subspace))
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+       |qsub AS (
+       |  SELECT query_id, CAST(s.s AS INTEGER) AS subspace,
+       |         embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS q_sub
+       |  FROM q CROSS JOIN generate_series(0, ${pqM - 1}) s(s)),
+       |scored AS (
+       |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+       |         CAST(SUM(${GraftExpressions.qdotSql("qs.q_sub", "rcb.c_sub")}) AS BIGINT) AS adc
+       |  FROM coded2 c
+       |  JOIN rcb ON rcb.subspace = c.subspace AND rcb.code = c.code
+       |  JOIN qsub qs ON qs.subspace = c.subspace
+       |  WHERE c.vec_id <> qs.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $defaultK""".stripMargin
 
   /** Oracle twin of the ADC scan (shared by the window and aggregator ops). */
   private lazy val pqAdcOracle: String =
@@ -551,10 +724,13 @@ object Similarity {
       ivfTrainStep(Tables.embeddings(s, d))
     },
 
-    // Full Lloyd loop — iterative (each round's input depends on the last
-    // round's codebook), so not single-query SQL-expressible → rows-only;
-    // one-iteration equivalence with sim_ivf_train_step is spec-tested.
-    Op.rowsOnly("sim_kmeans_train") { (s, d) =>
+    // Full Lloyd loop: the fixed iteration count unrolls into a composed
+    // CTE chain (assign→means→codebook per round — the dedup_clusters
+    // recipe), so the whole training run is oracle-checked bit-for-bit.
+    // Each round's codebook is float-cast exactly like kmeansTrain's
+    // driver codebook (`e.map(_.toFloat)` ⇔ CAST(mean AS REAL)); the final
+    // output is the LAST round's exact double means.
+    Op.sql("sim_kmeans_train", kmeansTrainSql) { (s, d) =>
       kmeansTrain(Tables.embeddings(s, d))
     },
 
@@ -606,6 +782,18 @@ object Similarity {
     // formulation's oracle exactly (same integer scores, same tie-break).
     Op.sql("sim_topk_pq_adc_agg", pqAdcOracle) { (s, d) =>
       pqAdcTopKAgg(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    // One per-subspace Lloyd step over the seed-coded corpus — the PQ
+    // codebook-quality lever (VERDICT r3 #6), exact integers end to end.
+    Op.sql("sim_pq_train_step", pqTrainStepOracle) { (s, d) =>
+      pqTrainStep(Tables.embeddings(s, d))
+    },
+
+    // The ADC scan against the refined codebook: train step → float
+    // codewords → re-encode → search, all composed in one oracle.
+    Op.sql("sim_topk_pq_adc_refined", pqAdcRefinedOracle) { (s, d) =>
+      pqAdcTopKRefined(Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     Op.sql("sim_topk_lsh",

@@ -609,10 +609,14 @@ object TextOps {
   def trainingManifest(docs: DataFrame, lang: String = "en",
       minQuality: Double = 0.5): DataFrame = {
     val cur = curate(docs, lang, minQuality).drop("keep")
-    val surv = Dedup.clusterSurvivors(docs)
+    // ONE clusters() call: the eager connected-components subtree is the
+    // plan's priciest stage, and both the label join and the survivor
+    // derivation below reuse its checkpointed output (VERDICT r3 #3).
+    val cl = Dedup.clusters(docs)
+    val surv = Dedup.clusterSurvivors(docs, cl)
       .select(col("survivor_id").as("doc_id"), lit(true).as("is_cluster_survivor"))
     cur
-      .join(Dedup.clusters(docs), "doc_id")
+      .join(cl, "doc_id")
       .join(surv, Seq("doc_id"), "left")
       .join(splitAssign(docs).select(col("doc_id"), col("split")), "doc_id")
       .select(col("doc_id"), col("is_canonical"), col("quality"), col("lang_pred"),

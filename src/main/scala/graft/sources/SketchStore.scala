@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SketchStore {
 
+  /** Baked into the fixture dir name (like [[FactStore.Version]]): bump on
+    * any sketch-schema or build-logic change so a stale cached fixture from
+    * a previous build is never silently reused.
+    */
+  val Version = "v1"
+
   /** (day, sk, n_events) daily sketch rows for every day present in `events`. */
   def dailySketches(events: DataFrame): DataFrame =
     events
@@ -89,7 +95,9 @@ object SketchStore {
       .map(_.filter(_.getName.endsWith(".parquet"))
         .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
       .getOrElse("")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-sketchstore-${md5hex(s"$srcDir|$stamp")}"
+    // Version in the dir name (like FactStore): a schema or build-logic
+    // change must never silently reuse a stale cached fixture
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-sketchstore-$Version-${md5hex(s"$srcDir|$stamp")}"
     if (builtDirs.contains(dir)) return dir
     val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
     if (!marker.exists()) {

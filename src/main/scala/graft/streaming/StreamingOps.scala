@@ -133,7 +133,16 @@ object StreamingOps {
       .flatMapGroupsWithState[Seq[SessAtom], UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, batch: Iterator[Event], state: GroupState[Seq[SessAtom]]) =>
+          // flatMapGroupsWithState does NOT drop input older than the
+          // watermark (only state eviction is watermark-driven): an event
+          // arriving after its session was finalized and emitted would
+          // re-create an overlapping session and emit a second row,
+          // breaking the exactly-once contract. Enforce the drop here —
+          // sub-watermark arrivals can only belong to already-emitted
+          // territory (ADVICE r3).
+          val wmFloorUs = state.getCurrentWatermarkMs() * 1000L
           val arrivals = batch
+            .filter(e => tsToUs(e.ts) >= wmFloorUs)
             .map(e => SessAtom(tsToUs(e.ts), tsToUs(e.ts), 1L, scaledValue(e.value)))
             .toList
           val merged = (state.getOption.getOrElse(Seq.empty) ++ arrivals)

@@ -331,6 +331,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pq train step: refinement reduces quantization distortion; corpus conserved") {
+    val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    // the Lloyd guarantee is DISTORTION decrease (top-k recall of specific
+    // queries is not monotone in it and may wiggle): total min quantized
+    // L2² over the corpus, refined ≤ seeded
+    import spark.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    def q(x: Float): Long = math.floor(x.toDouble * graft.functions.GraftExpressions.Quant).toLong
+    def qd(a: Array[Float], b: Array[Float]): Long =
+      a.indices.iterator.map(i => q(a(i)) * q(b(i))).sum
+    def distortion(cb: Array[Array[Array[Float]]]): Long =
+      vecs.iterator.map { v =>
+        (0 until Similarity.pqM).map { s =>
+          val sub = v.slice(s * Similarity.pqSubDim, (s + 1) * Similarity.pqSubDim)
+          cb(s).iterator.map(c => qd(sub, sub) - 2 * qd(sub, c) + qd(c, c)).min
+        }.sum
+      }.sum
+    val seedCb = Array.tabulate(Similarity.pqM)(s =>
+      vecs.take(Similarity.pqK).map(_.slice(s * Similarity.pqSubDim, (s + 1) * Similarity.pqSubDim)))
+    val refinedCb = Similarity.pqCodebookRefined(e)
+    val (d0, d1) = (distortion(seedCb), distortion(refinedCb))
+    assert(d1 <= d0, s"refined distortion $d1 exceeds seeded $d0")
+    // the step re-centers on actual members: counts conserve the corpus per subspace
+    val step = Similarity.pqTrainStep(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getAs[Long]("n_members")).toMap
+    val n = e.count()
+    (0 until Similarity.pqM).foreach { s =>
+      val members = step.collect { case ((`s`, _, 0), m) => m }.sum
+      assert(members == n, s"subspace $s members $members != corpus $n")
+    }
+  }
+
   test("LSH top-k returns a subset consistent with brute force on the fixture") {
     val sf = TestSession.sf
     val e = graft.sources.Tables.embeddings(spark, sf)

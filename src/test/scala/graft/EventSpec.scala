@@ -237,15 +237,33 @@ class EventSpec extends AnyFunSuite {
       (2L, 1L) -> (("buy", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00"), 1L))))
   }
 
-  test("variant props extraction: typed path get, null on malformed/missing/empty") {
+  test("variant props extraction: integral-double rule, null on malformed/missing/uncastable") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{sum => fsum, variant_get, try_parse_json}
+    import org.apache.spark.sql.functions.{sum => fsum, try_variant_get, try_parse_json,
+      get_json_object, when, floor}
+    // the ADVICE-r3 edge cases: k present but NOT an integral number — a
+    // string value and a fractional value. The ops' shared contract (the
+    // engines' native casts all disagree here): contribute iff the value
+    // reads as a double with d = floor(d); else null. A plain
+    // variant_get(..., 'long') would THROW on {"k":"abc"} and silently
+    // truncate {"k":1.5}.
+    def integral(d: org.apache.spark.sql.Column) = when(d === floor(d), d.cast("long"))
     val df = Seq(
-      """{"k": 7}""", """{"k": 5}""", """{"other": 1}""", "", "not json"
+      """{"k": 7}""", """{"k": 5}""", """{"other": 1}""", "", "not json",
+      """{"k": "abc"}""", """{"k": 1.5}"""
     ).toDF("props")
-    val got = df.agg(
-      fsum(variant_get(try_parse_json($"props"), "$.k", "long"))).head().getLong(0)
-    assert(got == 12L) // missing key, empty and malformed rows contribute null
+    val variantK = integral(try_variant_get(try_parse_json($"props"), "$.k", "double"))
+    val stringK = integral(get_json_object($"props", "$.k").try_cast("double"))
+    val got = df.agg(fsum(variantK)).head().getLong(0)
+    assert(got == 12L) // only the two integral rows contribute
+    // row-level agreement between the two extraction paths on every edge case
+    val rows = df.select(variantK.as("v"), stringK.as("s")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"variant path ${if (r.isNullAt(0)) "null" else r.getLong(0)} != " +
+          s"string path ${if (r.isNullAt(1)) "null" else r.getLong(1)}")
+    }
   }
 
   test("user stats: counts, distinct types, exact value sum") {

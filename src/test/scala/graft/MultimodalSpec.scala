@@ -37,4 +37,39 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeatures(Multimodal.mediaDataset(spark, TestSession.sf))
     assert(out.count() == 500)
   }
+
+  /** JDK-only image fixture: encode a blank w×h image to `fmt` bytes. */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("real image payloads decode header dimensions; non-images fall back to stub") {
+    import spark.implicits._
+    val png = imageBytes(20, 30, "png")
+    val bmp = imageBytes(7, 5, "bmp")
+    val jpg = imageBytes(33, 17, "jpg")
+    val txt = "not an image at all".getBytes("UTF-8")
+    // the decode function itself
+    assert(Multimodal.decode(png) == ((20, 30)))
+    assert(Multimodal.decode(bmp) == ((7, 5)))
+    assert(Multimodal.decode(jpg) == ((33, 17)))
+    assert(Multimodal.decode(txt) == Multimodal.decodeStub(txt))
+    // corrupt header: PNG magic but truncated body → stub fallback, no crash
+    val corrupt = png.take(12)
+    assert(Multimodal.decode(corrupt) == Multimodal.decodeStub(corrupt))
+    // and through the distributed batched extractor
+    val media = Seq(
+      MediaRecord(1L, "media/img", png),
+      MediaRecord(2L, "media/img", bmp),
+      MediaRecord(3L, "media/txt", txt)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media, batchSize = 2)
+      .collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
+    assert(feats(1L) == ((20, 30)) && feats(2L) == ((7, 5)))
+    assert(feats(3L) == Multimodal.decodeStub(txt))
+  }
 }

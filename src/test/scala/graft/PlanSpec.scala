@@ -31,6 +31,30 @@ class PlanSpec extends AnyFunSuite {
     plan.collect { case s: FileSourceScanExec => s }
   }
 
+  test("exact-rank recipe: all windows partitioned, no global sort; composites window-free") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the ranking stage itself (pre-checkpoint): its window partitions by
+    // the range-partition id — no single-task sort at ANY row count
+    // (VERDICT r3 #2: the old rfm used three unpartitioned row_number
+    // windows over the user-grain frame)
+    val ranked = graft.operators.Analytics.rankedByRange(
+      Tables.documents(spark, TestSession.sf).select(col("doc_id")),
+      Seq(col("doc_id")))
+    val windows = ranked.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "ranking stage should rank through a window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "every window in the exact-rank recipe must be partitioned")
+    // the registered ops consume the CHECKPOINTED ranks: their final plans
+    // carry no window at all (and therefore no unpartitioned one)
+    val rfm = graft.operators.Analytics.rfmSegments(
+      Tables.ordersDomain(spark, TestSession.sf), Tables.orderItems(spark, TestSession.sf))
+    assert(rfm.queryExecution.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "rfmSegments must not rank through a window in its final plan")
+    val pareto = graft.operators.Analytics.revenuePareto(Tables.orderItems(spark, TestSession.sf))
+    assert(pareto.queryExecution.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "revenuePareto must not rank through a window in its final plan")
+  }
+
   test("products view prunes the parquet scan to the referenced columns") {
     val s = scans(Tables.products(spark, TestSession.sf))
     assert(s.nonEmpty)
