@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Dimensional-warehouse maintenance operators: SCD Type-2 history build,
+  * CDC snapshot diffing, and merge/upsert application — the operations that
+  * turn an append-only fact stream into maintainable dimension state.
+  * (North-star extension; the reference pipeline rebuilds its KPI tables from
+  * scratch each run — reference: ecs/transformation/transform_task.py:213-274 —
+  * which stops being viable when the dimension is 100 TB. These ops are the
+  * incremental alternative.)
+  *
+  * Scale shape: every window in [[scd2]] is partitioned by the dimension key
+  * (no global sort anywhere), and all three stages of one call share that one
+  * key-hash shuffle. [[snapshotDiff]] is a single co-partitioned full-outer
+  * join on the key; [[applyChanges]] is one left join + union. Nothing here
+  * collects to the driver.
+  */
+object Warehouse {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+  private def dsumSql(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  // --------------------------------------------------------------------------
+  // SCD Type-2
+  // --------------------------------------------------------------------------
+
+  /** Collapse a change log (one row per observation of `attr` at time `ts`)
+    * into SCD Type-2 validity intervals: one row per (key, run of equal
+    * attr values), with `valid_from` / `valid_to` (null = current), a
+    * 1-based `version`, an `is_current` 0/1 flag, and the observation count
+    * backing the run.
+    *
+    * Gaps-and-islands: a change flag vs `lag(attr)`, a running sum over the
+    * same (key, ts, tieBreak) ordering to number islands, then one aggregate
+    * per island and a `lead` to close each interval. `tieBreak` must make
+    * the per-key ordering total (e.g. a unique row id), or run boundaries
+    * would be nondeterministic under equal timestamps.
+    *
+    * All four window/aggregate stages are partitioned by `key` and reuse one
+    * hash partitioning — a single shuffle of the log, no global sort. At
+    * 100 TB the log shuffles once on the dimension key, and island state is
+    * per-key, so skew is bounded by the hottest single entity's history.
+    */
+  def scd2(log: DataFrame, key: String, attr: String, ts: String,
+      tieBreak: String): DataFrame = {
+    val byTime = Window.partitionBy(key).orderBy(col(ts), col(tieBreak))
+    val flagged = log.withColumn("_chg",
+      when(lag(col(attr), 1).over(byTime).isNull
+        || lag(col(attr), 1).over(byTime) =!= col(attr), 1).otherwise(0))
+    val islands = flagged.withColumn("version",
+      sum(col("_chg")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+    val runs = islands.groupBy(col(key), col("version"))
+      .agg(min(col(attr)).as(attr), // constant within an island
+        min(col(ts)).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val byVersion = Window.partitionBy(key).orderBy(col("version"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
+  // --------------------------------------------------------------------------
+  // CDC: snapshot, diff, apply
+  // --------------------------------------------------------------------------
+
+  /** Trailing-window activity snapshot of the orders fact as of `asOf`:
+    * per user active in the prior `windowDays`, the order count, exact spend,
+    * and last order date. The kind of serving-store table CDC maintains.
+    */
+  def activitySnapshot(orders: DataFrame, asOf: String, windowDays: Int): DataFrame =
+    orders
+      .filter(col("o_orderdate") > expr(s"TIMESTAMP '$asOf' - INTERVAL $windowDays DAYS")
+        && col("o_orderdate") <= lit(asOf).cast("timestamp"))
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("spend"),
+        max(col("o_orderdate")).as("last_order"))
+
+  private def snapshotSql(asOf: String, windowDays: Int): String =
+    s"""SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+       |       ${dsumSql("o_totalprice")} AS spend, MAX(o_orderdate) AS last_order
+       |FROM orders
+       |WHERE o_orderdate > TIMESTAMP '$asOf' - INTERVAL $windowDays DAY
+       |  AND o_orderdate <= TIMESTAMP '$asOf'
+       |GROUP BY o_custkey""".stripMargin
+
+  /** CDC diff of two snapshots sharing schema (`key` + payload columns):
+    * one row per changed key with `change_type` ∈ insert/update/delete,
+    * old and new payload values side by side (null on the absent side).
+    * Unchanged keys (all payload columns null-safe equal) are dropped.
+    *
+    * One full-outer sort-merge join on the key; both sides arrive hash-
+    * partitioned the same way, so at scale this is the minimal one-shuffle
+    * formulation (and with both snapshots bucketed by key it is shuffle-free).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val payload = a.columns.filter(_ != key).toSeq
+    require(payload.toSet == b.columns.filter(_ != key).toSet,
+      "snapshots must share schema")
+    val unchanged = payload.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    val out = Seq(coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
+      when(col(s"a.$key").isNull, "insert")
+        .when(col(s"b.$key").isNull, "delete")
+        .otherwise("update").as("change_type")) ++
+      payload.flatMap(c => Seq(col(s"a.$c").as(s"old_$c"), col(s"b.$c").as(s"new_$c")))
+    a.as("a").join(b.as("b"), col(s"a.$key") === col(s"b.$key"), "full_outer")
+      .filter(col(s"a.$key").isNull || col(s"b.$key").isNull || !unchanged)
+      .select(out: _*)
+  }
+
+  /** Apply a [[snapshotDiff]] change set to a base snapshot (MERGE semantics):
+    * deletes remove the key, inserts/updates take the `new_*` payload. By
+    * construction `applyChanges(a, snapshotDiff(a, b)) == b` — the roundtrip
+    * the registered op pins against the direct oracle.
+    *
+    * One left join (base × change keys — at CDC scale the change set is the
+    * small side and broadcasts) plus a union of the upsert payload: the
+    * 100 TB base is never shuffled, only streamed once.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val payload = base.columns.filter(_ != key).toSeq
+    val untouched = base.join(changes.select(col(key)), Seq(key), "left_anti")
+    val upserts = changes.filter(col("change_type") =!= "delete")
+      .select(col(key) +: payload.map(c => col(s"new_$c").as(c)): _*)
+    untouched.unionByName(upserts)
+  }
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  /** Snapshot instants for the CDC ops: 180-day activity windows six months
+    * apart — enough churn that insert/update/delete are all non-empty at
+    * every fixture SF.
+    */
+  val cdcAsOfA = "2000-01-01"
+  val cdcAsOfB = "2000-07-01"
+  val cdcWindowDays = 180
+
+  private val diffSql =
+    s"""WITH a AS (${snapshotSql(cdcAsOfA, cdcWindowDays)}),
+       |b AS (${snapshotSql(cdcAsOfB, cdcWindowDays)})
+       |SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       |       CASE WHEN a.user_id IS NULL THEN 'insert'
+       |            WHEN b.user_id IS NULL THEN 'delete'
+       |            ELSE 'update' END AS change_type,
+       |       a.n_orders AS old_n_orders, b.n_orders AS new_n_orders,
+       |       a.spend AS old_spend, b.spend AS new_spend,
+       |       a.last_order AS old_last_order, b.last_order AS new_last_order
+       |FROM a FULL JOIN b ON a.user_id = b.user_id
+       |WHERE a.user_id IS NULL OR b.user_id IS NULL
+       |   OR a.n_orders IS DISTINCT FROM b.n_orders
+       |   OR a.spend IS DISTINCT FROM b.spend
+       |   OR a.last_order IS DISTINCT FROM b.last_order""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    // SCD Type-2 history of each customer's order priority.
+    Op.sql("warehouse_scd2_priority",
+      """WITH log AS (
+        |  SELECT o_custkey AS user_id, o_orderpriority AS priority,
+        |         o_orderdate AS ts, o_orderkey AS oid
+        |  FROM orders),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(priority) OVER w IS NULL
+        |                   OR LAG(priority) OVER w <> priority THEN 1 ELSE 0 END AS chg
+        |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, oid)),
+        |islands AS (
+        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, oid
+        |                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version
+        |  FROM flagged),
+        |runs AS (
+        |  SELECT user_id, version, MIN(priority) AS priority,
+        |         MIN(ts) AS valid_from, COUNT(*) AS n_obs
+        |  FROM islands GROUP BY user_id, version)
+        |SELECT user_id, version, priority, valid_from, n_obs,
+        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |       CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |              IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM runs""".stripMargin) { (s, d) =>
+      val log = Tables.orders(s, d).select(
+        col("o_custkey").as("user_id"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("oid"))
+      scd2(log, "user_id", "priority", "ts", "oid").drop("ts", "oid")
+    },
+
+    // Point-in-time activity snapshot (the CDC base table).
+    Op.sql("cdc_snapshot_activity", snapshotSql(cdcAsOfB, cdcWindowDays)) { (s, d) =>
+      activitySnapshot(Tables.orders(s, d), cdcAsOfB, cdcWindowDays)
+    },
+
+    // Change set between the two snapshot instants.
+    Op.sql("cdc_snapshot_diff", diffSql) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      snapshotDiff(
+        activitySnapshot(orders, cdcAsOfA, cdcWindowDays),
+        activitySnapshot(orders, cdcAsOfB, cdcWindowDays), "user_id")
+    },
+
+    // MERGE roundtrip: base + change set must reproduce the target snapshot,
+    // so the oracle is the DIRECT snapshot-at-B query — the diff/apply pair
+    // has to agree with a computation that never saw either op.
+    Op.sql("cdc_merge_apply", snapshotSql(cdcAsOfB, cdcWindowDays)) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val a = activitySnapshot(orders, cdcAsOfA, cdcWindowDays)
+      val b = activitySnapshot(orders, cdcAsOfB, cdcWindowDays)
+      applyChanges(a, snapshotDiff(a, b, "user_id"), "user_id")
+    },
+  )
+}
