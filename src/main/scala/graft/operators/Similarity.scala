@@ -671,7 +671,158 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= $kExpr""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Scalar (int8) quantization + two-stage re-ranked retrieval
+  // --------------------------------------------------------------------------
+
+  /** SQ8 code scale: codes span [−127, 127] — one signed byte per dimension. */
+  val sq8Scale = 127
+
+  /** Candidate depth of the re-rank first stage. */
+  val rerankCandidates = 50
+
+  /** One row per vector with its signed int8 code array — 4× smaller than
+    * the raw floats (vs PQ's 64×, but with per-dimension fidelity). The code
+    * is the UNIT-NORMALIZED vector on a 127-step grid:
+    * `round(q_i · 127 / √(Σ q_i²))` with `q_i = floor(x_i · 2^20)` (the
+    * [[GraftExpressions.QuantizedDot]] grid), so the integer dot of two code
+    * arrays approximates 127² · cosine — ranking by it tracks cosine ranking,
+    * which a raw (unnormalized, per-dim-affine) int8 dot does not. A zero
+    * vector codes to all-zeros.
+    *
+    * Scale shape: per-row arithmetic only — NO corpus statistics pass, no
+    * shuffle, nothing driver-resident. Every double op (float→double widen,
+    * floor, ·127.0, IEEE sqrt, divide, half-away round) is order-pinned and
+    * reproduced verbatim by the DuckDB oracle, so codes are bit-identical
+    * across engines.
+    */
+  def sq8CodesWide(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val n2 = GraftExpressions.qdot(col("embedding"), col("embedding"))
+    val code = transform(col("embedding"), x =>
+      when(col("n2") === 0, lit(0)).otherwise(
+        round(floor(x.cast("double") * GraftExpressions.Quant) * lit(127.0) /
+          sqrt(col("n2").cast("double"))).cast("int")))
+    embs.withColumn("n2", n2).select(col("vec_id"), code.as("codes"))
+  }
+
+  /** Flat (vec_id, dim, code) form for the oracle. */
+  def sq8Codes(embs: DataFrame): DataFrame =
+    sq8CodesWide(embs).select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+
+  /** SQ8 top-k: the brute-force scan over signed int8 codes — an exact
+    * integer dot per pair (64 byte-products ≈ 127² · cosine), ranking by
+    * quantized similarity. The scan reads the 4×-compressed corpus;
+    * approximation error vs [[bruteForceTopK]] comes only from the 8-bit
+    * rounding of the unit vector, so recall is near-1 (spec-measured) at a
+    * quarter of the scan bytes.
+    */
+  def sq8TopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    val codes = sq8CodesWide(embs)
+    val queries = codes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
+    val dot = expr("aggregate(zip_with(codes, q_codes, (a, b) -> CAST(a AS BIGINT) * b), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot.as("qscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("qscore").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Two-stage retrieval: the SQ8 integer scan proposes `rerankCandidates`
+    * per query, then ONLY those pairs are re-scored with the exact quantized
+    * cosine — the standard candidate-generation → re-rank shape every
+    * production ANN system runs. At 100 TB the full corpus is touched once
+    * through its compressed codes; the float vectors are fetched for
+    * |Q|·C candidate rows only (the candidate frame broadcasts — the corpus
+    * never shuffles).
+    */
+  def sq8RerankTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val cand = sq8TopK(embs, queryPred, rerankCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val rescored = corpus.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
+  /** Shared oracle CTEs ending in `codes(vec_id, codes)` — the same
+    * unit-normalize-then-round arithmetic as [[sq8CodesWide]], op for op.
+    */
+  private lazy val sq8CodesCtes: String =
+    s"""ne AS (
+       |  SELECT vec_id, embedding,
+       |         ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id,
+       |         [CASE WHEN n2 = 0 THEN 0
+       |               ELSE CAST(round(CAST(${GraftExpressions.quantSql("x")} AS DOUBLE)
+       |                          * 127.0 / sqrt(CAST(n2 AS DOUBLE))) AS INTEGER) END
+       |          FOR x IN embedding] AS codes
+       |  FROM ne)""".stripMargin
+
+  /** SQ8 integer-dot scoring CTE over `codes`, queries `vec_id < 5`. */
+  private lazy val sq8ScoredCte: String =
+    s"""scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |         CAST(list_sum([CAST(x[1] AS BIGINT) * x[2]
+       |                        FOR x IN list_zip(q.codes, v.codes)]) AS BIGINT) AS qscore
+       |  FROM codes q JOIN codes v ON v.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5)""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    // Int8 scalar-quantized corpus representation.
+    Op.sql("sim_sq8_codes",
+      s"""WITH $sq8CodesCtes
+         |SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, code
+         |FROM (SELECT vec_id, unnest(generate_series(1, len(codes))) AS i,
+         |             unnest(codes) AS code FROM codes)""".stripMargin) { (s, d) =>
+      sq8Codes(Tables.embeddings(s, d))
+    },
+
+    // Brute-force search over the compressed codes.
+    Op.sql("sim_topk_sq8",
+      s"""WITH $sq8CodesCtes,
+         |$sq8ScoredCte,
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, qscore, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      sq8TopK(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    // Candidate-generation → exact re-rank, composed in one oracle.
+    Op.sql("sim_topk_rerank",
+      s"""WITH $sq8CodesCtes,
+         |$sq8ScoredCte,
+         |c_ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |cand AS (SELECT query_id, neighbor_id FROM c_ranked WHERE rank <= $rerankCandidates),
+         |ev AS (
+         |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM cand c
+         |  JOIN ev v ON v.vec_id = c.neighbor_id
+         |  JOIN ev q ON q.vec_id = c.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      sq8RerankTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
     // Same query through the bounded aggregator — must equal the window
     // formulation's oracle exactly (same scores, same tie-break).
     Op.sql("sim_topk_agg", bruteForceOracle(defaultK.toString)) { (s, d) =>

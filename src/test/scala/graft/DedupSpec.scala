@@ -87,6 +87,46 @@ class DedupSpec extends AnyFunSuite {
       s"multiprobe recall ${(multi & brute).size} fell below single ${(single & brute).size}")
   }
 
+  test("sq8: signed byte codes of the unit vector — bounded, norm-preserving, zero-safe") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val codes = Similarity.sq8CodesWide(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Int]]("codes").toArray).toMap
+    assert(codes.values.forall(_.forall(c => c >= -Similarity.sq8Scale
+      && c <= Similarity.sq8Scale)), "code outside [-127, 127]")
+    // unit-norm preservation: Σ c² ≈ 127² within the per-dim rounding budget
+    codes.foreach { case (id, cs) =>
+      val n2 = cs.map(c => c.toLong * c).sum
+      assert(n2 > 100L * 100 && n2 < 132L * 132,
+        s"vec $id code norm² $n2 far from ${Similarity.sq8Scale * Similarity.sq8Scale}")
+    }
+    // a zero vector must code to all-zeros, not NaN-poisoned values
+    val z = Seq((0L, Array(0.0f, 0.0f, 0.0f)), (1L, Array(3.0f, 4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val zc = Similarity.sq8CodesWide(z).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("codes").toList).toMap
+    assert(zc(0L) == List(0, 0, 0))
+    assert(zc(1L) == List(76, 102, 0), "3-4-5 triangle: 127·(0.6, 0.8, 0)")
+  }
+
+  test("sq8 scan recall is near-exact; re-ranking never hurts") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val qp = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, qp))
+    val sq8 = pairs(Similarity.sq8TopK(embs, qp))
+    val rr = pairs(Similarity.sq8RerankTopK(embs, qp))
+    // 8-bit rounding only — the compressed scan should agree on nearly all of top-k
+    assert((sq8 & brute).size >= (brute.size * 0.8).toInt,
+      s"sq8 recall ${(sq8 & brute).size}/${brute.size} below 0.8")
+    assert((rr & brute).size >= (sq8 & brute).size,
+      s"re-rank recall ${(rr & brute).size} fell below sq8 ${(sq8 & brute).size}")
+    // the re-ranked set can only contain first-stage candidates
+    val cand = pairs(Similarity.sq8TopK(embs, qp, k = Similarity.rerankCandidates))
+    assert(rr.subsetOf(cand), "re-rank emitted a pair outside its candidate set")
+  }
+
   test("semantic cells: same-cell pairs verified by cosine; clusters never cross cells") {
     // two semantic clusters on the axes; every vector is its own candidate
     // centroid (id < ivfCells) but the argmax assignment pulls the scaled
