@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Graph analytics over relationships the warehouse already holds — here the
+  * product co-purchase graph (parts bought together in one order). The
+  * reference has no graph layer at all; this is the extension-surface module
+  * for link-structure signals (product importance, recommendation seeds).
+  *
+  * Everything is expressed as plain Catalyst plans — edges are a DataFrame,
+  * an iteration is a join + aggregate — so AQE, broadcast selection, and
+  * whole-stage codegen apply as usual. Iterative ranks `localCheckpoint`
+  * every round (the shared-subtree plan-walk lesson from
+  * [[Dedup.connectedComponents]]).
+  *
+  * Determinism contract: ranks live on a 2^40 integer grid and every
+  * operation is integer multiply / integer divide / integer sum — sums of
+  * longs are associative, so results are bit-identical regardless of
+  * partitioning, and the DuckDB oracle (same grid, `//` for `div`) matches
+  * exactly. No floating point anywhere: float addition is non-associative,
+  * so a double-valued PageRank would differ run to run at scale. All
+  * quantities are non-negative, where truncating (`div`) and flooring
+  * (`//`) division agree.
+  */
+object Graph {
+
+  /** Rank grid: 2^40 steps of probability mass. */
+  val prGrid: Long = 1L << 40
+
+  /** Damping factor 0.85 as the rational 17/20 — exact in integer ops. */
+  val prDampNum = 17L
+  val prDampDen = 20L
+
+  /** Fixed iteration count for the registered query (unrolled in the oracle). */
+  val prIters = 3
+
+  /** Baskets above this size are dropped when building edges (degenerate
+    * mega-orders — same guard and value as [[Analytics.basketMaxItems]]).
+    */
+  val copurchaseCap: Int = Analytics.basketMaxItems
+
+  /** Symmetric weighted co-purchase edges: w(a,b) = number of (size-capped)
+    * orders containing both products. One shuffle to basket grain, pairs
+    * exploded within each basket (bounded by [[copurchaseCap]]² per order),
+    * one aggregate to edge grain — never an order-keyed self-join of the
+    * fact table.
+    */
+  def copurchaseEdges(orderItems: DataFrame): DataFrame = {
+    val baskets = orderItems
+      .groupBy(col("order_id"))
+      .agg(array_sort(collect_set(col("product_id"))).as("items"))
+      .filter(size(col("items")) <= copurchaseCap)
+    baskets
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.w"))
+  }
+
+  /** Weighted PageRank on the 2^40 integer grid, fixed iteration count.
+    *
+    * Per round: every node sends `(p · w) div out_weight` along each out-edge
+    * (one edge-grain join against the rank frame), contributions sum at the
+    * destination (one aggregate), and
+    * `p' = base + (17 · Σ) div 20` with `base = ((2^40 · 3) div 20) div N`.
+    * Symmetric edges mean no dangling nodes (every node in the graph has
+    * out-degree ≥ 1); nodes are exactly the edge endpoints.
+    *
+    * Scale shape: state is one row per node, the per-round cost is one join
+    * + one aggregate over the edge table — the textbook message-passing
+    * round as two shuffles, AQE-splittable, no driver-side graph. `n` is a
+    * driver long (single count of the node frame).
+    */
+  def pageRank(edges: DataFrame, iters: Int = prIters): DataFrame = {
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = edges.join(outw, "src").persist()
+    val nodes = outw.select(col("src").as("node")).persist()
+    val n = nodes.count()
+    val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / n
+    var ranks = nodes.select(col("node"), lit(prGrid / n).as("p"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("(p * w) div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
+            .as("p"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist()
+    ranks.select(col("node").as("product_id"), col("p").as("rank_q"))
+  }
+
+  /** Weighted degree centrality — the one-pass sanity baseline beside
+    * [[pageRank]]: out-strength, distinct-neighbor count, and the node's
+    * share of total edge weight on the same integer grid.
+    */
+  def degreeCentrality(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("product_id"))
+      .agg(sum(col("w")).as("strength"), count(lit(1)).as("n_neighbors"))
+    val tot = deg.agg(sum(col("strength")).as("total_w"))
+    deg.crossJoin(broadcast(tot))
+      .select(col("product_id"), col("strength"), col("n_neighbors"),
+        expr(s"(strength * ${prGrid}L) div total_w").as("strength_share_q"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  /** Shared oracle CTEs: distinct capped baskets → symmetric weighted edges
+    * (the a ≠ b self-join emits both directions) → out-weights → node count.
+    */
+  private val edgesCtes: String =
+    s"""oi AS (SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+       |       FROM lineitem),
+       |ok AS (SELECT order_id FROM oi GROUP BY order_id
+       |       HAVING COUNT(*) <= $copurchaseCap),
+       |ob AS (SELECT oi.order_id, oi.product_id FROM oi JOIN ok USING (order_id)),
+       |e AS (SELECT a.product_id AS src, b.product_id AS dst,
+       |             CAST(COUNT(*) AS BIGINT) AS w
+       |      FROM ob a JOIN ob b
+       |        ON a.order_id = b.order_id AND a.product_id <> b.product_id
+       |      GROUP BY 1, 2),
+       |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM outw)""".stripMargin
+
+  /** Unrolled PageRank oracle: p0 then [[prIters]] rounds of the identical
+    * integer recurrence ([[pageRank]] scaladoc), HUGEINT-safe via the final
+    * BIGINT cast.
+    */
+  private def pageRankOracle: String = {
+    val rounds = (1 to prIters).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""s$i AS (
+         |  SELECT e.dst, SUM((p.p * e.w) // o.ow) AS s
+         |  FROM e JOIN $prev p ON p.node = e.src JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT o.src AS node,
+         |         (($prGrid * ${prDampDen - prDampNum}) // $prDampDen) // nn.n
+         |           + ($prDampNum * COALESCE(s$i.s, 0)) // $prDampDen AS p
+         |  FROM outw o CROSS JOIN nn LEFT JOIN s$i ON s$i.dst = o.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |p0 AS (SELECT src AS node, $prGrid // nn.n AS p FROM outw CROSS JOIN nn),
+       |$rounds
+       |SELECT node AS product_id, CAST(p AS BIGINT) AS rank_q FROM p$prIters""".stripMargin
+  }
+
+  def ops: Seq[Op] = Seq(
+    // The co-purchase edge table itself (symmetric, weighted).
+    Op.sql("graph_copurchase_edges",
+      s"""WITH $edgesCtes
+         |SELECT src, dst, w FROM e""".stripMargin) { (s, d) =>
+      copurchaseEdges(Tables.orderItems(s, d))
+    },
+
+    // Fixed-iteration integer-grid PageRank over that graph.
+    Op.sql("graph_pagerank", pageRankOracle) { (s, d) =>
+      pageRank(copurchaseEdges(Tables.orderItems(s, d)))
+    },
+
+    // One-pass degree centrality baseline.
+    Op.sql("graph_degree_centrality",
+      s"""WITH $edgesCtes,
+         |deg AS (SELECT src AS product_id, SUM(w) AS strength,
+         |               CAST(COUNT(*) AS BIGINT) AS n_neighbors
+         |        FROM e GROUP BY src),
+         |tot AS (SELECT SUM(strength) AS total_w FROM deg)
+         |SELECT product_id, CAST(strength AS BIGINT) AS strength,
+         |       n_neighbors,
+         |       CAST((strength * $prGrid) // total_w AS BIGINT) AS strength_share_q
+         |FROM deg CROSS JOIN tot""".stripMargin) { (s, d) =>
+      degreeCentrality(copurchaseEdges(Tables.orderItems(s, d)))
+    },
+  )
+}

@@ -173,6 +173,21 @@ object Relational {
     // The domain views themselves are the P1/P2 projection layer.
     Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
 
+    // Salted skew join, oracle-checked against the PLAIN join's SQL — the
+    // salt must be invisible in the result (row-identical multiset).
+    Op.sql("join_salted_order_priority",
+      """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+        |       l.l_quantity AS quantity, o.o_orderpriority AS priority
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          col("l_quantity").as("quantity"))
+        val dim = Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"), col("o_orderpriority").as("priority"))
+        saltedLeftJoin(li, dim, "order_id", buckets = 8)
+    },
+
     Op.sql("proj_order_flags",
       s"""${Tables.domainCtes}
          |SELECT order_id, CAST(user_id AS BIGINT) AS user_id,

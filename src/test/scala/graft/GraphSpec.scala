@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Mechanism tests for the graph module on hand-built graphs with known
+  * structure, plus the integer-grid determinism contract.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // star: hub 1 ↔ leaves 2..5 (symmetric, unit weights)
+  private def star = (2L to 5L).flatMap(l => Seq((1L, l, 1L), (l, 1L, 1L)))
+    .toDF("src", "dst", "w")
+
+  test("pagerank: hub of a star outranks leaves; leaves tie exactly") {
+    val r = Graph.pageRank(star).collect()
+      .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("rank_q")).toMap
+    assert(r.size == 5)
+    assert((2L to 5L).forall(l => r(1L) > r(l)), s"hub must dominate: $r")
+    assert((3L to 5L).forall(l => r(l) == r(2L)), "symmetric leaves must tie bit-for-bit")
+  }
+
+  test("pagerank: probability mass conserved up to integer truncation") {
+    val edges = Graph.copurchaseEdges(
+      graft.sources.Tables.orderItems(spark, TestSession.sf))
+    val nEdges = edges.count()
+    val ranks = Graph.pageRank(edges)
+    val nNodes = ranks.count()
+    val total = ranks.agg(sum("rank_q")).head.getLong(0)
+    // each round loses < 1 grid step per edge-division + per-node base/damp
+    // truncation; mass never increases
+    val slack = Graph.prIters * (nEdges + 2 * nNodes + Graph.prDampDen)
+    assert(total <= Graph.prGrid)
+    assert(total >= Graph.prGrid - slack,
+      s"mass $total lost more than $slack below ${Graph.prGrid}")
+  }
+
+  test("pagerank is partitioning-invariant (integer grid, associative sums)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("rank_q")).toMap
+    assert(key(Graph.pageRank(star.repartition(7))) == key(Graph.pageRank(star)))
+  }
+
+  test("copurchase edges are symmetric with equal weights, never self-loops") {
+    val e = Graph.copurchaseEdges(graft.sources.Tables.orderItems(spark, TestSession.sf))
+    assert(e.filter(col("src") === col("dst")).isEmpty)
+    val asym = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src")
+          && col("a.w") === col("b.w"), "left_anti")
+    assert(asym.isEmpty, "every edge needs its equal-weight mirror")
+  }
+
+  test("degree centrality: shares sum to the grid up to per-node truncation") {
+    val d = Graph.degreeCentrality(star)
+    val r = d.collect().map(x =>
+      x.getAs[Long]("product_id") ->
+        (x.getAs[Long]("strength"), x.getAs[Long]("n_neighbors"),
+          x.getAs[Long]("strength_share_q"))).toMap
+    assert(r(1L)._1 == 4 && r(1L)._2 == 4 && r(2L)._1 == 1)
+    val tot = r.values.map(_._3).sum
+    assert(tot <= Graph.prGrid && tot > Graph.prGrid - r.size)
+  }
+}
