@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** Full-text retrieval over the documents corpus: a BM25-family ranked
+  * search through an inverted index, expressed as plain joins/aggregates so
+  * Catalyst plans it (term-keyed posting-list join, broadcast query side).
+  *
+  * Determinism contract (the repo-wide rule — no `ln`, no float sums):
+  * classic BM25 is Σ_t ln((N−df+0.5)/(df+0.5)+1) · tf·(k1+1)/(tf+k1·(1−b+b·len/avgdl)).
+  * We pin k1 = 3/2, b = 3/4 and score with the LOG-FREE rational surrogate
+  * (the pre-log IDF ratio, the same monotone ordering per term):
+  *
+  *   idf    = (2N − 2df + 1) / (2df + 1)                 — ×2 clears the 0.5s
+  *   adl    = TL div N                                   — avg doc length, floored
+  *   tfpart = 20·tf·adl / (8·tf·adl + 3·adl + 9·len)     — k1,b cleared to integers
+  *   score  = Σ_t (num div den)·2^20 + ((num mod den)·2^20) div den
+  *            with num = (2N−2df+1)·20·tf·adl, den = (2df+1)·(8·tf·adl+3·adl+9·len)
+  *
+  * Every quantity is an exact BIGINT; the two-step quotient keeps all
+  * intermediates under 2^63 through sf10 (num ≤ ~8e12, den·2^20 ≤ ~3.4e18);
+  * summing longs is associative, so ranking is bit-identical under any
+  * partitioning and matches the DuckDB oracle exactly.
+  */
+object Search {
+
+  /** Score grid: 2^20 steps per score unit. */
+  val bm25Grid: Long = 1L << 20
+
+  /** Results per query. */
+  val bm25K = 10
+
+  /** The registered benchmark queries (fixed, like the ANN query sets). */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    (1L, "hash join"),
+    (2L, "window agg stream"),
+    (3L, "vector scan"))
+
+  /** The inverted index: one posting row per (token, doc) with term
+    * frequency AND the document length materialized on the posting (the
+    * classic index layout — doc stats ride the posting so query time never
+    * joins the corpus). Two aggregates over one tokenization pass plus a
+    * doc-grain join, all hash-partitioned; at 100 TB this is the one-time
+    * index build the per-query path amortizes.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    tf.join(dl, "doc_id")
+  }
+
+  /** Corpus stats frame: one row (n docs, total tokens, floored avgdl). */
+  private def corpusStats(index: DataFrame): DataFrame =
+    index.groupBy(col("doc_id")).agg(first(col("len")).as("len"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("tl"))
+      .select(col("n"), col("tl"), expr("tl div n").as("adl"))
+
+  /** BM25 top-k: queries are (id, text) pairs tokenized with the corpus
+    * tokenizer. The plan: postings ⋈ broadcast(query terms) — the
+    * posting-list scan touches ONLY query-term postings — ⋈ broadcast
+    * per-term df ⋈ broadcast one-row corpus stats, then the integer score
+    * sum per (query, doc) and a per-query top-k window (partition count =
+    * |queries|, each bounded by matching docs).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)] = bm25Queries,
+      k: Int = bm25K): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val index = invertedIndex(docs).persist()
+    val qt = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("token"))
+    val dfr = index.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qt), "token") // term-grain, pruned to query terms
+    val scored = index
+      .join(broadcast(dfr), "token")
+      .crossJoin(broadcast(corpusStats(index)))
+      .select(col("query_id"), col("doc_id"),
+        expr("(2*n - 2*df + 1) * 20 * tf * adl").as("num"),
+        expr("(2*df + 1) * (8 * tf * adl + 3 * adl + 9 * len)").as("den"))
+      .select(col("query_id"), col("doc_id"),
+        expr(s"(num div den) * $bm25Grid + ((num % den) * $bm25Grid) div den").as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    index.unpersist()
+    out
+  }
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  private def queryValues: String =
+    bm25Queries.flatMap { case (id, text) =>
+      text.split(" ").map(t => s"($id, '$t')")
+    }.mkString(", ")
+
+  private val indexCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY 1),
+       |dfr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS tl,
+       |              CAST(SUM(len) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS adl
+       |       FROM dl)""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    // The inverted index itself (postings with materialized doc length).
+    Op.sql("search_inverted_index",
+      s"""WITH $indexCtes
+         |SELECT f.doc_id, f.token, f.tf, l.len
+         |FROM tf f JOIN dl l USING (doc_id)""".stripMargin) { (s, d) =>
+      invertedIndex(Tables.documents(s, d))
+        .select(col("doc_id"), col("token"), col("tf"), col("len"))
+    },
+
+    // BM25-ranked retrieval for the fixed query set.
+    Op.sql("search_bm25_topk",
+      s"""WITH $indexCtes,
+         |qt AS (SELECT * FROM (VALUES $queryValues) AS t(query_id, token)),
+         |parts AS (
+         |  SELECT q.query_id, f.doc_id,
+         |         (2*st.n - 2*d.df + 1) * 20 * f.tf * st.adl AS num,
+         |         (2*d.df + 1) * (8 * f.tf * st.adl + 3 * st.adl + 9 * l.len) AS den
+         |  FROM qt q
+         |  JOIN tf f ON f.token = q.token
+         |  JOIN dfr d ON d.token = q.token
+         |  JOIN dl l ON l.doc_id = f.doc_id
+         |  CROSS JOIN st),
+         |sc AS (
+         |  SELECT query_id, doc_id,
+         |         SUM((num // den) * $bm25Grid + ((num % den) * $bm25Grid) // den) AS score_q
+         |  FROM parts GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |       CAST(score_q AS BIGINT) AS score_q, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $bm25K""".stripMargin) { (s, d) =>
+      bm25TopK(Tables.documents(s, d))
+    },
+  )
+}

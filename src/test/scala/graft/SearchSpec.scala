@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+/** Mechanism tests for BM25 retrieval on a hand corpus with known ranking
+  * structure, plus the scoring contract checked against a direct Scala
+  * reimplementation of the integer formula.
+  */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // 4 docs: d0 heavy in "hash", d1 mentions it once, d2 about joins only,
+  // d3 shares no query terms. All same length except d1 (longer).
+  private val docs = Seq(
+    (0L, "hash hash hash table scan"),
+    (1L, "hash map lookup table entry probe structure design"),
+    (2L, "join join merge sort"),
+    (3L, "window stream batch")
+  ).toDF("doc_id", "text")
+
+  private def ranked(q: String) =
+    Search.bm25TopK(docs, Seq((1L, q))).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => r.getAs[Long]("doc_id"))
+
+  test("tf wins: the hash-heavy doc outranks the single mention") {
+    val r = ranked("hash")
+    assert(r.take(2).toSeq == Seq(0L, 1L), s"expected 0 then 1, got ${r.toSeq}")
+    assert(!r.contains(3L), "doc without the term must not appear")
+  }
+
+  test("length normalization: same tf in a shorter doc scores higher") {
+    val docs2 = Seq(
+      (0L, "hash scan"),
+      (1L, "hash scan filter project sort merge exchange broadcast")
+    ).toDF("doc_id", "text")
+    val r = Search.bm25TopK(docs2, Seq((1L, "hash"))).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    assert(r.toSeq == Seq(0L, 1L))
+  }
+
+  test("idf: a rare term dominates a ubiquitous one at equal tf") {
+    // "rare" in one doc, "common" in all four
+    val docs3 = Seq(
+      (0L, "rare common pad pad"),
+      (1L, "common pad pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common pad pad pad")
+    ).toDF("doc_id", "text")
+    val r = Search.bm25TopK(docs3, Seq((1L, "rare common")))
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(r.head.getAs[Long]("doc_id") == 0L, "the rare-term doc must rank first")
+  }
+
+  test("score matches the direct integer formula on the fixture corpus") {
+    val n = 4L
+    val lens = Map(0L -> 5L, 1L -> 8L, 2L -> 4L, 3L -> 3L)
+    val tl = lens.values.sum
+    val adl = tl / n
+    def score(tf: Long, df: Long, len: Long): Long = {
+      val num = (2 * n - 2 * df + 1) * 20 * tf * adl
+      val den = (2 * df + 1) * (8 * tf * adl + 3 * adl + 9 * len)
+      (num / den) * Search.bm25Grid + ((num % den) * Search.bm25Grid) / den
+    }
+    val got = Search.bm25TopK(docs, Seq((1L, "hash table"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q")).toMap
+    // hash: df=2 (d0 tf=3, d1 tf=1); table: df=2 (d0 tf=1, d1 tf=1)
+    assert(got(0L) == score(3, 2, 5) + score(1, 2, 5))
+    assert(got(1L) == score(1, 2, 8) + score(1, 2, 8))
+    assert(!got.contains(2L) && !got.contains(3L), "docs with no query term must be absent")
+  }
+
+  test("inverted index: postings carry tf and doc length") {
+    val idx = Search.invertedIndex(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("len"))).toMap
+    assert(idx((0L, "hash")) == ((3L, 5L)))
+    assert(idx((1L, "hash")) == ((1L, 8L)))
+    assert(!idx.contains((2L, "hash")))
+  }
+}
