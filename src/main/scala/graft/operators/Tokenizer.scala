@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Op
+import graft.sources.Tables
+
+/** BPE tokenizer training (Sennrich et al., "Neural Machine Translation of
+  * Rare Words with Subword Units") as a distributed Spark computation — the
+  * training-data-pipeline op that turns a curated corpus into a subword
+  * vocabulary.
+  *
+  * Scale shape: the 100 TB corpus is scanned ONCE, into the word-frequency
+  * table (one hash aggregate); every merge round after that runs at
+  * word-vocabulary grain — (word, pos, sym) rows, millions not billions —
+  * with all windows partitioned by word (no global sort anywhere). The
+  * argmax pair per round is a driver artifact of exactly one row (the
+  * k-means-codebook pattern); the symbol frame `localCheckpoint`s every
+  * round (the iterative-loop lesson from [[Dedup.connectedComponents]]).
+  *
+  * Greedy left-to-right merge semantics: within a run of CONSECUTIVE
+  * matches of the chosen pair (which can only happen for doubled symbols,
+  * e.g. pair (a,a) on "aaaa"), BPE merges positions 0,2,4… of the run. The
+  * run detection is gaps-and-islands over the match positions and the rule
+  * "keep even offsets within the island" — both engines compute it
+  * identically, so the trained merges are bit-identical to the oracle.
+  */
+object Tokenizer {
+
+  /** Number of merge rounds for the registered query (unrolled in the oracle). */
+  val bpeMerges = 8
+
+  /** Word-end marker appended to every word's symbol sequence. */
+  val wordEnd = "</w>"
+
+  /** Corpus → (word, freq): the single full scan. */
+  def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Train `merges` BPE rounds. Returns the merge table
+    * (merge_rank, left_sym, right_sym, pair_freq) — the tokenizer artifact.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = bpeMerges): DataFrame =
+    bpeTrainState(docs, merges)._1
+
+  /** Final symbol vocabulary after training: (sym, total_freq, n_words). */
+  def bpeVocab(docs: DataFrame, merges: Int = bpeMerges): DataFrame = {
+    val syms = bpeTrainState(docs, merges)._2
+    syms.groupBy(col("sym"))
+      .agg(sum(col("freq")).as("total_freq"), count_distinct(col("word")).as("n_words"))
+  }
+
+  /** Shared trainer: (merge table, final symbol frame). */
+  private def bpeTrainState(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordFreqs(docs)
+    var syms = words.select(col("word"), col("freq"),
+        posexplode(concat(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          array(lit(wordEnd)))).as(Seq("p0", "sym")))
+      .select(col("word"), col("freq"), (col("p0") + 1).cast(LongType).as("pos"), col("sym"))
+      .localCheckpoint()
+    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    (1 to merges).foreach { r =>
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(byWord))
+      val bestRow = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lft"), col("nxt").as("rgt"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (bestRow.isEmpty) return (out.result().toDF(
+        "merge_rank", "left_sym", "right_sym", "pair_freq")
+        .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+          col("right_sym"), col("pair_freq")), syms)
+      val (a, b, pf) = (bestRow.head.getString(0), bestRow.head.getString(1),
+        bestRow.head.getLong(2))
+      out += ((r, a, b, pf))
+      val m = col("nxt").isNotNull && col("sym") === lit(a) && col("nxt") === lit(b)
+      val marked = paired.withColumn("m", m)
+        // island id: pos − rank-among-matches is constant within a run of
+        // consecutive matches (matches are adjacent symbols; pos is dense)
+        .withColumn("grp", when(col("m"),
+          col("pos") - sum(when(col("m"), 1L).otherwise(0L)).over(
+            byWord.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      val island = Window.partitionBy(col("word"), col("grp"))
+      val kept = marked.withColumn("kp",
+          col("m") && (col("pos") - min(col("pos")).over(island)) % 2 === 0)
+        .withColumn("dropped",
+          coalesce(lag(col("kp"), 1).over(byWord), lit(false)))
+      syms = kept.filter(!col("dropped"))
+        .select(col("word"), col("freq"),
+          row_number().over(byWord).cast(LongType).as("pos"),
+          when(col("kp"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+    }
+    (out.result().toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+      .select(col("merge_rank").cast(IntegerType), col("left_sym"),
+        col("right_sym"), col("pair_freq")), syms)
+  }
+
+  // --------------------------------------------------------------------------
+  // Registered ops + DuckDB oracles
+  // --------------------------------------------------------------------------
+
+  /** Oracle CTEs: word freqs + initial symbols, then per round the identical
+    * lead/argmax/islands/merge pipeline, unrolled [[bpeMerges]] times.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val head =
+      s"""wf AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY word),
+         |s0 AS (
+         |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+         |         CASE WHEN i <= length(word) THEN substr(word, i, 1)
+         |              ELSE '$wordEnd' END AS sym
+         |  FROM (SELECT word, freq,
+         |               unnest(generate_series(1, length(word) + 1)) AS i
+         |        FROM wf))""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""pp$r AS (
+         |  SELECT word, freq, pos, sym,
+         |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM $prev),
+         |best$r AS (
+         |  SELECT sym AS lft, nxt AS rgt, SUM(freq) AS pf
+         |  FROM pp$r WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY pf DESC, lft, rgt LIMIT 1),
+         |mk$r AS (
+         |  SELECT p.*, (p.nxt IS NOT NULL AND p.sym = b.lft AND p.nxt = b.rgt) AS m
+         |  FROM pp$r p CROSS JOIN best$r b),
+         |g$r AS (
+         |  SELECT *, CASE WHEN m THEN pos - SUM(CASE WHEN m THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY word ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS grp
+         |  FROM mk$r),
+         |k$r AS (
+         |  SELECT *, (m AND (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS kp
+         |  FROM g$r),
+         |d$r AS (
+         |  SELECT *, COALESCE(LAG(kp) OVER (PARTITION BY word ORDER BY pos), FALSE) AS dropped
+         |  FROM k$r),
+         |s$r AS (
+         |  SELECT word, freq,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |         CASE WHEN kp THEN sym || nxt ELSE sym END AS sym
+         |  FROM d$r WHERE NOT dropped)""".stripMargin
+    }
+    (head +: rs).mkString(",\n")
+  }
+
+  private def mergesOracle: String = {
+    val sel = (1 to bpeMerges).map { r =>
+      s"""SELECT $r AS merge_rank, lft AS left_sym, rgt AS right_sym,
+         |       CAST(pf AS BIGINT) AS pair_freq FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(bpeMerges)}
+       |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym, right_sym, pair_freq
+       |FROM ($sel)""".stripMargin
+  }
+
+  private def vocabOracle: String =
+    s"""WITH ${bpeCtes(bpeMerges)}
+       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS total_freq,
+       |       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+       |FROM s$bpeMerges GROUP BY sym""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    // The trained merge table — the tokenizer artifact itself.
+    Op.sql("text_bpe_merges", mergesOracle) { (s, d) =>
+      bpeTrain(Tables.documents(s, d))
+    },
+    // The symbol vocabulary the corpus tokenizes into after those merges.
+    Op.sql("text_bpe_vocab", vocabOracle) { (s, d) =>
+      bpeVocab(Tables.documents(s, d))
+    },
+  )
+}
