@@ -377,6 +377,37 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Calendar-spine densification + LOCF: daily per-type counts/revenue over
+    * the FULL corpus date range — gap days materialize with n_events = 0 and
+    * a null day_value, and `locf_value` carries the last observed day's
+    * value forward (the time-series-model feed shape: no missing rows, no
+    * nulls in the carried metric after first observation).
+    *
+    * Scale shape: the spine is |types| × |days| (tiny — it broadcasts into
+    * the left join against the day-grain aggregate); the corpus is touched
+    * only by the first aggregate. The LOCF window partitions by type —
+    * bounded by days-per-type, never a global sort. Revenue uses the
+    * decimal-sum-then-double rule so gap-free days are bit-identical to the
+    * oracle.
+    */
+  def dailyDenseLocf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("day_value"))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("locf_value"))
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -402,6 +433,30 @@ object EventOps {
        |FROM x GROUP BY event_type""".stripMargin
 
   def ops: Seq[Op] = Seq(
+    // Densified daily series with zero-filled gaps and LOCF carry-forward.
+    Op.sql("events_daily_dense_locf",
+      s"""WITH $eventsCte,
+         |daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type,
+         |         CAST(COUNT(*) AS BIGINT) AS n_events,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+         |  FROM ev GROUP BY 1, 2),
+         |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+         |spine AS (
+         |  SELECT t.event_type,
+         |         CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+         |                                     CAST(s.d1 AS TIMESTAMP),
+         |                                     INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN span s)
+         |SELECT sp.event_type, sp.day,
+         |       COALESCE(d.n_events, 0) AS n_events, d.day_value,
+         |       last_value(d.day_value IGNORE NULLS)
+         |         OVER (PARTITION BY sp.event_type ORDER BY sp.day
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+         |FROM spine sp LEFT JOIN daily d
+         |  ON d.event_type = sp.event_type AND d.day = sp.day""".stripMargin) { (s, d) =>
+      dailyDenseLocf(Tables.events(s, d))
+    },
     Op.sql("events_hourly",
       s"""WITH $eventsCte
          |SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -76,10 +76,14 @@ object Graph {
     * Symmetric edges mean no dangling nodes (every node in the graph has
     * out-degree ≥ 1); nodes are exactly the edge endpoints.
     *
-    * Scale shape: state is one row per node, the per-round cost is one join
-    * + one aggregate over the edge table — the textbook message-passing
-    * round as two shuffles, AQE-splittable, no driver-side graph. `n` is a
-    * driver long (single count of the node frame).
+    * Scale shape: state is one row per node and BROADCASTS into the edge
+    * join, so the persisted edge table never re-shuffles or re-sorts — each
+    * round is one map-side join over edges plus one node-grain aggregate.
+    * That holds while ranks ≪ edges (any dense co-purchase graph; catalog
+    * nodes vs catalog-pairs edges). For a graph whose node count itself
+    * breaks broadcast (web-scale), drop the `broadcast` hint and bucket
+    * both sides by `src` — the recurrence is unchanged. `n` is a driver
+    * long (single count of the node frame).
     */
   def pageRank(edges: DataFrame, iters: Int = prIters): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -89,7 +93,7 @@ object Graph {
     val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / n
     var ranks = nodes.select(col("node"), lit(prGrid / n).as("p"))
     (1 to iters).foreach { _ =>
-      val contrib = e.join(ranks, e("src") === ranks("node"))
+      val contrib = e.join(broadcast(ranks), e("src") === ranks("node"))
         .select(col("dst"), expr("(p * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")

@@ -20,6 +20,27 @@ class EventSpec extends AnyFunSuite {
     (4L, ts("2024-01-01 09:59:00"), 2L, "buy", 10.0, "")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("dense LOCF: gap days zero-fill, carried value survives the gap, leading gap stays null") {
+    // type A observed day 1 and day 4 (3-day gap); type B first observed day 3
+    // of A's span — its day-1/2 rows exist (shared spine) with null locf
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 5.0, ""),
+      (2L, ts("2024-01-04 10:00:00"), 1L, "A", 7.0, ""),
+      (3L, ts("2024-01-03 10:00:00"), 2L, "B", 2.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.dailyDenseLocf(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getAs[Long]("n_events"), Option(r.getAs[java.lang.Double]("day_value")),
+          Option(r.getAs[java.lang.Double]("locf_value")))).toMap
+    assert(rows.size == 8, s"2 types x 4 spine days, got ${rows.size}")
+    assert(rows(("A", "2024-01-02")) == ((0L, None, Some(5.0))), "gap day carries day-1 value")
+    assert(rows(("A", "2024-01-03")) == ((0L, None, Some(5.0))))
+    assert(rows(("A", "2024-01-04")) == ((1L, Some(7.0), Some(7.0))), "new observation replaces carry")
+    assert(rows(("B", "2024-01-01")) == ((0L, None, None)), "before first observation stays null")
+    assert(rows(("B", "2024-01-03")) == ((1L, Some(2.0), Some(2.0))))
+    assert(rows(("B", "2024-01-04")) == ((0L, None, Some(2.0))))
+  }
+
   test("sessionize: 30-min gap starts a new session") {
     val s = EventOps.sessionize(events).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),

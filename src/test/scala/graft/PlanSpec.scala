@@ -303,6 +303,19 @@ class PlanSpec extends AnyFunSuite {
     assert(re == sampled.map(_.getAs[Long]("order_id")).toSet)
   }
 
+  test("bm25: query side broadcasts, the only window is per-query partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.Search.bm25TopK(Tables.documents(spark, TestSession.sf))
+    val plan = df.queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"expected broadcast joins for query terms/df (got ${bhj.size}) — " +
+        "a shuffle join here would re-shuffle the posting table per query set")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "top-k must rank inside per-query partitions, never a global sort")
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 
