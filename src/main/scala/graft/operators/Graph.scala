@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -107,6 +108,71 @@ object Graph {
     ranks.select(col("node").as("product_id"), col("p").as("rank_q"))
   }
 
+  /** Fixed iteration count for label propagation (unrolled in the oracle). */
+  val lpaIters = 3
+
+  /** Synchronous weighted label propagation — community detection with a
+    * total-order determinism rule: every node starts labeled by its own id;
+    * each round it adopts the label with the highest incoming edge-weight
+    * mass, ties broken by SMALLEST label. Synchronous update + total
+    * tie-break order make the result independent of partitioning and
+    * execution order (asynchronous LPA is famously nondeterministic — that
+    * variant cannot be oracle-checked and is deliberately not offered).
+    *
+    * Same scale shape as [[pageRank]]: label state is node-grain and
+    * broadcasts into the edge join; the argmax runs in per-node window
+    * partitions. Fixed rounds, `localCheckpoint` each.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = lpaIters): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    val byNode = Window.partitionBy(col("dst"))
+      .orderBy(col("wt").desc, col("lab"))
+    (1 to iters).foreach { _ =>
+      val tally = edges.join(broadcast(labels), edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wt"))
+      labels = tally.withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("product_id"), col("lab").as("community"))
+  }
+
+  /** Per-node triangle counts via degree orientation — the standard
+    * skew-proof formulation: every undirected edge points from its
+    * lower-(degree, id) endpoint to the higher one, wedges are generated
+    * only at each edge's LOW endpoint (out-degrees under orientation are
+    * O(√E)-bounded for real-world graphs — the hub that would explode a
+    * naive wedge join becomes the TARGET of its edges, never the wedge
+    * center), and each wedge probes the undirected edge set once. Every
+    * triangle is found exactly once; the per-node explode then credits its
+    * three corners.
+    *
+    * Joins: degree frame is node-grain (broadcast); the wedge self-join
+    * keys on the wedge center; the closing probe keys on the (v1, v2) edge
+    * pair — all equi-joins, AQE-splittable, no cross product anywhere.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val eu = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("s"), col("dst").as("d"))
+    val deg = eu.select(col("s").as("n")).unionAll(eu.select(col("d").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val fwd = col("ds_dg") < col("dd_dg") ||
+      (col("ds_dg") === col("dd_dg") && col("s") < col("d"))
+    val oriented = eu
+      .join(broadcast(deg.select(col("n").as("s"), col("dg").as("ds_dg"))), "s")
+      .join(broadcast(deg.select(col("n").as("d"), col("dg").as("dd_dg"))), "d")
+      .select(when(fwd, col("s")).otherwise(col("d")).as("u"),
+        when(fwd, col("d")).otherwise(col("s")).as("v"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(eu, col("s") === col("e1.v") && col("d") === col("e2.v"))
+    tri.select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("product_id"))
+      .groupBy(col("product_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Weighted degree centrality — the one-pass sanity baseline beside
     * [[pageRank]]: out-strength, distinct-neighbor count, and the node's
     * share of total edge weight on the same integer grid.
@@ -175,6 +241,49 @@ object Graph {
     // Fixed-iteration integer-grid PageRank over that graph.
     Op.sql("graph_pagerank", pageRankOracle) { (s, d) =>
       pageRank(copurchaseEdges(Tables.orderItems(s, d)))
+    },
+
+    // Synchronous LPA communities (deterministic tie-break, unrolled oracle).
+    Op.sql("graph_label_propagation", {
+      val rounds = (1 to lpaIters).map { r =>
+        val prev = if (r == 1) "l0" else s"l${r - 1}"
+        s"""t$r AS (
+           |  SELECT e.dst, l.lab, SUM(e.w) AS wt
+           |  FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+           |l$r AS (
+           |  SELECT dst AS node, lab FROM (
+           |    SELECT dst, lab,
+           |           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY wt DESC, lab) AS rn
+           |    FROM t$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCtes,
+         |l0 AS (SELECT src AS node, src AS lab FROM outw),
+         |$rounds
+         |SELECT node AS product_id, lab AS community FROM l$lpaIters""".stripMargin
+    }) { (s, d) =>
+      labelPropagation(copurchaseEdges(Tables.orderItems(s, d)))
+    },
+
+    // Per-node triangle participation under degree orientation.
+    Op.sql("graph_triangles_per_node",
+      s"""WITH $edgesCtes,
+         |eu AS (SELECT src AS s, dst AS d FROM e WHERE src < dst),
+         |deg AS (SELECT n, COUNT(*) AS dg
+         |        FROM (SELECT s AS n FROM eu UNION ALL SELECT d FROM eu) GROUP BY n),
+         |oe AS (
+         |  SELECT CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND x.s < x.d)
+         |              THEN x.s ELSE x.d END AS u,
+         |         CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND x.s < x.d)
+         |              THEN x.d ELSE x.s END AS v
+         |  FROM eu x JOIN deg ds ON ds.n = x.s JOIN deg dd ON dd.n = x.d),
+         |tri AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN eu e3 ON e3.s = e1.v AND e3.d = e2.v)
+         |SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT unnest([n1, n2, n3]) AS product_id FROM tri)
+         |GROUP BY product_id""".stripMargin) { (s, d) =>
+      triangleCounts(copurchaseEdges(Tables.orderItems(s, d)))
     },
 
     // One-pass degree centrality baseline.

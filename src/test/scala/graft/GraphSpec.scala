@@ -54,6 +54,33 @@ class GraphSpec extends AnyFunSuite {
     assert(asym.isEmpty, "every edge needs its equal-weight mirror")
   }
 
+  test("triangles: K4 gives each node 3, a pendant node none; orientation dedups exactly") {
+    // K4 on 1..4 (4 triangles, each node in 3) + pendant 5—1
+    val und = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)) :+ ((1L, 5L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val t = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("n_triangles")).toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $t")
+    // total participation = 3 × triangle count
+    assert(t.values.sum == 3 * 4)
+  }
+
+  test("label propagation: weighted cliques keep their community across a weak bridge") {
+    // two triangles with internal weight 2, bridged 3—4 with weight 1
+    val und = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (4L, 6L, 2L), (5L, 6L, 2L), (3L, 4L, 1L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val c = Graph.labelPropagation(edges).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("community")).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"expected two communities rooted at min ids, got $c")
+    val re = Graph.labelPropagation(edges.repartition(5)).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("community")).toMap
+    assert(re == c, "LPA must be partitioning-invariant")
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>
