@@ -51,6 +51,7 @@ object GraftExpressions {
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
       args => SortedIntersectCount(args(0), args(1))),
     ("graft_qdot", classOf[QuantizedDot], args => QuantizedDot(args(0), args(1))),
+    ("graft_intdot", classOf[IntDot], args => IntDot(args(0), args(1))),
     ("graft_simhash32", classOf[SimHash32], args => SimHash32(args(0))),
     ("graft_minhash", classOf[MinHashSig],
       args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))),
@@ -71,6 +72,9 @@ object GraftExpressions {
 
   /** Exact integer dot product of two float arrays on the 2^-20 grid. */
   def qdot(a: Column, b: Column): Column = call_function("graft_qdot", a, b)
+
+  /** Exact long dot product of two int arrays (e.g. SQ8 code vectors). */
+  def intdot(a: Column, b: Column): Column = call_function("graft_intdot", a, b)
 
   /** 32-bit SimHash of a long-array of feature hashes, in ONE array pass. */
   def simhash32(a: Column): Column = call_function("graft_simhash32", a)
@@ -151,6 +155,52 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * 2^-20 grid: Σ ⌊a_i·2^20⌋·⌊b_i·2^20⌋ as a long. Deterministic on every
   * engine and reduction order; shorter array bounds the loop.
   */
+/** Exact integer dot product of two int arrays — the SQ8 compressed-scan
+  * kernel ([[graft.operators.Similarity.sq8TopK]]): 64 multiply-adds in one
+  * tight codegen loop instead of the `aggregate(zip_with(...))` HOF chain,
+  * which materializes the zipped struct array per row and stays outside
+  * whole-stage codegen's fast path.
+  */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<int>), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_intdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var s = 0L
+    while (i < n) {
+      s += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((long) $a.getInt($i)) * $b.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDot = copy(left = newLeft, right = newRight)
+}
+
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -721,10 +721,11 @@ object Similarity {
     val codes = sq8CodesWide(embs)
     val queries = codes.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
-    val dot = expr("aggregate(zip_with(codes, q_codes, (a, b) -> CAST(a AS BIGINT) * b), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    // codegen kernel, not aggregate(zip_with(...)): the HOF materializes a
+    // zipped struct array per scored pair — IntDot is one tight fused loop
     val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), dot.as("qscore"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        GraftExpressions.intdot(col("codes"), col("q_codes")).as("qscore"))
     val w = Window.partitionBy("query_id").orderBy(col("qscore").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

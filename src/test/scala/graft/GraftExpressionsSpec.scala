@@ -53,6 +53,24 @@ class GraftExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("IntDot equals the zip-multiply model; codegen == interpreted") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val intVec = Gen.listOfN(8, Gen.chooseNum(-127, 127))
+    val pairs = samples(Gen.zip(intVec, intVec), 100)
+    def run() = pairs.toDF("a", "b").select(
+      GraftExpressions.intdot(col("a"), col("b")).as("fast")).collect().map(_.getLong(0))
+    val on = run()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val off =
+      try run()
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(on.toSeq == off.toSeq)
+    pairs.zip(on).foreach { case ((a, b), got) =>
+      assert(got == a.zip(b).map { case (x, y) => x.toLong * y }.sum)
+    }
+  }
+
   test("SimHash32 equals the per-bit majority model on arbitrary hash sets") {
     import spark.implicits._
     GraftExpressions.register(spark)
