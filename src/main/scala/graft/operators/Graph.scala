@@ -126,14 +126,13 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = lpaIters): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("lab"))
-    val byNode = Window.partitionBy(col("dst"))
-      .orderBy(col("wt").desc, col("lab"))
     (1 to iters).foreach { _ =>
       val tally = edges.join(broadcast(labels), edges("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wt"))
-      labels = tally.withColumn("rn", row_number().over(byNode))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("lab"))
+      // argmax by (wt desc, lab asc) as a HASH aggregate, not a sort window:
+      // (wt, -lab) is unique per (dst, lab) row, so max_by is deterministic
+      labels = tally.groupBy(col("dst").as("node"))
+        .agg(max_by(col("lab"), struct(col("wt"), (-col("lab")).as("nl"))).as("lab"))
         .localCheckpoint()
     }
     labels.select(col("node").as("product_id"), col("lab").as("community"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.Op
 import graft.sources.Tables
@@ -158,9 +159,66 @@ object Quality {
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
+  /** Benford first-digit expectation in parts-per-million — the published
+    * log10(1 + 1/d) values as integer constants, so the runtime needs no
+    * logarithm (the repo-wide no-`ln` rule; libm ULP drift would break the
+    * oracle).
+    */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** Benford first-digit drift: observed leading-digit shares of a positive
+    * numeric column vs Benford's law, with a χ²-form contribution per digit
+    * — the classic fabricated/truncated-data detector. All integer: shares
+    * on the ppm grid, contribution = (obs−exp)² div exp. The leading digit
+    * comes from the decimal's string form (both engines render DECIMAL with
+    * its full scale, so char 1 is identical); non-1..9 leads (values < 1)
+    * are excluded on both sides. One narrow scan + a 9-row aggregate.
+    */
+  def benfordDrift(values: DataFrame, valueCol: String): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val counts = values
+      .select(substring(col(valueCol).cast(StringType), 1, 1).as("dg"))
+      .filter(col("dg").between("1", "9"))
+      .groupBy(col("dg")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    val exp = benfordPpm.toDF("digit", "benford_ppm")
+    counts.select(col("dg").cast(IntegerType).as("digit"), col("n"))
+      .join(broadcast(exp), "digit")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), expr("(n * 1000000) div tot").as("obs_ppm"),
+        col("benford_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("benford_ppm"),
+        expr("((obs_ppm - benford_ppm) * (obs_ppm - benford_ppm)) div benford_ppm")
+          .as("chi2_ppm"))
+  }
+
   private val itemCols = Seq("order_id", "product_id", "sale_price", "returned_at", "created_at")
 
   def ops: Seq[Op] = Seq(
+    // Benford leading-digit drift over order totals.
+    Op.sql("quality_benford_prices", {
+      val values = benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT dg, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS dg FROM orders)
+         |  WHERE dg BETWEEN '1' AND '9' GROUP BY dg),
+         |t AS (SELECT SUM(n) AS tot FROM c),
+         |b(digit, benford_ppm) AS (VALUES $values),
+         |j AS (
+         |  SELECT CAST(c.dg AS INTEGER) AS digit, c.n,
+         |         (c.n * 1000000) // t.tot AS obs_ppm, b.benford_ppm
+         |  FROM c JOIN b ON CAST(c.dg AS INTEGER) = b.digit CROSS JOIN t)
+         |SELECT digit, n, CAST(obs_ppm AS BIGINT) AS obs_ppm,
+         |       CAST(benford_ppm AS BIGINT) AS benford_ppm,
+         |       CAST(((obs_ppm - benford_ppm) * (obs_ppm - benford_ppm))
+         |            // benford_ppm AS BIGINT) AS chi2_ppm
+         |FROM j""".stripMargin
+    }) { (s, d) =>
+      benfordDrift(Tables.orders(s, d), "o_totalprice")
+    },
     Op.sql("quality_null_counts_items",
       s"""${Tables.domainCtes}
          |SELECT ${itemCols.map(c => s"COUNT(CASE WHEN $c IS NULL THEN 1 END) AS ${c}_nulls").mkString(", ")}

@@ -11,6 +11,21 @@ class QualitySpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("benford: an exactly-Benford sample scores zero drift; uniform digits flag digit 1") {
+    import org.apache.spark.sql.functions._
+    // benfordPpm sums to exactly 1e6, so n_d = ppm_d gives obs_ppm == ppm_d
+    val perfect = graft.operators.Quality.benfordPpm.toDF("d", "n")
+      .select(explode(expr("sequence(1, n)")).as("i"), col("d").as("v"))
+    val zero = graft.operators.Quality.benfordDrift(perfect, "v").collect()
+    assert(zero.length == 9 && zero.forall(_.getAs[Long]("chi2_ppm") == 0L),
+      "a perfectly Benford sample must have zero chi2 on every digit")
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d)).toDF("v")
+    val drift = graft.operators.Quality.benfordDrift(uniform, "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("chi2_ppm")).toMap
+    assert(drift(1) > 100000L, s"uniform digits must flag digit 1 hard, got ${drift(1)}")
+    assert(drift(9) > drift(5), "over-represented tail digits drift more than mid ones")
+  }
+
   private val orders = Seq((1L, 10L), (2L, 20L)).toDF("order_id", "user_id")
   private val items = Seq(
     (1L, 100L, Some(5.0)), (2L, 200L, None), (3L, 100L, Some(7.0)), (4L, 300L, Some(1.0))
