@@ -161,7 +161,7 @@ object Analytics {
         row_number().over(Window.partitionBy(col("_pid")).orderBy(sort: _*)).cast(LongType))
   }
 
-  private def withGlobalRowNumber(df: DataFrame, out: String,
+  private[graft] def withGlobalRowNumber(df: DataFrame, out: String,
       sort: Seq[org.apache.spark.sql.Column]): (DataFrame, Long) = {
     val local = rankedByRange(df, sort).localCheckpoint()
     val sizes = local.groupBy(col("_pid")).agg(count(lit(1)).as("cnt"))

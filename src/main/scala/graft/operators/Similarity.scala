@@ -753,6 +753,41 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** IVF + SQ8 + exact refine — the full production ANN stack in one plan
+    * (FAISS's `IVF,SQ8` with a refine stage): the coarse quantizer restricts
+    * each query to its own cell, the candidate scan reads ONLY the
+    * 4×-compressed int8 codes of that cell (codegen [[graft.functions
+    * .GraftExpressions.intdot]] kernel), the top [[rerankCandidates]] are
+    * re-scored with the exact quantized cosine. At 100 TB: the float corpus
+    * is read once at index-build time; a query touches cell-sized code
+    * lists plus |Q|·C float rows — neither the codes nor the corpus ever
+    * shuffle (queries, candidate ids, and stats all broadcast).
+    */
+  def ivfSq8TopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    val indexed = ivfAssign(embs).select(col("vec_id"), col("cell"))
+      .join(sq8CodesWide(embs), "vec_id")
+    val q = indexed.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
+        col("codes").as("q_codes"))
+    val scored = indexed.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        GraftExpressions.intdot(col("codes"), col("q_codes")).as("qscore"))
+    val w = Window.partitionBy("query_id").orderBy(col("qscore").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= rerankCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val rescored = corpus.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** Shared oracle CTEs ending in `codes(vec_id, codes)` — the same
     * unit-normalize-then-round arithmetic as [[sq8CodesWide]], op for op.
     */
@@ -798,6 +833,41 @@ object Similarity {
          |SELECT query_id, neighbor_id, qscore, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       sq8TopK(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    // The composed IVF→SQ8-scan→exact-refine stack, one oracle.
+    Op.sql("sim_topk_ivf_sq8",
+      s"""WITH $ivfAssignedCte,
+         |$sq8CodesCtes,
+         |ix AS (SELECT a.vec_id, a.cell, c.codes
+         |       FROM assigned a JOIN codes c USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, cell AS q_cell, codes AS q_codes
+         |      FROM ix WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, x.vec_id AS neighbor_id,
+         |         CAST(list_sum([CAST(p[1] AS BIGINT) * p[2]
+         |                        FOR p IN list_zip(x.codes, q.q_codes)]) AS BIGINT) AS qscore
+         |  FROM ix x JOIN q ON x.cell = q.q_cell AND x.vec_id <> q.query_id),
+         |cr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY qscore DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |cand AS (SELECT query_id, neighbor_id FROM cr WHERE rank <= $rerankCandidates),
+         |ev AS (
+         |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM cand c
+         |  JOIN ev v ON v.vec_id = c.neighbor_id
+         |  JOIN ev q ON q.vec_id = c.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      ivfSq8TopK(Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     // Candidate-generation → exact re-rank, composed in one oracle.

@@ -51,6 +51,33 @@ object TextOps {
        |     + CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) / 3 AS quality
        |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)""".stripMargin
 
+  /** Per-language quality percentile (ppm grid): each document's standing
+    * among same-language documents, `((rank−1)·10^6) div (n−1)` with rank by
+    * (quality asc, doc_id). The curation threshold "keep the top X% per
+    * language" reads directly off this column.
+    *
+    * Scale shape: ranking uses the [[Analytics.rankedByRange]] global-rank
+    * recipe sorted by (lang, quality, doc_id) — a LANG-partitioned window
+    * would be |langs| straggler tasks at 100 TB (the exact single-task-sort
+    * pattern VERDICT r3 flagged); per-language ranks are then recovered by
+    * subtracting each language's broadcast min-rank offset. Integer division
+    * on the ppm grid keeps the output engine-exact.
+    */
+  def qualityPercentileByLang(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val (ranked, _) = Analytics.withGlobalRowNumber(q, "grk",
+      Seq(col("lang"), col("quality"), col("doc_id")))
+    val bounds = ranked.groupBy(col("lang"))
+      .agg(min(col("grk")).as("lang_off"), count(lit(1)).as("n"))
+    ranked.join(broadcast(bounds), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        (col("grk") - col("lang_off") + 1).as("rk"), col("n"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        when(col("n") > 1, expr("((rk - 1) * 1000000) div (n - 1)"))
+          .otherwise(0L).as("pct_ppm"))
+  }
+
   /** Per-document token statistics (counts, distinct ratio, mean token length). */
   def textStats(docs: DataFrame): DataFrame =
     docs
@@ -799,6 +826,21 @@ object TextOps {
          |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS diversity_score
          |  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents))""".stripMargin) { (s, d) =>
       qualityScore(Tables.documents(s, d))
+    },
+
+    Op.sql("text_quality_percentiles",
+      s"""WITH q0 AS ($qualityCteSql),
+         |j AS (SELECT q0.doc_id, d.lang, q0.quality
+         |      FROM q0 JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS rk,
+         |         COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM j)
+         |SELECT doc_id, lang, quality,
+         |       CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+         |                 ELSE 0 END AS BIGINT) AS pct_ppm
+         |FROM r""".stripMargin) { (s, d) =>
+      qualityPercentileByLang(Tables.documents(s, d))
     },
 
     Op.sql("text_normalize",

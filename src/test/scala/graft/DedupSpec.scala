@@ -127,6 +127,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rr.subsetOf(cand), "re-rank emitted a pair outside its candidate set")
   }
 
+  test("ivf-sq8: stays inside the query's cell and nearly matches the exact in-cell scan") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val qp = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val composed = pairs(Similarity.ivfSq8TopK(embs, qp))
+    val exactInCell = pairs(Similarity.ivfTopK(embs, qp))
+    // same cell restriction on both paths → every neighbor must be co-celled
+    val cells = Similarity.ivfAssign(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(composed.forall { case (q, n) => cells(q) == cells(n) },
+      "a neighbor escaped the query's coarse cell")
+    // the int8 scan + 50-candidate refine should recover nearly all of the
+    // exact same-cell ranking
+    val overlap = (composed & exactInCell).size
+    assert(overlap >= (exactInCell.size * 0.9).toInt,
+      s"ivf-sq8 recall $overlap/${exactInCell.size} below 0.9")
+  }
+
   test("semantic cells: same-cell pairs verified by cosine; clusters never cross cells") {
     // two semantic clusters on the axes; every vector is its own candidate
     // centroid (id < ivfCells) but the argmax assignment pulls the scaled

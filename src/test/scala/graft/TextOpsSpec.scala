@@ -12,6 +12,28 @@ class TextOpsSpec extends AnyFunSuite {
     texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("quality percentiles: endpoints per language, monotone in quality, singleton lang = 0") {
+    val fixture = graft.sources.Tables.documents(spark, TestSession.sf)
+      .limit(40).union(
+        Seq((9001L, "zz solo doc", "xx", "s", 11L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = graft.operators.TextOps.qualityPercentileByLang(fixture).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("quality"), r.getAs[Long]("pct_ppm")))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      if (rs.length == 1) assert(rs.head._4 == 0L, s"singleton $lang must score 0")
+      else {
+        assert(rs.map(_._4).min == 0L && rs.map(_._4).max == 1000000L,
+          s"$lang endpoints must hit 0 and 1e6")
+        // percentile order must agree with (quality, doc_id) order
+        val sorted = rs.sortBy(x => (x._3, x._2)).map(_._4)
+        assert(sorted.zip(sorted.tail).forall { case (a, b) => a < b },
+          s"$lang percentiles not strictly increasing in quality order")
+      }
+    }
+    assert(rows.count(_._1 == "xx") == 1)
+  }
+
   test("normalize: lowercase, strip punctuation, collapse whitespace") {
     val out = TextOps.normalize(docs(1L -> "  Hello,   WORLD!! x-1  "))
       .head().getString(1)
