@@ -54,6 +54,56 @@ object Relational {
     saltedLeft.join(replicatedRight, Seq(key, "_salt"), "left").drop("_salt")
   }
 
+  /** Per-source token budget for [[tokenBudgetSample]]. */
+  val tokenBudget = 800L
+
+  /** Token-budget mixture: per source, take documents in deterministic
+    * hash order until the source's TOKEN budget is filled (kept iff the
+    * running token total through the doc stays ≤ budget — no straddling
+    * doc, so a doc alone above budget never enters). This is the
+    * LLM-mixture primitive "N tokens of web, M tokens of code" that
+    * row-count quotas ([[graft.operators.TextOps]] quota sampling) cannot
+    * express.
+    *
+    * The running total is a DISTRIBUTED PREFIX SUM, not a per-source
+    * window (|sources| straggler tasks at 100 TB): range-partition by
+    * (source, hash, id), cumsum locally inside each (partition, source)
+    * run, then add each run's broadcast offset — the per-(partition,
+    * source) token totals, prefix-summed on the driver (parts × sources
+    * rows, a bounded artifact like the k-means codebooks). Membership is a
+    * pure function of content hashes — rerun- and partitioning-invariant.
+    */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = tokenBudget): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      hexToLong(md5(col("doc_id").cast(StringType)), 1).as("h"))
+    val local = toks
+      .repartitionByRange(parts, col("source"), col("h"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcs", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid"), col("source")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .localCheckpoint()
+    val runTotals = local.groupBy(col("_pid"), col("source"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offsets = runTotals.keys.toSeq.sorted.map { case (pid, src) =>
+      val off = runTotals.collect {
+        case ((p, s), t) if s == src && p < pid => t }.sum
+      (s"$pid|$src", off)
+    }
+    val offMap = map(offsets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    local
+      .withColumn("cum_tokens",
+        element_at(offMap, concat(col("_pid"), lit("|"), col("source"))) + col("_lcs"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** L1 made deterministic: top-N categories by exact decimal revenue.
     * (The reference's `show(5)` is an arbitrary-order sample; a defined ordering
     * is the useful capability.)
@@ -172,6 +222,23 @@ object Relational {
   def ops: Seq[Op] = Seq(
     // The domain views themselves are the P1/P2 projection layer.
     Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
+
+    // Token-budget mixture via distributed prefix sum.
+    Op.sql("sample_token_budget",
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${graft.functions.Portable.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1)} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM tk)
+         |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $tokenBudget""".stripMargin) { (s, d) =>
+      tokenBudgetSample(Tables.documents(s, d))
+    },
 
     // Salted skew join, oracle-checked against the PLAIN join's SQL — the
     // salt must be invisible in the result (row-identical multiset).

@@ -303,6 +303,38 @@ class PlanSpec extends AnyFunSuite {
     assert(re == sampled.map(_.getAs[Long]("order_id")).toSet)
   }
 
+  test("token-budget sample: budget respected, maximal in hash order, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSession.sf)
+    val kept = graft.operators.Relational.tokenBudgetSample(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))
+    val budget = graft.operators.Relational.tokenBudget
+    kept.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum <= budget, s"$src over budget")
+      assert(rs.map(_._3).sum == rs.map(_._4).max, s"$src cumsum inconsistent")
+    }
+    // maximality: the first EXCLUDED doc per source (hash order) would not fit
+    val all = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        graft.functions.Portable.hexToLong(md5(col("doc_id").cast("string")), 1).as("h"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n"), r.getAs[Long]("h")))
+    val keptIds = kept.map(_._2).toSet
+    all.groupBy(_._1).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(x => (x._4, x._2))
+      val used = kept.filter(_._1 == src).map(_._3).sum
+      ordered.find(d => !keptIds.contains(d._2)).foreach { excl =>
+        // every kept doc after it was skipped only because IT didn't fit first
+        assert(used + excl._3 > budget,
+          s"$src: excluded doc ${excl._2} (${excl._3} tokens) would have fit under $budget")
+      }
+    }
+    val re = graft.operators.Relational.tokenBudgetSample(docs.repartition(11))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(re == keptIds, "membership must be partitioning-invariant")
+  }
+
   test("bm25: query side broadcasts, the only window is per-query partitioned") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = graft.operators.Search.bm25TopK(Tables.documents(spark, TestSession.sf))
