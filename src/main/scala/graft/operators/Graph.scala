@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -138,6 +138,32 @@ object Graph {
     labels.select(col("node").as("product_id"), col("lab").as("community"))
   }
 
+  /** Hop limit for the registered BFS query (unrolled in the oracle). */
+  val bfsHops = 3
+
+  /** Hop-limited multi-source BFS: distance from the nearest seed, frontier
+    * relaxation `d'(v) = min(d(v), min over in-edges d(src) + 1)` for a
+    * fixed hop count. Node-grain distance state broadcasts per round (the
+    * [[pageRank]] shape); unreached nodes drop from the output. Exact
+    * integers throughout — nothing to drift.
+    */
+  def bfsDistances(edges: DataFrame, seedPred: Column,
+      hops: Int = bfsHops): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var dist = nodes.select(col("node"),
+      when(seedPred, lit(0)).otherwise(lit(null).cast(IntegerType)).as("d"))
+    (1 to hops).foreach { _ =>
+      val relaxed = edges.join(broadcast(dist.filter(col("d").isNotNull)),
+          edges("src") === col("node"))
+        .groupBy(col("dst")).agg((min(col("d")) + 1).as("nd"))
+      dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
+        .select(dist("node"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint()
+    }
+    dist.filter(col("d").isNotNull)
+      .select(col("node").as("product_id"), col("d").as("dist"))
+  }
+
   /** Per-node triangle counts via degree orientation — the standard
     * skew-proof formulation: every undirected edge points from its
     * lower-(degree, id) endpoint to the higher one, wedges are generated
@@ -261,6 +287,30 @@ object Graph {
          |SELECT node AS product_id, lab AS community FROM l$lpaIters""".stripMargin
     }) { (s, d) =>
       labelPropagation(copurchaseEdges(Tables.orderItems(s, d)))
+    },
+
+    // Hop-limited multi-source BFS from the seed products.
+    Op.sql("graph_bfs_distances", {
+      val rounds = (1 to bfsHops).map { r =>
+        val prev = s"p${r - 1}"
+        s"""t$r AS (
+           |  SELECT e.dst AS node, MIN(p.d) + 1 AS nd
+           |  FROM e JOIN $prev p ON p.node = e.src
+           |  WHERE p.d IS NOT NULL GROUP BY e.dst),
+           |p$r AS (
+           |  SELECT p.node,
+           |         CASE WHEN p.d IS NULL THEN t.nd WHEN t.nd IS NULL THEN p.d
+           |              WHEN p.d < t.nd THEN p.d ELSE t.nd END AS d
+           |  FROM $prev p LEFT JOIN t$r t ON t.node = p.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCtes,
+         |p0 AS (SELECT src AS node,
+         |              CASE WHEN src < 5 THEN 0 END AS d FROM outw),
+         |$rounds
+         |SELECT node AS product_id, CAST(d AS INTEGER) AS dist
+         |FROM p$bfsHops WHERE d IS NOT NULL""".stripMargin
+    }) { (s, d) =>
+      bfsDistances(copurchaseEdges(Tables.orderItems(s, d)), col("node") < 5)
     },
 
     // Per-node triangle participation under degree orientation.

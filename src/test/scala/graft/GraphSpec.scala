@@ -81,6 +81,21 @@ class GraphSpec extends AnyFunSuite {
     assert(re == c, "LPA must be partitioning-invariant")
   }
 
+  test("bfs: path graph distances from the seed, hop limit cuts the tail") {
+    // path 1—2—3—4—5—6, seed {1}: dist = position − 1, hop limit 3 drops 5,6
+    val und = (1L to 5L).map(i => (i, i + 1))
+    val edges = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val d = Graph.bfsDistances(edges, col("node") === 1L).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Int]("dist")).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      s"expected the 3-hop ball around node 1, got $d")
+    // two seeds: distance is to the NEAREST seed
+    val d2 = Graph.bfsDistances(edges, col("node") === 1L || col("node") === 6L)
+      .collect().map(r => r.getAs[Long]("product_id") -> r.getAs[Int]("dist")).toMap
+    assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1, 6L -> 0))
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>
