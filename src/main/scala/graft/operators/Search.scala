@@ -70,10 +70,23 @@ object Search {
     * |queries|, each bounded by matching docs).
     */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)] = bm25Queries,
+      k: Int = bm25K): DataFrame =
+    bm25TopKFromIndex(invertedIndex(docs), queries, k)
+
+  /** Query a PREBUILT index — the incremental-maintenance entry point:
+    * because postings are doc-disjoint, appending a new batch's
+    * [[invertedIndex]] rows to the stored postings IS the index merge (df
+    * and corpus stats derive from postings at query time), so
+    * `bm25TopKFromIndex(stored ∪ index(batch))` must equal the full rebuild
+    * bit-for-bit — the registered incremental op shares the full query's
+    * oracle verbatim. The new batch is hashed once, ever; the stored
+    * postings are never recomputed.
+    */
+  def bm25TopKFromIndex(idx: DataFrame, queries: Seq[(Long, String)] = bm25Queries,
       k: Int = bm25K): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = idx.sparkSession
     import spark.implicits._
-    val index = invertedIndex(docs).persist()
+    val index = idx.persist()
     val qt = queries.toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("token"))
     val dfr = index.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -114,6 +127,31 @@ object Search {
        |              CAST(SUM(len) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS adl
        |       FROM dl)""".stripMargin
 
+  /** Shared by the full and incremental ops — incremental ≡ full is the claim. */
+  private lazy val bm25Oracle: String =
+    s"""WITH $indexCtes,
+       |qt AS (SELECT * FROM (VALUES $queryValues) AS t(query_id, token)),
+       |parts AS (
+       |  SELECT q.query_id, f.doc_id,
+       |         (2*st.n - 2*d.df + 1) * 20 * f.tf * st.adl AS num,
+       |         (2*d.df + 1) * (8 * f.tf * st.adl + 3 * st.adl + 9 * l.len) AS den
+       |  FROM qt q
+       |  JOIN tf f ON f.token = q.token
+       |  JOIN dfr d ON d.token = q.token
+       |  JOIN dl l ON l.doc_id = f.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |         SUM((num // den) * $bm25Grid + ((num % den) * $bm25Grid) // den) AS score_q
+       |  FROM parts GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY score_q DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |       CAST(score_q AS BIGINT) AS score_q, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $bm25K""".stripMargin
+
   def ops: Seq[Op] = Seq(
     // The inverted index itself (postings with materialized doc length).
     Op.sql("search_inverted_index",
@@ -124,30 +162,17 @@ object Search {
         .select(col("doc_id"), col("token"), col("tf"), col("len"))
     },
 
+    // Incremental index maintenance: stored postings ∪ the arriving batch's
+    // postings, queried — the oracle is the FULL-rebuild query verbatim.
+    Op.sql("search_bm25_incremental", bm25Oracle) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stored = invertedIndex(docs.filter(col("doc_id") % 10 < 8))
+      val arriving = invertedIndex(docs.filter(col("doc_id") % 10 >= 8))
+      bm25TopKFromIndex(stored.unionByName(arriving))
+    },
+
     // BM25-ranked retrieval for the fixed query set.
-    Op.sql("search_bm25_topk",
-      s"""WITH $indexCtes,
-         |qt AS (SELECT * FROM (VALUES $queryValues) AS t(query_id, token)),
-         |parts AS (
-         |  SELECT q.query_id, f.doc_id,
-         |         (2*st.n - 2*d.df + 1) * 20 * f.tf * st.adl AS num,
-         |         (2*d.df + 1) * (8 * f.tf * st.adl + 3 * st.adl + 9 * l.len) AS den
-         |  FROM qt q
-         |  JOIN tf f ON f.token = q.token
-         |  JOIN dfr d ON d.token = q.token
-         |  JOIN dl l ON l.doc_id = f.doc_id
-         |  CROSS JOIN st),
-         |sc AS (
-         |  SELECT query_id, doc_id,
-         |         SUM((num // den) * $bm25Grid + ((num % den) * $bm25Grid) // den) AS score_q
-         |  FROM parts GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |                               ORDER BY score_q DESC, doc_id) AS rank
-         |  FROM sc)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-         |       CAST(score_q AS BIGINT) AS score_q, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= $bm25K""".stripMargin) { (s, d) =>
+    Op.sql("search_bm25_topk", bm25Oracle) { (s, d) =>
       bm25TopK(Tables.documents(s, d))
     },
   )

@@ -74,6 +74,22 @@ class SearchSpec extends AnyFunSuite {
     assert(!got.contains(2L) && !got.contains(3L), "docs with no query term must be absent")
   }
 
+  test("incremental index: stored ∪ new-batch postings equals the full rebuild") {
+    val full = Search.invertedIndex(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val stored = Search.invertedIndex(docs.filter(col("doc_id") < 2))
+    val arriving = Search.invertedIndex(docs.filter(col("doc_id") >= 2))
+    val merged = stored.unionByName(arriving).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(merged == full, "doc-disjoint postings must merge to the full index exactly")
+    // and the query over the merged index matches the full-corpus query
+    val a = Search.bm25TopKFromIndex(stored.unionByName(arriving), Seq((1L, "hash table")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_q"))).toSet
+    val b = Search.bm25TopK(docs, Seq((1L, "hash table")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_q"))).toSet
+    assert(a == b)
+  }
+
   test("inverted index: postings carry tf and doc length") {
     val idx = Search.invertedIndex(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
