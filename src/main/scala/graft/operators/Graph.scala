@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
+import graft.functions.GraftExpressions
 import graft.sources.Tables
 
 /** Graph analytics over relationships the warehouse already holds — here the
@@ -179,23 +180,28 @@ object Graph {
     * pair — all equi-joins, AQE-splittable, no cross product anywhere.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    GraftExpressions.register(edges.sparkSession)
     val eu = edges.filter(col("src") < col("dst"))
       .select(col("src").as("s"), col("dst").as("d"))
-    val deg = eu.select(col("s").as("n")).unionAll(eu.select(col("d").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-    val fwd = col("ds_dg") < col("dd_dg") ||
-      (col("ds_dg") === col("dd_dg") && col("s") < col("d"))
-    val oriented = eu
-      .join(broadcast(deg.select(col("n").as("s"), col("dg").as("ds_dg"))), "s")
-      .join(broadcast(deg.select(col("n").as("d"), col("dg").as("dd_dg"))), "d")
-      .select(when(fwd, col("s")).otherwise(col("d")).as("u"),
-        when(fwd, col("d")).otherwise(col("s")).as("v"))
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .join(eu, col("s") === col("e1.v") && col("d") === col("e2.v"))
-    tri.select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("product_id"))
-      .groupBy(col("product_id")).agg(count(lit(1)).as("n_triangles"))
+    // sorted adjacency lists once; per UNDIRECTED edge (u,v) the triangle
+    // support is |N(u) ∩ N(v)| — one codegen merge-scan over two sorted
+    // arrays instead of materializing the wedge set (the wedge join's
+    // intermediate is Σ C(deg,2) rows; this plan's is |E| rows, period).
+    // Each triangle at node n is seen by its two incident edges → sum div 2.
+    val adj = edges.groupBy(col("src"))
+      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+    val withA = eu.join(adj.select(col("src").as("s"), col("nbrs").as("na")), "s")
+      .join(adj.select(col("src").as("d"), col("nbrs").as("nb")), "d")
+      .select(col("s"), col("d"),
+        GraftExpressions.sortedIntersectCount(col("na"), col("nb"))
+          .cast(LongType).as("c"))
+      .filter(col("c") > 0)
+    withA
+      .select(explode(array(struct(col("s").as("n"), col("c")),
+        struct(col("d").as("n"), col("c")))).as("x"))
+      .groupBy(col("x.n").as("product_id"))
+      .agg(sum(col("x.c")).as("sc"))
+      .select(col("product_id"), expr("sc div 2").as("n_triangles"))
   }
 
   /** Weighted degree centrality — the one-pass sanity baseline beside
