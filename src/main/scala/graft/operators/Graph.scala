@@ -204,6 +204,29 @@ object Graph {
       .select(col("product_id"), expr("sc div 2").as("n_triangles"))
   }
 
+  /** Edge tie strength: neighborhood Jaccard of the two endpoints on the
+    * ppm integer grid — `|N(u)∩N(v)| / |N(u)∪N(v)|`, the standard
+    * link-strength / embeddedness score (an edge whose endpoints share most
+    * neighbors is intra-community; one sharing none is a bridge). Same
+    * adjacency + codegen-intersect machinery as [[triangleCounts]]; one row
+    * per undirected edge, integer division only.
+    */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    GraftExpressions.register(edges.sparkSession)
+    val adj = edges.groupBy(col("src"))
+      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+    edges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("na")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        GraftExpressions.sortedIntersectCount(col("na"), col("nb"))
+          .cast(LongType).as("common"),
+        size(col("na")).cast(LongType).as("da"), size(col("nb")).cast(LongType).as("db"))
+      .select(col("src"), col("dst"), col("common"),
+        expr("(common * 1000000) div (da + db - common)").as("jaccard_ppm"))
+  }
+
   /** Weighted degree centrality — the one-pass sanity baseline beside
     * [[pageRank]]: out-strength, distinct-neighbor count, and the node's
     * share of total edge weight on the same integer grid.
@@ -381,6 +404,22 @@ object Graph {
          |FROM (SELECT unnest([n1, n2, n3]) AS product_id FROM tri)
          |GROUP BY product_id""".stripMargin) { (s, d) =>
       triangleCounts(storedEdges(s, d))
+    },
+
+    // Neighborhood-Jaccard tie strength per undirected edge.
+    Op.sql("graph_edge_jaccard",
+      s"""WITH $edgesCtes,
+         |adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM e GROUP BY src),
+         |j AS (
+         |  SELECT x.src, x.dst,
+         |         CAST(len(list_intersect(a.nbrs, b.nbrs)) AS BIGINT) AS common,
+         |         CAST(len(a.nbrs) AS BIGINT) AS da, CAST(len(b.nbrs) AS BIGINT) AS db
+         |  FROM e x JOIN adj a ON a.src = x.src JOIN adj b ON b.src = x.dst
+         |  WHERE x.src < x.dst)
+         |SELECT src, dst, common,
+         |       CAST((common * 1000000) // (da + db - common) AS BIGINT) AS jaccard_ppm
+         |FROM j""".stripMargin) { (s, d) =>
+      edgeJaccard(storedEdges(s, d))
     },
 
     // One-pass degree centrality baseline.

@@ -96,6 +96,21 @@ class GraphSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1, 6L -> 0))
   }
 
+  test("edge jaccard: K4 edges are embedded at 1/2; path edges are bridges at 0") {
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+      .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")
+    val jk = Graph.edgeJaccard(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("jaccard_ppm"))).toMap
+    assert(jk.size == 6 && jk.values.forall(_ == ((2L, 500000L))),
+      s"every K4 edge shares the 2 other corners: 2/(3+3-2) = 0.5, got $jk")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")
+    val jp = Graph.edgeJaccard(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("jaccard_ppm")).toMap
+    assert(jp((2L, 3L)) == 0L, "a pure bridge edge has zero neighborhood overlap")
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>
