@@ -109,6 +109,41 @@ object Graph {
     ranks.select(col("node").as("product_id"), col("p").as("rank_q"))
   }
 
+  /** Personalized PageRank: identical recurrence to [[pageRank]] except the
+    * teleport mass returns ONLY to the seed set — `base(v) = ((2^40·3) div
+    * 20) div |seeds|` for seeds, 0 otherwise, and `p0` spreads the full grid
+    * over the seeds. Rank then measures proximity to the seeds through
+    * weighted co-purchase structure: the "products related to this basket"
+    * recommendation primitive. Same integer-grid determinism and broadcast
+    * shape as the global walk.
+    */
+  def personalizedPageRank(edges: DataFrame, seedPred: Column,
+      iters: Int = prIters): DataFrame = {
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = edges.join(outw, "src").persist()
+    val nodes = outw.select(col("src").as("node")).persist()
+    val nSeeds = nodes.filter(seedPred).count()
+    require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
+    val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / nSeeds
+    val baseCol = when(seedPred, lit(base)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(seedPred, lit(prGrid / nSeeds)).otherwise(lit(0L)).as("p"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(broadcast(ranks), e("src") === ranks("node"))
+        .select(col("dst"), expr("(p * w) div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (baseCol +
+            expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
+            .as("p"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist()
+    ranks.filter(col("p") > 0)
+      .select(col("node").as("product_id"), col("p").as("rank_q"))
+  }
+
   /** Fixed iteration count for label propagation (unrolled in the oracle). */
   val lpaIters = 3
 
@@ -337,6 +372,35 @@ object Graph {
     // Fixed-iteration integer-grid PageRank over that graph.
     Op.sql("graph_pagerank", pageRankOracle) { (s, d) =>
       pageRank(storedEdges(s, d))
+    },
+
+    // Seed-teleport personalized PageRank (seeds = products < 5).
+    Op.sql("graph_pagerank_personalized", {
+      val rounds = (1 to prIters).map { i =>
+        val prev = if (i == 1) "q0" else s"q${i - 1}"
+        s"""z$i AS (
+           |  SELECT e.dst, SUM((p.p * e.w) // o.ow) AS s
+           |  FROM e JOIN $prev p ON p.node = e.src JOIN outw o ON o.src = e.src
+           |  WHERE p.p > 0
+           |  GROUP BY e.dst),
+           |q$i AS (
+           |  SELECT o.src AS node,
+           |         CASE WHEN o.src < 5
+           |              THEN (($prGrid * ${prDampDen - prDampNum}) // $prDampDen) // ns.k
+           |              ELSE 0 END
+           |           + ($prDampNum * COALESCE(z$i.s, 0)) // $prDampDen AS p
+           |  FROM outw o CROSS JOIN ns LEFT JOIN z$i ON z$i.dst = o.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCtes,
+         |ns AS (SELECT COUNT(*) AS k FROM outw WHERE src < 5),
+         |q0 AS (SELECT src AS node,
+         |              CASE WHEN src < 5 THEN $prGrid // ns.k ELSE 0 END AS p
+         |       FROM outw CROSS JOIN ns),
+         |$rounds
+         |SELECT node AS product_id, CAST(p AS BIGINT) AS rank_q
+         |FROM q$prIters WHERE p > 0""".stripMargin
+    }) { (s, d) =>
+      personalizedPageRank(storedEdges(s, d), col("node") < 5)
     },
 
     // Synchronous LPA communities (deterministic tie-break, unrolled oracle).

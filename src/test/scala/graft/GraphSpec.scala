@@ -39,6 +39,30 @@ class GraphSpec extends AnyFunSuite {
       s"mass $total lost more than $slack below ${Graph.prGrid}")
   }
 
+  test("personalized pagerank: support is the seed's hop-ball; seeded ≠ global; star hub wins") {
+    // path 1—2—3—4—5, seed {1}: a 3-iteration walk cannot reach node 5
+    // (note: a SHORT walk's ranks oscillate with parity on a path, so no
+    // per-hop monotonicity is asserted — only reachability and asymmetry)
+    val und = (1L to 4L).map(i => (i, i + 1))
+    val edges = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val r = Graph.personalizedPageRank(edges, col("node") === 1L).collect()
+      .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("rank_q")).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L),
+      s"support must be the 3-hop ball around the seed, got ${r.keySet}")
+    // the global walk ranks the path's mirror nodes equally — the seeded
+    // walk must break that symmetry (this is what 'personalized' means)
+    val g = Graph.pageRank(edges).collect()
+      .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("rank_q")).toMap
+    assert(g(1L) == g(5L) && g(2L) == g(4L))
+    assert(r(2L) != r.getOrElse(4L, 0L), "seeding must break mirror symmetry")
+    // star seeded at the hub: hub dominates, leaves tie bit-for-bit
+    val sr = Graph.personalizedPageRank(star, col("node") === 1L).collect()
+      .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("rank_q")).toMap
+    assert((2L to 5L).forall(l => sr(1L) > sr(l)), s"hub must dominate: $sr")
+    assert((3L to 5L).forall(l => sr(l) == sr(2L)))
+  }
+
   test("pagerank is partitioning-invariant (integer grid, associative sums)") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(x => x.getAs[Long]("product_id") -> x.getAs[Long]("rank_q")).toMap
