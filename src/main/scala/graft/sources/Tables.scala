@@ -30,15 +30,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4's parquet reader
-    * rejects by default; read nanos-as-long and rebuild a µs timestamp (the
-    * fixture's ns values are µs-aligned, so this is lossless and matches
-    * DuckDB's `CAST(ts AS TIMESTAMP)`).
+  /** events.parquet's `ts` encoding has varied across fixture generations:
+    * TIMESTAMP(NANOS) (which Spark 4's parquet reader only accepts as a raw
+    * long under `nanosAsLong`) and plain timestamp[us]. Adapt to whatever the
+    * file actually stores instead of hard-coding one encoding:
+    *   - LongType      → legacy nanos-as-long; rebuild the µs timestamp (the
+    *                     fixture's ns values are µs-aligned, so lossless).
+    *   - Timestamp/NTZ → native µs read; normalize NTZ to TimestampType, an
+    *                     identity on the wall-clock under the UTC session TZ,
+    *                     so every downstream op sees one `ts` type.
+    * Both paths match DuckDB's `CAST(ts AS TIMESTAMP)` bit-for-bit.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected long (legacy nanos) or a timestamp type")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
