@@ -74,20 +74,49 @@ class SearchSpec extends AnyFunSuite {
     assert(!got.contains(2L) && !got.contains(3L), "docs with no query term must be absent")
   }
 
-  test("incremental index: stored ∪ new-batch postings equals the full rebuild") {
-    val full = Search.invertedIndex(docs).collect()
+  test("incremental index: stored ∪ new-batch bundle equals the full rebuild") {
+    val fullIdx = Search.buildIndex(docs)
+    val full = fullIdx.postings.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
-    val stored = Search.invertedIndex(docs.filter(col("doc_id") < 2))
-    val arriving = Search.invertedIndex(docs.filter(col("doc_id") >= 2))
-    val merged = stored.unionByName(arriving).collect()
+    val stored = Search.buildIndex(docs.filter(col("doc_id") < 2))
+    val arriving = Search.buildIndex(docs.filter(col("doc_id") >= 2))
+    val mergedIdx = Search.mergeIndex(stored, arriving)
+    val merged = mergedIdx.postings.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(merged == full, "doc-disjoint postings must merge to the full index exactly")
-    // and the query over the merged index matches the full-corpus query
-    val a = Search.bm25TopKFromIndex(stored.unionByName(arriving), Seq((1L, "hash table")))
+    // df merged by ADDITION must equal df rebuilt from the full corpus
+    val mergedDf = mergedIdx.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rebuiltDf = fullIdx.df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedDf == rebuiltDf, "merged df must equal rebuilt df exactly")
+    // merged corpus stats (n, tl, adl) must equal the rebuilt stats row
+    val mergedSt = mergedIdx.stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rebuiltSt = fullIdx.stats.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mergedSt.toSeq == rebuiltSt.toSeq, "merged stats must equal rebuilt stats")
+    // and the query over the merged bundle matches the full-corpus query
+    val a = Search.bm25TopKFromIndex(mergedIdx, Seq((1L, "hash table")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_q"))).toSet
     val b = Search.bm25TopK(docs, Seq((1L, "hash table")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_q"))).toSet
     assert(a == b)
+  }
+
+  test("prebuilt-index query plan has no aggregate over the full postings") {
+    // Stand-in for stored artifacts: localCheckpoint severs the build lineage
+    // the way a parquet read does, so the analyzed query plan shows exactly
+    // what query time executes.
+    val built = Search.buildIndex(docs)
+    val idx = Search.Bm25Index(
+      built.postings.localCheckpoint(true),
+      built.df.localCheckpoint(true),
+      built.stats.localCheckpoint(true))
+    val plan = Search.bm25TopKFromIndex(idx, Seq((1L, "hash table")))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate [doc_id"),
+      s"query path must not re-aggregate postings to doc grain (corpus stats):\n$plan")
+    assert(!plan.contains("Aggregate [token"),
+      s"query path must not re-aggregate postings to term grain (df):\n$plan")
+    assert(!plan.contains("split(text"),
+      s"query path must not re-tokenize the corpus:\n$plan")
   }
 
   test("inverted index: postings carry tf and doc length") {
