@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
-import graft.functions.GraftExpressions
 import graft.sources.Tables
 
 /** Graph analytics over relationships the warehouse already holds — here the
@@ -214,50 +213,96 @@ object Graph {
     * keys on the wedge center; the closing probe keys on the (v1, v2) edge
     * pair — all equi-joins, AQE-splittable, no cross product anywhere.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    GraftExpressions.register(edges.sparkSession)
+  /** Node-grain undirected degree over the symmetric edge table. */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+
+  /** Enumerate every triangle exactly once via DEGREE ORIENTATION — the
+    * skew-proof core shared by [[triangleCounts]] and [[edgeJaccard]].
+    * Each undirected edge points from its lower-(degree, id) endpoint to
+    * the higher one; adjacency lists hold ONLY the oriented out-neighbors
+    * N⁺ (O(√E)-bounded for real-world graphs — the bestseller hub becomes
+    * the TARGET of its edges, so no row ever carries a hub-degree-sized
+    * array), and a triangle a<b<c in the orientation order is found solely
+    * at its lowest edge (a,b) as N⁺(a) ∩ N⁺(b) ∋ c. Output: one (u, v, w)
+    * row per triangle, u→v oriented, w the apex.
+    */
+  /** Degree-oriented edges: every undirected edge as one (u, v) row with
+    * (deg, id)(u) < (deg, id)(v).
+    */
+  def orientedEdges(edges: DataFrame): DataFrame = {
     val eu = edges.filter(col("src") < col("dst"))
       .select(col("src").as("s"), col("dst").as("d"))
-    // sorted adjacency lists once; per UNDIRECTED edge (u,v) the triangle
-    // support is |N(u) ∩ N(v)| — one codegen merge-scan over two sorted
-    // arrays instead of materializing the wedge set (the wedge join's
-    // intermediate is Σ C(deg,2) rows; this plan's is |E| rows, period).
-    // Each triangle at node n is seen by its two incident edges → sum div 2.
-    val adj = edges.groupBy(col("src"))
-      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
-    val withA = eu.join(adj.select(col("src").as("s"), col("nbrs").as("na")), "s")
-      .join(adj.select(col("src").as("d"), col("nbrs").as("nb")), "d")
-      .select(col("s"), col("d"),
-        GraftExpressions.sortedIntersectCount(col("na"), col("nb"))
-          .cast(LongType).as("c"))
-      .filter(col("c") > 0)
-    withA
-      .select(explode(array(struct(col("s").as("n"), col("c")),
-        struct(col("d").as("n"), col("c")))).as("x"))
-      .groupBy(col("x.n").as("product_id"))
-      .agg(sum(col("x.c")).as("sc"))
-      .select(col("product_id"), expr("sc div 2").as("n_triangles"))
+    val deg = degrees(edges)
+    val fwd = col("ds") < col("dd") || (col("ds") === col("dd") && col("s") < col("d"))
+    eu
+      .join(deg.select(col("n").as("s"), col("dg").as("ds")), "s")
+      .join(deg.select(col("n").as("d"), col("dg").as("dd")), "d")
+      .select(when(fwd, col("s")).otherwise(col("d")).as("u"),
+        when(fwd, col("d")).otherwise(col("s")).as("v"))
   }
+
+  /** N⁺ adjacency under degree orientation: per node, the sorted list of
+    * its HIGHER-(deg, id) neighbors only — spec-pinned to stay within the
+    * oriented out-degree bound on hub graphs (a star hub's list is empty).
+    */
+  def orientedAdjacency(edges: DataFrame): DataFrame =
+    orientedEdges(edges).groupBy(col("u"))
+      .agg(array_sort(collect_set(col("v"))).as("nbrs"))
+
+  def orientedTriangles(edges: DataFrame): DataFrame = {
+    val oe = orientedEdges(edges)
+    val adjP = oe.groupBy(col("u"))
+      .agg(array_sort(collect_set(col("v"))).as("nbrs"))
+    oe
+      .join(adjP.select(col("u"), col("nbrs").as("na")), "u")
+      .join(adjP.select(col("u").as("v"), col("nbrs").as("nb")), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("na"), col("nb"))).as("w"))
+  }
+
+  /** Per-node triangle counts: credit the three corners of each enumerated
+    * triangle — one explode + one node-grain aggregate over |triangles|
+    * rows. The intermediate is the triangle set itself (the information-
+    * theoretic floor for exact corner credits), never Σ C(deg, 2) wedges.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("product_id"))
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_triangles"))
 
   /** Edge tie strength: neighborhood Jaccard of the two endpoints on the
     * ppm integer grid — `|N(u)∩N(v)| / |N(u)∪N(v)|`, the standard
     * link-strength / embeddedness score (an edge whose endpoints share most
-    * neighbors is intra-community; one sharing none is a bridge). Same
-    * adjacency + codegen-intersect machinery as [[triangleCounts]]; one row
-    * per undirected edge, integer division only.
+    * neighbors is intra-community; one sharing none is a bridge).
+    *
+    * |N(u)∩N(v)| for an edge is exactly the number of triangles the edge
+    * participates in, so the plan reuses [[orientedTriangles]]: each
+    * triangle credits its three edges, an edge-grain aggregate yields the
+    * common count, and node-grain degree joins supply |N(u)|, |N(v)| for
+    * the denominator. NO adjacency arrays ride any edge row — the hub's
+    * neighborhood never replicates, and per-edge cost is its triangle
+    * count, not deg(u)+deg(v).
     */
   def edgeJaccard(edges: DataFrame): DataFrame = {
-    GraftExpressions.register(edges.sparkSession)
-    val adj = edges.groupBy(col("src"))
-      .agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+    val pair = (x: Column, y: Column) =>
+      struct(least(x, y).as("a"), greatest(x, y).as("b"))
+    val support = orientedTriangles(edges)
+      .select(explode(array(
+        pair(col("u"), col("v")),
+        pair(col("u"), col("w")),
+        pair(col("v"), col("w")))).as("p"))
+      .groupBy(col("p.a").as("src"), col("p.b").as("dst"))
+      .agg(count(lit(1)).as("tc"))
+    val deg = degrees(edges)
     edges.filter(col("src") < col("dst"))
       .select(col("src"), col("dst"))
-      .join(adj.select(col("src"), col("nbrs").as("na")), "src")
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), "dst")
+      .join(support, Seq("src", "dst"), "left")
+      .join(deg.select(col("n").as("src"), col("dg").as("da")), "src")
+      .join(deg.select(col("n").as("dst"), col("dg").as("db")), "dst")
       .select(col("src"), col("dst"),
-        GraftExpressions.sortedIntersectCount(col("na"), col("nb"))
-          .cast(LongType).as("common"),
-        size(col("na")).cast(LongType).as("da"), size(col("nb")).cast(LongType).as("db"))
+        coalesce(col("tc"), lit(0L)).as("common"), col("da"), col("db"))
       .select(col("src"), col("dst"), col("common"),
         expr("(common * 1000000) div (da + db - common)").as("jaccard_ppm"))
   }

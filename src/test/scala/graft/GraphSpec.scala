@@ -90,6 +90,28 @@ class GraphSpec extends AnyFunSuite {
     assert(t.values.sum == 3 * 4)
   }
 
+  test("oriented adjacency: hub arrays stay within the out-degree bound (star + clique)") {
+    // hub 100 at the center of a 40-spoke star, plus a DISJOINT K5 on 50..54.
+    // Unoriented adjacency would give the hub a 40-element array replicated to
+    // every incident edge; under degree orientation the hub is the TARGET of
+    // all its edges, so its N⁺ list is empty and the max list length is
+    // bounded by the clique's oriented out-degree (4), not the hub degree.
+    val star = (1L to 40L).map(i => (i, 100L))
+    val k5 = for (a <- 50L to 54L; b <- a + 1 to 54L) yield (a, b)
+    val edges = (star ++ k5).flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+      .toDF("src", "dst", "w")
+    val adj = Graph.orientedAdjacency(edges).collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Seq[Long]]("nbrs").length).toMap
+    assert(!adj.contains(100L) || adj(100L) == 0,
+      s"the hub must have no oriented out-neighbors, got ${adj.get(100L)}")
+    assert(adj.values.max <= 4,
+      s"max N⁺ length must be the clique bound (4), got ${adj.values.max}: $adj")
+    // correctness on the same fixture: only K5 triangles exist, C(4,2)=6 each
+    val t = Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("n_triangles")).toMap
+    assert(t == (50L to 54L).map(_ -> 6L).toMap, s"got $t")
+  }
+
   test("label propagation: weighted cliques keep their community across a weak bridge") {
     // two triangles with internal weight 2, bridged 3—4 with weight 1
     val und = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
