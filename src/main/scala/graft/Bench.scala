@@ -119,6 +119,13 @@ object Bench {
     // warm-up: JVM/codegen/IO init, untimed
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    // Fixture-schema pre-flight (round-4 lesson): the loaded per-table schema
+    // goes INTO the artifact, and any drift from the operator contract is a
+    // named diff — a regenerated fixture reads as "events.ts: expected
+    // timestamp, loaded bigint", never 27 opaque failures.
+    val schemas = Preflight.loadedSchemas(spark, sfDir)
+    val schemaDiff = Preflight.schemaDiff(spark, sfDir)
+    schemaDiff.foreach(d => System.err.println(s"[bench] SCHEMA DRIFT: $d"))
     // fact-store materialization is ingest-time work (the pipeline maintains
     // it as batches land), not query time — build untimed so the incremental
     // KPI queries measure what they cost in production: the pruned read.
@@ -200,6 +207,20 @@ object Bench {
     if (attempts == 1) loadMax = firstLoad
     val invalidFlag = isInvalid(results)
     val totalsBoth = s"[${suiteTotal(first)},${suiteTotal(second)}]"
+    // Third, INFORMATIONAL noise detector (round-4 lesson: BENCH_r04 was ~2×
+    // environment-inflated with a 37% spread between its two supposedly
+    // identical attempts — second SLOWER than first — yet slipped both hard
+    // detectors). The signal is DIRECTIONAL: the first pass doubles as
+    // warm-up, so second-faster-than-first by any margin is the healthy
+    // shape (an idle sf0.001 run shows ~2×); a second attempt >25% slower
+    // than the already-warm first means the machine degraded mid-run and
+    // the recording should be read with that context. attempt_spread is
+    // emitted signed: (t2 − t1)/t1, negative = healthy warm-up direction.
+    val attemptSpread: Double = {
+      val (t1, t2) = (suiteTotal(first), suiteTotal(second))
+      if (t1 <= 0) 0.0 else (t2 - t1) / t1
+    }
+    val noisyEnvironment = attemptSpread > 0.25
     // End-to-end pipeline SLA artifact: full validate→transform→archive of
     // the sf data delivered as ONE batch (a superset of any daily batch).
     // Reference SLA: 120 s validate + 300 s transform = 420 s
@@ -222,11 +243,15 @@ object Bench {
     val failed = results.filterNot(_._3).map(r => Json.quote(r._1)).mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val warmup = warmupError.map(e => s""","warmup_error":${Json.quote(e)}""").getOrElse("")
-    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"failed":$failed$warmup$health,"sf":"$sfDir"}""")
+    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall"""
+    val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
+      .mkString("{", ",", "}")
+    val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")
+    val preflight = s""","schemas":$schemasJson,"schema_diff":$diffJson"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"failed":$failed$warmup$health$preflight,"sf":"$sfDir"}""")
     // compact headline, printed LAST: survives tail-only log capture even if
     // the long detail line above was truncated away
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"cpu_ms_total":${results.map(_._4).sum},"gc_ms_total":${results.map(_._5).sum}$health,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"cpu_ms_total":${results.map(_._4).sum},"gc_ms_total":${results.map(_._5).sum}$health,"n_schema_diffs":${schemaDiff.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture-schema pre-flight: dump the loaded per-table schemas beside the
+    // results and shout any drift from the operator contract BEFORE the query
+    // sweep, so a regenerated fixture reads as one named line, not a cascade.
+    val schemas = Preflight.loadedSchemas(spark, sfDir)
+    val diffs = Preflight.schemaDiff(spark, sfDir)
+    diffs.foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
+    Files.writeString(Paths.get(s"$outDir/schemas.json"),
+      (schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" } :+
+        s""""schema_diff":${diffs.map(Json.quote).mkString("[", ",", "]")}""")
+        .mkString("{", ",", "}"))
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(name.contains) }
       .foreach { case (name, fn) =>
