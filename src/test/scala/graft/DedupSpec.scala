@@ -423,6 +423,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("pq full train: one round equals the single step; distortion keeps falling") {
+    val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getDouble(3), r.getAs[Long]("n_members"))).toMap
+    assert(rows(Similarity.pqTrain(e, 1)) == rows(Similarity.pqTrainStep(e)),
+      "pqTrain(_, 1) must be pqTrainStep bit-for-bit")
+    // Lloyd monotonicity through the full loop: distortion of the 3-round
+    // codebook <= 1-round codebook <= seed (same metric as the step spec)
+    import spark.implicits._
+    val vecs = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    def q(x: Float): Long = math.floor(x.toDouble * graft.functions.GraftExpressions.Quant).toLong
+    def qd(a: Array[Float], b: Array[Float]): Long =
+      a.indices.iterator.map(i => q(a(i)) * q(b(i))).sum
+    def distortion(cb: Array[Array[Array[Float]]]): Long =
+      vecs.iterator.map { v =>
+        (0 until Similarity.pqM).map { s =>
+          val sub = v.slice(s * Similarity.pqSubDim, (s + 1) * Similarity.pqSubDim)
+          cb(s).iterator.map(c => qd(sub, sub) - 2 * qd(sub, c) + qd(c, c)).min
+        }.sum
+      }.sum
+    val d1 = distortion(Similarity.pqCodebookTrained(e, 1))
+    val d3 = distortion(Similarity.pqCodebookTrained(e, Similarity.pqIters))
+    assert(d3 <= d1, s"3-round distortion $d3 exceeds 1-round $d1")
+  }
+
   test("LSH top-k returns a subset consistent with brute force on the fixture") {
     val sf = TestSession.sf
     val e = graft.sources.Tables.embeddings(spark, sf)
