@@ -176,11 +176,17 @@ object Multimodal {
           col("width"), col("height"), col("mean_byte"))
     },
 
-    // Feature extraction through the stubbed decode — driver records a
-    // rows-only check (not SQL-expressible; the mechanism is unit-tested).
-    // The per-frame checksum array stays on the typed API for specs; the
-    // registered output serializes it to a scalar md5 digest so the dump is
-    // sortable/hashable by any downstream harness (arrays aren't).
+    // Rows-only is FINAL for this op, and here is exactly why: every
+    // deterministic-decodable scalar it computes (n_bytes, width, height,
+    // mean_byte) is ALREADY split out and bit-matched as media_features_meta
+    // — that op is the hash gate for the decode path. What remains here is
+    // (a) entropy — a float Σ −p·log₂p whose value depends on summation
+    // order and libm, with no integer-grid reformulation (log of a ratio
+    // doesn't clear), and (b) frame_checksums — a sequential per-byte
+    // rolling hash over payload slices, i.e. imperative state no SQL oracle
+    // expresses without per-byte recursion. Both are unit-tested instead
+    // (known-payload fixtures, corrupt-header fallback). The checksum array
+    // is serialized to a scalar md5 digest so the dump stays sortable.
     Op.rowsOnly("media_features") { (s, d) =>
       extractFeatures(mediaDataset(s, d)).toDF()
         .withColumn("frames_digest",

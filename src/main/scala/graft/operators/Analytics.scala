@@ -523,7 +523,11 @@ object Analytics {
          |FROM events GROUP BY user_id""".stripMargin
     }) { (s, d) => userEventPivot(Tables.events(s, d)) },
 
-    // Approximate — driver records a rows-only check; accuracy is spec-tested.
+    // CANNOT be bit-matched: Spark's approx_count_distinct is a specific
+    // HyperLogLog++ implementation (register layout, hash function, bias
+    // correction); DuckDB's approx_count_distinct is a different HLL.
+    // Identical inputs yield different estimates by construction, so the
+    // only honest cross-engine claims are row count + the ≤15%-error spec.
     Op.rowsOnly("analytics_daily_uniques_approx") { (s, d) =>
       dailyUniquesApprox(Tables.ordersDomain(s, d))
     },
@@ -546,14 +550,20 @@ object Analytics {
       priceQuantiles(Kpi.consolidatedOf(s, d))
     },
 
-    // Approximate quantile sketch — rows-only; accuracy spec-tested.
+    // CANNOT be bit-matched: percentile_approx is Spark's Greenwald-Khanna
+    // sketch — which elements survive compaction is an artifact of that
+    // algorithm and its accuracy parameter, with no DuckDB twin (DuckDB's
+    // approx_quantile is t-digest). The exact-quantile op beside it IS the
+    // bit-matched path; this one's ≤5% error bound is spec-tested.
     Op.rowsOnly("analytics_price_quantiles_approx") { (s, d) =>
       priceQuantilesApprox(Kpi.consolidatedOf(s, d))
     },
 
-    // Approximate RFM boundaries — rows-only; agreement with the exact
-    // scorer is spec-tested (≥95% on near-unique dimensions; tie-group
-    // span containment on the discrete frequency dimension).
+    // CANNOT be bit-matched: segment boundaries come from percentile_approx
+    // (Greenwald-Khanna, see above), so segment assignments near boundaries
+    // are sketch-artifacts. The exact op is the oracle-checked path;
+    // agreement with it is spec-tested (≥95% on near-unique dimensions;
+    // tie-group span containment on the discrete frequency dimension).
     Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },

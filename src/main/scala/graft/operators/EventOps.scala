@@ -640,9 +640,12 @@ object EventOps {
       conversionPaths(Tables.events(s, d))
     },
 
-    // Stored-sketch range uniques: approximate by design (datasketches HLL
-    // has no DuckDB twin) → rows-only; accuracy, incremental-equals-rebuild
-    // and partition pruning are spec-tested (SketchStoreSpec).
+    // CANNOT be bit-matched: the stored sketches are Spark's HLL++ binary
+    // registers (hll_sketch_agg); their estimates are implementation-
+    // specific and DuckDB can neither deserialize the sketch bytes nor
+    // reproduce the same HLL variant. The properties that ARE deterministic
+    // — ≤15% error vs exact, incremental-equals-rebuild, partition pruning,
+    // redelivery idempotence — are spec-tested (SketchStoreSpec).
     Op.rowsOnly("events_range_uniques_sketch") { (s, d) =>
       graft.sources.SketchStore.uniquesBetween(s,
         graft.sources.SketchStore.ensureFixture(s, d), "2024-01-08", "2024-01-21")

@@ -941,8 +941,12 @@ object TextOps {
       vocabulary(Tables.documents(s, d))
     },
 
-    // Misra-Gries sketch — approximate by design once saturated → rows-only;
-    // error bound + saturation exactness are spec-tested.
+    // CANNOT be bit-matched: above saturation a Misra-Gries summary's
+    // surviving (term, count) entries depend on arrival/merge order — two
+    // valid runs of the SAME implementation may keep different non-heavy
+    // terms, and no SQL engine reproduces a specific merge schedule. The
+    // deterministic claims — exactness below saturation, the N/(m+1)
+    // undercount bound above — are spec-tested; text_vocab is the exact twin.
     Op.rowsOnly("text_heavy_hitters_approx") { (s, d) =>
       heavyHittersApprox(Tables.documents(s, d))
     },
@@ -1062,9 +1066,12 @@ object TextOps {
       dupNgramFraction(Tables.documents(s, d))
     },
 
-    // Bloom-filter decontamination — approximate by design (false positives
-    // at the published rate) → rows-only; the no-false-negatives superset
-    // property vs the exact op is spec-tested.
+    // CANNOT be bit-matched: a Bloom filter admits false positives at the
+    // sized-for rate by design, and WHICH grams collide is a function of the
+    // concrete bit layout + double-hash schedule — an engine-specific
+    // artifact no oracle shares (DuckDB has no xxhash64-double-hash Bloom).
+    // The deterministic claim — no false NEGATIVES, i.e. a superset of the
+    // exact op's hits — is spec-tested; text_decontaminate is the exact twin.
     Op.rowsOnly("text_decontaminate_bloom") { (s, d) =>
       decontaminateBloom(Tables.documents(s, d))
     },
