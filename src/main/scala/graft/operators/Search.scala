@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -140,6 +140,64 @@ object Search {
   }
 
   // --------------------------------------------------------------------------
+  // Related-document retrieval ("more like this") over the same index
+  // --------------------------------------------------------------------------
+
+  /** Fixed query-doc set (like the ANN/BM25 query sets). */
+  val mltQueryDocs: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** Results per query doc. */
+  val mltK = 10
+
+  /** Document-frequency cap: query terms with df above the cap are skipped —
+    * champion-list pruning, THE scale lever for doc-to-doc retrieval. A
+    * ubiquitous term's posting list is O(corpus) and contributes the least
+    * discriminative signal; capping df bounds the candidate set by
+    * Σ_{rare terms} df(t) instead of N per query doc. The default is
+    * CORPUS-RELATIVE — `df ≤ (4·N) div 5`, i.e. a term in more than 80% of
+    * documents is treated as a stopword — so the op stays meaningful at any
+    * corpus size (an absolute cap silently empties on a small-vocabulary
+    * corpus and prunes nothing on a web-scale one).
+    */
+  def mltDfCapOf(n: Column): Column = expr("(4 * n) div 5")
+
+  /** Related documents for each query doc: weighted term-overlap score
+    *   score(q, d) = Σ_{t ∈ q∩d, df(t) ≤ cap} min(tf_q, tf_d) · idfQ(t),
+    * with idfQ the BM25 rational IDF on the 2^20 grid —
+    * `((2N−2df+1)·2^20) div (2df+1)` — so everything is an exact BIGINT and
+    * ranking is partitioning-invariant (the [[bm25TopK]] determinism
+    * contract). min(tf) is the standard overlap tf so a term can never
+    * contribute more than its occurrences on EITHER side.
+    *
+    * Plan shape: the query docs' own postings (a handful of rows) join the
+    * df artifact and broadcast; the postings scan touches only capped
+    * query-term lists; one (query_doc, doc) aggregate; per-query top-k
+    * window. No full-postings aggregate anywhere — stats/df come from the
+    * index bundle.
+    */
+  def relatedDocs(idx: Bm25Index, queryDocs: Seq[Long] = mltQueryDocs,
+      k: Int = mltK, dfCap: Option[Long] = None): DataFrame = {
+    val qp = idx.postings
+      .filter(col("doc_id").isin(queryDocs: _*))
+      .select(col("doc_id").as("query_doc"), col("token"), col("tf").as("qtf"))
+    val w = idx.df.join(broadcast(qp), "token")
+      .crossJoin(broadcast(idx.stats))
+      .filter(col("df") <= dfCap.map(lit(_)).getOrElse(mltDfCapOf(col("n"))))
+      .select(col("token"), col("query_doc"), col("qtf"),
+        expr(s"((2*n - 2*df + 1) * $bm25Grid) div (2*df + 1)").as("idf_q"))
+    val scored = idx.postings.join(broadcast(w), "token")
+      .filter(col("doc_id") =!= col("query_doc"))
+      .select(col("query_doc"), col("doc_id"),
+        (least(col("tf"), col("qtf")) * col("idf_q")).as("s"))
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(col("s")).as("score_q"))
+    val win = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------------------
   // Persisted index store (build-once, content-stamped — the FactStore/
   // SketchStore/edge-store convention): postings + df + stats land as three
   // parquet artifacts, and every registered query reads THOSE, so the plan
@@ -259,6 +317,33 @@ object Search {
     // stored artifacts).
     Op.sql("search_bm25_topk", bm25Oracle) { (s, d) =>
       bm25TopKFromIndex(storedIndex(s, d))
+    },
+
+    // "More like this": weighted term-overlap related docs for the fixed
+    // query-doc set, df-capped (champion-list pruning), over the stored
+    // index bundle.
+    Op.sql("search_related_docs",
+      s"""WITH $indexCtes,
+         |qp AS (SELECT doc_id AS query_doc, token, tf AS qtf
+         |       FROM tf WHERE doc_id IN (${mltQueryDocs.mkString(", ")})),
+         |w AS (
+         |  SELECT qp.token, qp.query_doc, qp.qtf,
+         |         ((2*st.n - 2*d.df + 1) * $bm25Grid) // (2*d.df + 1) AS idf_q
+         |  FROM qp JOIN dfr d ON d.token = qp.token CROSS JOIN st
+         |  WHERE d.df <= (4 * st.n) // 5),
+         |sc AS (
+         |  SELECT w.query_doc, f.doc_id,
+         |         CAST(SUM(LEAST(f.tf, w.qtf) * w.idf_q) AS BIGINT) AS score_q
+         |  FROM w JOIN tf f ON f.token = w.token
+         |  WHERE f.doc_id <> w.query_doc
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+         |                               ORDER BY score_q DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT query_doc, doc_id, score_q, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $mltK""".stripMargin) { (s, d) =>
+      relatedDocs(storedIndex(s, d))
     },
   )
 }

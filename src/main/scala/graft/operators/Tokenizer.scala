@@ -104,6 +104,27 @@ object Tokenizer {
         col("right_sym"), col("pair_freq")), syms)
   }
 
+  /** ENCODE the corpus with the trained tokenizer — the step an LLM data
+    * pipeline actually ships: per-document counts of final subword symbols.
+    *
+    * Scale shape: the corpus is scanned once into (doc, word, n) — one hash
+    * aggregate — and the symbolization is computed ONCE at word-vocabulary
+    * grain (the trainer's final state), then joined back word-keyed; no
+    * per-document re-derivation of merges, no window over the corpus. In a
+    * production pipeline the word→symbols table is the stored tokenizer
+    * artifact and the encode pass is just this join + aggregate.
+    */
+  def bpeEncode(docs: DataFrame, merges: Int = bpeMerges): DataFrame = {
+    val syms = bpeTrainState(docs, merges)._2
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    val wordSyms = syms.groupBy(col("word"), col("sym")).agg(count(lit(1)).as("k"))
+    docWords.join(wordSyms, "word")
+      .groupBy(col("doc_id"), col("sym"))
+      .agg(sum(col("n") * col("k")).as("n_tokens"))
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -181,6 +202,20 @@ object Tokenizer {
     // The symbol vocabulary the corpus tokenizes into after those merges.
     Op.sql("text_bpe_vocab", vocabOracle) { (s, d) =>
       bpeVocab(Tables.documents(s, d))
+    },
+    // Tokenize the corpus with the trained tokenizer: per-doc symbol counts.
+    Op.sql("text_bpe_encode",
+      s"""WITH ${bpeCtes(bpeMerges)},
+         |dw AS (
+         |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY 1, 2),
+         |wsy AS (SELECT word, sym, CAST(COUNT(*) AS BIGINT) AS k
+         |        FROM s$bpeMerges GROUP BY 1, 2)
+         |SELECT dw.doc_id, w.sym, CAST(SUM(dw.n * w.k) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wsy w USING (word)
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      bpeEncode(Tables.documents(s, d))
     },
   )
 }

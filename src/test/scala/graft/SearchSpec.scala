@@ -119,6 +119,29 @@ class SearchSpec extends AnyFunSuite {
       s"query path must not re-tokenize the corpus:\n$plan")
   }
 
+  test("related docs: overlap-weighted ranking, df cap prunes ubiquitous terms") {
+    // doc 0 queries; 1 shares two terms, 2 shares one, 3 only shares the
+    // stopword "the" (df = 4 = every doc)
+    val corpus = Seq(
+      (0L, "the spark shuffle join"),
+      (1L, "the spark shuffle sort"),
+      (2L, "the spark filter scan"),
+      (3L, "the python pandas numpy")
+    ).toDF("doc_id", "text")
+    val idx = Search.buildIndex(corpus)
+    // default relative cap (4·N div 5 = 3): "the" (df 4) excluded; exact
+    // integer scores (N=4)
+    val capped = Search.relatedDocs(idx, Seq(0L), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q")).toMap
+    val idf = (df: Long) => ((2 * 4 - 2 * df + 1) * Search.bm25Grid) / (2 * df + 1)
+    assert(capped == Map(1L -> (idf(3) + idf(2)), 2L -> idf(3)),
+      s"got $capped — doc 3 must be pruned with the stopword, doc 1 must lead")
+    // explicit open cap: the stopword draws doc 3 in, but only at the bottom
+    val open = Search.relatedDocs(idx, Seq(0L), k = 10, dfCap = Some(1000L)).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    assert(open.toSeq == Seq(1L, 2L, 3L), s"got ${open.toSeq}")
+  }
+
   test("inverted index: postings carry tf and doc length") {
     val idx = Search.invertedIndex(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->

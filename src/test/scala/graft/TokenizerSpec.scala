@@ -81,6 +81,45 @@ class TokenizerSpec extends AnyFunSuite {
     assert(vocab.contains("low"), "3 merges on this corpus must produce the 'low' symbol")
   }
 
+  test("encode: per-doc symbol counts follow the sequential reference tokenization") {
+    // two docs sharing words, 2 merges: encode must equal tokenizing each
+    // doc's words with the reference merges
+    val docs = Seq((0L, "low low lower"), (1L, "lowest low")).toDF("doc_id", "text")
+    val words = Map("low" -> 3L, "lower" -> 1L, "lowest" -> 1L)
+    val merges = refBpe(words, 2).map { case (a, b, _) => (a, b) }
+    def tokenize(w: String): Seq[String] = {
+      var s: Vector[String] = w.map(_.toString).toVector :+ Tokenizer.wordEnd
+      for ((a, b) <- merges) {
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { buf += (a + b); i += 2 }
+          else { buf += s(i); i += 1 }
+        }
+        s = buf.result()
+      }
+      s
+    }
+    val expected = Seq(0L -> Seq("low", "low", "lower"), 1L -> Seq("lowest", "low"))
+      .flatMap { case (d, ws) => ws.flatMap(tokenize).map(sym => (d, sym)) }
+      .groupBy(identity).map { case ((d, sym), xs) => (d, sym) -> xs.size.toLong }
+    val got = Tokenizer.bpeEncode(docs, merges = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sym")) ->
+        r.getAs[Long]("n_tokens")).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("encode totals reconcile with the trained vocabulary's symbol mass") {
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val vocab = Tokenizer.bpeVocab(docs).collect()
+      .map(r => r.getAs[String]("sym") -> r.getAs[Long]("total_freq")).toMap
+    val enc = Tokenizer.bpeEncode(docs).collect()
+      .map(r => r.getAs[String]("sym") -> r.getAs[Long]("n_tokens"))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    assert(enc == vocab,
+      "per-symbol encode totals across docs must equal the vocab's total_freq")
+  }
+
   test("repartitioning the corpus does not change the trained merges") {
     val docs = graft.sources.Tables.documents(spark, TestSession.sf)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
