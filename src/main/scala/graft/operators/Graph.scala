@@ -251,7 +251,11 @@ object Graph {
       .agg(array_sort(collect_set(col("v"))).as("nbrs"))
 
   def orientedTriangles(edges: DataFrame): DataFrame = {
-    val oe = orientedEdges(edges)
+    // The oriented-edge frame feeds three consumers (the probe side and both
+    // adjacency builds); localCheckpoint materializes it once instead of
+    // re-deriving degrees + orientation per branch (the shared-subtree
+    // plan-walk lesson — same as the iterative loops).
+    val oe = orientedEdges(edges).localCheckpoint()
     val adjP = oe.groupBy(col("u"))
       .agg(array_sort(collect_set(col("v"))).as("nbrs"))
     oe
