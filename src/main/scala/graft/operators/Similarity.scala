@@ -506,6 +506,36 @@ object Similarity {
       .filter(col("cos") >= Dedup.cosineTau)
   }
 
+  /** Neighbors per vector in the k-NN GRAPH (small — the near-dup /
+    * clustering precursor keeps only each vector's closest few).
+    */
+  val knnK = 3
+
+  /** IVF-blocked exact k-NN graph: EVERY vector's top-k nearest in-cell
+    * neighbors by quantized cosine — the precursor artifact for semantic
+    * clustering / SemDeDup-style curation (cluster the k-NN graph instead of
+    * re-scoring pairs per downstream consumer).
+    *
+    * Scale shape: the all-pairs N² is blocked to Σ_cell |cell|² by the
+    * coarse quantizer (cells ∝ √N keeps that near-linear at 100 TB); the
+    * per-vector top-k window partitions by vec_id (N partitions, each
+    * bounded by its cell size); norms computed once per vector. Recall loss
+    * vs brute force is only cross-cell neighbors — the standard IVF
+    * tradeoff, spec-measured on the fixture.
+    */
+  def knnGraph(embs: DataFrame, k: Int = knnK): DataFrame = {
+    val assigned = ivfAssign(embs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        Dedup.cosQ(col("a.embedding"), col("b.embedding"), col("a.n2"), col("b.n2"))
+          .as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Top-k within the query's IVF cell. */
   def ivfTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val assigned = ivfAssign(embs)
@@ -1050,6 +1080,23 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       ivfMultiprobeTopK(Tables.embeddings(s, d), col("vec_id") < 20)
+    },
+
+    // Exact k-NN graph blocked by IVF cells — every vector is a query; the
+    // clustering/SemDeDup precursor artifact.
+    Op.sql("sim_knn_graph",
+      s"""WITH $ivfAssignedCte,
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id, ${Dedup.cosQSql("a", "b")} AS cos
+         |  FROM assigned a JOIN assigned b
+         |    ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $knnK""".stripMargin) { (s, d) =>
+      knnGraph(Tables.embeddings(s, d))
     },
 
     Op.sql("dedup_semantic_cells",

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Similarity}
@@ -448,6 +448,28 @@ class DedupSpec extends AnyFunSuite {
     val d1 = distortion(Similarity.pqCodebookTrained(e, 1))
     val d3 = distortion(Similarity.pqCodebookTrained(e, Similarity.pqIters))
     assert(d3 <= d1, s"3-round distortion $d3 exceeds 1-round $d1")
+  }
+
+  test("knn graph: neighbors stay in-cell and match the in-cell brute force") {
+    val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val cellOf = Similarity.ivfAssign(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val got = Similarity.knnGraph(e).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))
+    // every edge joins two vectors of one cell
+    got.foreach { case ((v, _), (n, _)) =>
+      assert(cellOf(v) == cellOf(n), s"$v -> $n crosses cells")
+    }
+    // per vector: ranked neighbors equal the exact in-cell cosine order
+    val exact = Similarity.ivfTopK(e, lit(true), k = Similarity.knnK).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toMap
+    got.foreach { case ((v, rk), (n, c)) =>
+      assert(exact((v, rk)) == ((n, c)),
+        s"($v, rank $rk): knn gives ($n, $c), in-cell exact gives ${exact((v, rk))}")
+    }
+    assert(got.nonEmpty && got.groupBy(_._1._1).values.forall(_.size <= Similarity.knnK))
   }
 
   test("LSH top-k returns a subset consistent with brute force on the fixture") {
