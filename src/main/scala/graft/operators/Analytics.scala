@@ -452,6 +452,45 @@ object Analytics {
     out
   }
 
+  /** Directional association RULES from the same basket counts: for each
+    * supported unordered pair, both `a→b` and `b→a` with
+    * `conf_ppm = (c_both · 10^6) div c_antecedent` — the actual
+    * recommendation artifact ("buyers of a also bought b, 62% of the
+    * time"), where [[marketBasket]]'s symmetric lift only says the pair
+    * co-occurs more than chance. Exact integers on the ppm grid; same
+    * basket-cap / min-support bounds, same single tagged-union aggregate —
+    * the rule emission is pair-grain work on the already-pruned pair set.
+    */
+  def basketRules(orderItems: DataFrame): DataFrame = {
+    val pidType = orderItems.schema("product_id").dataType
+    val pnull = lit(null).cast(pidType)
+    val baskets = orderItems
+      .groupBy(col("order_id"))
+      .agg(array_sort(collect_set(col("product_id"))).as("items"))
+      .filter(size(col("items")) <= basketMaxItems)
+    val counts = baskets
+      .select(explode(concat(
+        transform(col("items"), x => struct(x.as("p1"), pnull.as("p2"))),
+        flatten(transform(col("items"), (x, i) =>
+          transform(slice(col("items"), i + lit(2), size(col("items"))),
+            y => struct(x.as("p1"), y.as("p2"))))))).as("t"))
+      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val prodCounts = counts.filter(col("p2").isNull)
+      .select(col("p1").as("antecedent"), col("c").as("c_ant"))
+    val pairs = counts.filter(col("p2").isNotNull && col("c") >= basketMinSupport)
+    val directed = pairs
+      .select(col("p1").as("antecedent"), col("p2").as("consequent"), col("c").as("c_both"))
+      .unionByName(pairs
+        .select(col("p2").as("antecedent"), col("p1").as("consequent"), col("c").as("c_both")))
+    directed.join(prodCounts, "antecedent")
+      .select(col("antecedent"), col("consequent"), col("c_both"), col("c_ant"),
+        expr("(c_both * 1000000) div c_ant").as("conf_ppm"))
+      .orderBy(col("conf_ppm").desc, col("antecedent"), col("consequent"))
+      .limit(basketK)
+  }
+
   // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
@@ -653,6 +692,32 @@ object Analytics {
          |       CROSS JOIN n
          |ORDER BY lift DESC, p1, p2 LIMIT $basketK""".stripMargin) { (s, d) =>
       marketBasket(Tables.orderItems(s, d))
+    },
+
+    // Directional association rules from the same basket counts: a→b and
+    // b→a with exact ppm confidence (the recommendation artifact).
+    Op.sql("analytics_basket_rules",
+      s"""${Tables.domainCtes},
+         |oi AS (SELECT DISTINCT order_id, product_id FROM order_items),
+         |baskets AS (SELECT order_id FROM oi GROUP BY order_id
+         |            HAVING COUNT(*) <= $basketMaxItems),
+         |oik AS (SELECT oi.* FROM oi JOIN baskets USING (order_id)),
+         |c AS (SELECT product_id, COUNT(*) AS c FROM oik GROUP BY product_id),
+         |p AS (
+         |  SELECT a.product_id AS p1, b.product_id AS p2, COUNT(*) AS c12
+         |  FROM oik a JOIN oik b
+         |    ON a.order_id = b.order_id AND a.product_id < b.product_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $basketMinSupport),
+         |r AS (SELECT p1 AS antecedent, p2 AS consequent, c12 FROM p
+         |      UNION ALL
+         |      SELECT p2, p1, c12 FROM p)
+         |SELECT r.antecedent, r.consequent, CAST(r.c12 AS BIGINT) AS c_both,
+         |       CAST(c.c AS BIGINT) AS c_ant,
+         |       CAST((r.c12 * 1000000) // c.c AS BIGINT) AS conf_ppm
+         |FROM r JOIN c ON r.antecedent = c.product_id
+         |ORDER BY conf_ppm DESC, antecedent, consequent
+         |LIMIT $basketK""".stripMargin) { (s, d) =>
+      basketRules(Tables.orderItems(s, d))
     },
 
     Op.sql("analytics_rfm_segments",

@@ -130,6 +130,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
   }
 
+  test("basket rules: directional ppm confidence from the same counts") {
+    import spark.implicits._
+    // same fixture as the market-basket test: 10∈{1,2,4}, 20∈{1,2,3,4},
+    // 30∈{1,3}; supported pairs (10,20) c=3 and (20,30) c=2
+    val base = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L),
+      (3L, 20L), (3L, 30L),
+      (4L, 10L), (4L, 20L))
+    val out = Analytics.basketRules(base.toDF("order_id", "product_id")).collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) ->
+        ((r.getAs[Long]("c_both"), r.getAs[Long]("c_ant"), r.getAs[Long]("conf_ppm"))))
+      .toMap
+    assert(out.keySet == Set((10L, 20L), (20L, 10L), (20L, 30L), (30L, 20L)))
+    // confidence is DIRECTIONAL: 10→20 fires always (3/3), 20→10 only 3/4
+    assert(out((10L, 20L)) == ((3L, 3L, 1000000L)))
+    assert(out((20L, 10L)) == ((3L, 4L, 750000L)))
+    assert(out((30L, 20L)) == ((2L, 2L, 1000000L)))
+    assert(out((20L, 30L)) == ((2L, 4L, 500000L)))
+  }
+
   test("cohort ltv: first-order month anchors each user's revenue rows") {
     import spark.implicits._
     import java.sql.Timestamp
