@@ -324,6 +324,31 @@ object Graph {
         expr(s"(strength * ${prGrid}L) div total_w").as("strength_share_q"))
   }
 
+  /** Minimum edge weight for the STRONG subgraph [[components]] runs on —
+    * a single co-purchase is noise; repeated co-purchase is structure.
+    */
+  val componentsMinW = 2L
+
+  /** Product communities as connected components of the strong (w ≥ minW)
+    * co-purchase subgraph — the hard-clustering complement to
+    * [[labelPropagation]] (LPA finds dense communities inside one connected
+    * blob; components find the blobs). Reuses [[Dedup.connectedComponents]]
+    * — alternating large-star/small-star, O(log² n) rounds, or the bounded
+    * driver union-find below its size cutoff — so the graph path shares the
+    * dedup path's convergence machinery and specs. Nodes with no strong
+    * edge are singletons labeled by their own id.
+    */
+  def components(edges: DataFrame, minW: Long = componentsMinW): DataFrame = {
+    val strong = edges.filter(col("w") >= minW && col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    val labels = Dedup.connectedComponents(strong)
+    edges.select(col("src").as("product_id")).distinct()
+      .join(labels.select(col("node").as("product_id"), col("label").as("cid")),
+        Seq("product_id"), "left")
+      .select(col("product_id"),
+        coalesce(col("cid"), col("product_id")).as("component_id"))
+  }
+
   // --------------------------------------------------------------------------
   // Edge store: the co-purchase graph as a build-once artifact
   // --------------------------------------------------------------------------
@@ -533,6 +558,23 @@ object Graph {
          |       CAST((common * 1000000) // (da + db - common) AS BIGINT) AS jaccard_ppm
          |FROM j""".stripMargin) { (s, d) =>
       edgeJaccard(storedEdges(s, d))
+    },
+
+    // Components of the strong (w ≥ 2) subgraph — recursive min-label oracle.
+    Op.sql("graph_components",
+      s"""WITH RECURSIVE $edgesCtes,
+         |se AS (SELECT src, dst FROM e WHERE w >= $componentsMinW AND src < dst),
+         |sedges AS (SELECT src AS a, dst AS b FROM se
+         |           UNION ALL SELECT dst, src FROM se),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM sedges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN sedges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node)
+         |SELECT o.src AS product_id,
+         |       COALESCE(lab.component_id, o.src) AS component_id
+         |FROM outw o LEFT JOIN lab ON lab.node = o.src""".stripMargin) { (s, d) =>
+      components(storedEdges(s, d))
     },
 
     // One-pass degree centrality baseline.

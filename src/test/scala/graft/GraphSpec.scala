@@ -157,6 +157,23 @@ class GraphSpec extends AnyFunSuite {
     assert(jp((2L, 3L)) == 0L, "a pure bridge edge has zero neighborhood overlap")
   }
 
+  test("components: the weight threshold splits blobs a weak bridge would join") {
+    // two w=2 triangles bridged by one w=1 edge (the LPA fixture): at
+    // minW=2 the bridge vanishes → two components rooted at min ids; at
+    // minW=1 everything connects into one
+    val und = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (4L, 6L, 2L), (5L, 6L, 2L), (3L, 4L, 1L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val split = Graph.components(edges, minW = 2L).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("component_id")).toMap
+    assert(split == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      s"got $split")
+    val joined = Graph.components(edges, minW = 1L).collect()
+      .map(r => r.getAs[Long]("component_id")).distinct
+    assert(joined.toSeq == Seq(1L), "the bridge must join everything at minW=1")
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>
