@@ -297,6 +297,72 @@ object StreamingOps {
       .start()
   }
 
+  /** The BM25 index's incremental maintenance as a streaming query: each
+    * micro-batch of arriving documents is hashed ONCE into its own
+    * postings/df/stats bundle under a batchId-keyed subdir — doc-disjoint
+    * batches make the bundle union the exact index merge
+    * ([[graft.operators.Search.mergeIndex]]'s contract). Exactly-once under
+    * foreachBatch's at-least-once replay via the [[incrementalDedupLoop]]
+    * recipe: the stats table is written LAST and its `_SUCCESS` is the
+    * commit marker; a replayed committed batch is a no-op, a torn first
+    * attempt is healed by the replay's overwrite of the same subdir.
+    */
+  def incrementalSearchIndex(spark: SparkSession, docsStreamDir: String,
+      indexDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val reader = spark.readStream.schema(graft.sources.Jsonl.documentsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Search
+        val s = batch.sparkSession
+        val root = new Path(indexDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bdir = new Path(root, s"batch_id=$batchId")
+        if (!fs.exists(new Path(bdir, "stats/_SUCCESS"))) {
+          val idx = Search.buildIndex(batch)
+          val postings = idx.postings.persist()
+          postings.write.mode("overwrite").parquet(new Path(bdir, "postings").toString)
+          Search.termDf(postings).write.mode("overwrite")
+            .parquet(new Path(bdir, "df").toString)
+          // LAST write: stats/_SUCCESS commits the whole bundle
+          Search.corpusStats(postings).write.mode("overwrite")
+            .parquet(new Path(bdir, "stats").toString)
+          postings.unpersist()
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The queryable index over every COMMITTED streamed bundle: postings
+    * union (doc-disjoint), df re-added at term grain, stats re-summed —
+    * exactly [[graft.operators.Search.mergeIndex]] folded over the batches,
+    * so the streamed index must equal a one-shot batch build bit-for-bit
+    * (spec-pinned).
+    */
+  def storedStreamIndex(spark: SparkSession, indexDir: String): graft.operators.Search.Bm25Index = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.listStatus(root)
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "stats/_SUCCESS")))
+      .map(_.getPath.toString).toSeq
+    require(committed.nonEmpty, s"no committed index bundles under $indexDir")
+    graft.operators.Search.Bm25Index(
+      spark.read.parquet(committed.map(_ + "/postings"): _*),
+      spark.read.parquet(committed.map(_ + "/df"): _*)
+        .groupBy(col("token")).agg(sum(col("df")).as("df")),
+      spark.read.parquet(committed.map(_ + "/stats"): _*)
+        .agg(sum(col("n")).as("n"), sum(col("tl")).as("tl"))
+        .select(col("n"), col("tl"), expr("tl div n").as("adl")))
+  }
+
   /** The sketch store's ingest as a streaming query: the days present in
     * each micro-batch of arriving event files drive a day-scoped sketch
     * recompute over the full static events table, upserted by dynamic

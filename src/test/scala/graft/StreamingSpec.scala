@@ -131,6 +131,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayedPairs == batch)
   }
 
+  test("streaming search-index maintenance equals the one-shot batch build") {
+    import graft.operators.Search
+    val docs = Tables.documents(spark, TestSession.sf)
+    val inDir = Files.createTempDirectory("graft-search-in").toString
+    val idxDir = Files.createTempDirectory("graft-search-idx").toString + "/index"
+    // the corpus arrives in two waves of doc-disjoint batches
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalSearchIndex(spark, inDir, idxDir,
+      Files.createTempDirectory("graft-ckpt-si").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    val streamed = StreamingOps.storedStreamIndex(spark, idxDir)
+    val batch = Search.buildIndex(docs)
+    def postingsOf(i: Search.Bm25Index) = i.postings.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+        r.getAs[Long]("tf"), r.getAs[Long]("len"))).toSet
+    def dfOf(i: Search.Bm25Index) = i.df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def statsOf(i: Search.Bm25Index) = i.stats.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(postingsOf(streamed) == postingsOf(batch))
+    assert(dfOf(streamed) == dfOf(batch))
+    assert(statsOf(streamed) == statsOf(batch))
+    // the ranked query over the streamed bundle equals the batch query
+    def ranked(i: Search.Bm25Index) = Search.bm25TopKFromIndex(i).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("score_q"),
+        r.getAs[Int]("rank"))).toSet
+    assert(ranked(streamed) == ranked(batch))
+    // full replay (fresh checkpoint): committed bundles are no-ops
+    val q2 = StreamingOps.incrementalSearchIndex(spark, inDir, idxDir,
+      Files.createTempDirectory("graft-ckpt-si2").toString, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+    val replayed = StreamingOps.storedStreamIndex(spark, idxDir)
+    assert(postingsOf(replayed) == postingsOf(batch), "replay must be a no-op")
+    assert(dfOf(replayed) == dfOf(batch) && statsOf(replayed) == statsOf(batch))
+  }
+
   test("streaming session windows converge to the batch session_window answer") {
     val dir = stageEvents()
     val q = StreamingOps.runAvailableNow(
