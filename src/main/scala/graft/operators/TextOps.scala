@@ -684,6 +684,40 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-document FLUENCY scoring with the bigram LM — [[lmCommonness]] one
+    * order up: each of a document's bigrams scores the conditional
+    * probability P(w2 | w1) on the ppm integer grid
+    * (`(c(w1,w2)·10^6) div c(w1·)`), and the document reports the count,
+    * sum, and floored mean. Text whose transitions the corpus has seen
+    * (boilerplate, templated spans) scores high; incoherent or shuffled
+    * text scores low — the log-free stand-in for a bigram-perplexity
+    * filter, exact integers end to end so it is fully oracle-checked.
+    *
+    * Scale shape: bigram counts collapse to vocab²-grain in one hash
+    * aggregate; documents re-join the table keyed by bigram (Zipf-skewed by
+    * nature — AQE skew-join splits the hot heads, the [[lmCommonness]]
+    * lever) and collapse back to doc grain. Docs with fewer than 2 tokens
+    * have no transitions and are excluded, matching the LM's domain.
+    */
+  def bigramFluency(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val docBigrams = docs.filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", slice(ws, i, lit(2))))).as("bg"))
+      .select(col("doc_id"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val counts = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val table = counts.join(left, "w1")
+      .select(col("w1"), col("w2"), expr("(c12 * 1000000) div c1").as("conf_ppm"))
+    docBigrams.join(table, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("conf_ppm")).as("sum_conf_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_conf_ppm"),
+        expr("sum_conf_ppm div n_bigrams").as("mean_conf_ppm"))
+  }
+
   /** Rarity threshold (corpus occurrences) for [[lmCommonness]]. */
   val rareMaxCount = 2L
 
@@ -1149,6 +1183,28 @@ object TextOps {
          |SELECT w1, w2, n, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY w1) AS p
          |FROM c ORDER BY n DESC, w1, w2 LIMIT $bigramLmK""".stripMargin) { (s, d) =>
       bigramLm(Tables.documents(s, d))
+    },
+
+    // Per-doc bigram fluency: mean ppm conditional probability of the doc's
+    // transitions under the corpus bigram LM.
+    Op.sql("text_bigram_fluency",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |bgx AS (
+         |  SELECT doc_id,
+         |         unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+         |  FROM t WHERE len(ws) >= 2),
+         |db AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+         |              split_part(bg, ' ', 2) AS w2 FROM bgx),
+         |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM db GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+         |tab AS (SELECT c.w1, c.w2, (c.c12 * 1000000) // l.c1 AS conf_ppm
+         |        FROM c JOIN l USING (w1))
+         |SELECT db.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm,
+         |       CAST(CAST(SUM(conf_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_conf_ppm
+         |FROM db JOIN tab USING (w1, w2)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      bigramFluency(Tables.documents(s, d))
     },
 
     Op.sql("text_lm_commonness",

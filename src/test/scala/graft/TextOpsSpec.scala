@@ -67,6 +67,23 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
   }
 
+  test("bigram fluency: seen transitions score high, unique ones low; short docs out") {
+    // corpus: (a b)×2, (b a)×1, (a c)×1 → P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1
+    val out = TextOps.bigramFluency(
+      docs(1L -> "a b a b", 2L -> "a c", 3L -> "solo")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_conf_ppm"),
+          r.getAs[Long]("mean_conf_ppm")))).toMap
+    // doc 1 bigrams: (a b) 666666, (b a) 1000000, (a b) 666666
+    assert(out(1L) == ((3L, 2333332L, 777777L)))
+    // doc 2: the rarer transition alone
+    assert(out(2L) == ((1L, 333333L, 333333L)))
+    // a 1-token doc has no transitions — absent, not zero-scored
+    assert(!out.contains(3L))
+    // the templated doc outscores the rare-transition doc
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
   test("lm commonness: mean corpus frequency and rare-token fraction, exact arithmetic") {
     // vocab: a→3, b→1, c→1 (b and c are "rare" at the ≤2 threshold; a is not)
     val out = TextOps.lmCommonness(docs(1L -> "a a b", 2L -> "a c")).collect()
