@@ -119,6 +119,43 @@ object Analytics {
         pick(1, 2).as("p50"), pick(9, 10).as("p90"), pick(99, 100).as("p99"))
   }
 
+  /** Tukey-fence outlier detection per category: exact Q1/Q3 via the same
+    * integer-rank order statistics as [[priceQuantiles]], fences at
+    * `q1 − 1.5·IQR / q3 + 1.5·IQR`, and the per-category count of items
+    * outside them — the pricing-error / fabricated-data screen a catalog
+    * pipeline runs on ingest. The fence arithmetic is a fixed IEEE
+    * expression evaluated identically by both engines (1.5 is exact in
+    * binary), so the op is fully hash-checked despite double prices.
+    *
+    * Scale shape: one category-partitioned rank window (the
+    * [[priceQuantiles]] sort), then the 6-row fence frame broadcasts back
+    * onto the item scan for the outlier count — the fact table streams
+    * once, no second sort.
+    */
+  def priceOutliers(consolidated: DataFrame): DataFrame = {
+    val byCat = Window.partitionBy(col("category"))
+    val w = byCat.orderBy(col("sale_price"))
+    def rankOf(a: Int, b: Int) = floor((col("n") * a + a) / lit(b.toDouble))
+    def pick(a: Int, b: Int) = max(when(col("rn") === rankOf(a, b), col("sale_price")))
+    val prices = consolidated.filter(col("sale_price").isNotNull)
+      .select(col("category"), col("sale_price"))
+    val fences = prices
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(byCat))
+      .groupBy(col("category"))
+      .agg(max(col("n")).as("n_items"), pick(1, 4).as("q1"), pick(3, 4).as("q3"))
+      .select(col("category"), col("n_items"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    prices.join(broadcast(fences), "category")
+      .groupBy(col("category"))
+      .agg(max(col("n_items")).as("n_items"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("sale_price") < col("lo") || col("sale_price") > col("hi"),
+          1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** The 100 TB variant: percentile_approx sketches merge in ONE pass with
     * no per-category sort — the quantile analog of [[dailyUniquesApprox]].
     * Approximate by design → rows-only check; accuracy is spec-tested
@@ -587,6 +624,35 @@ object Analytics {
          |  MAX(CASE WHEN rn = FLOOR((99*n + 99) / 100) THEN sale_price END) AS p99
          |FROM r GROUP BY category""".stripMargin) { (s, d) =>
       priceQuantiles(Kpi.consolidatedOf(s, d))
+    },
+
+    // Tukey-fence price outliers per category (exact ranks + IEEE fences).
+    Op.sql("analytics_price_outliers",
+      s"""${Tables.domainCtes},
+         |c AS (
+         |  SELECT p.category, i.sale_price
+         |  FROM order_items i LEFT JOIN products p ON i.product_id = p.id
+         |  WHERE i.sale_price IS NOT NULL),
+         |r AS (
+         |  SELECT category, sale_price,
+         |         ROW_NUMBER() OVER (PARTITION BY category ORDER BY sale_price) AS rn,
+         |         COUNT(*) OVER (PARTITION BY category) AS n
+         |  FROM c),
+         |f0 AS (
+         |  SELECT category, CAST(MAX(n) AS BIGINT) AS n_items,
+         |    MAX(CASE WHEN rn = FLOOR((n + 1) / 4) THEN sale_price END) AS q1,
+         |    MAX(CASE WHEN rn = FLOOR((3*n + 3) / 4) THEN sale_price END) AS q3
+         |  FROM r GROUP BY category),
+         |f AS (
+         |  SELECT *, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+         |  FROM f0)
+         |SELECT c.category, MAX(f.n_items) AS n_items,
+         |       MAX(f.q1) AS q1, MAX(f.q3) AS q3, MAX(f.lo) AS lo, MAX(f.hi) AS hi,
+         |       CAST(SUM(CASE WHEN c.sale_price < f.lo OR c.sale_price > f.hi
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM c JOIN f USING (category)
+         |GROUP BY c.category""".stripMargin) { (s, d) =>
+      priceOutliers(Kpi.consolidatedOf(s, d))
     },
 
     // CANNOT be bit-matched: percentile_approx is Spark's Greenwald-Khanna

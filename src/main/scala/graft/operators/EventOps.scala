@@ -282,6 +282,43 @@ object EventOps {
       col("users").cast(DoubleType) / lag(col("users"), 1).over(w))
   }
 
+  /** Max seconds between consecutive funnel stages for [[funnelWindowed]]. */
+  val funnelWindowSec = 86400L
+
+  /** The funnel with a CONVERSION WINDOW: stage k counts a user only if
+    * their first stage-k event lands within [[funnelWindowSec]] of their
+    * stage-(k−1) entry time — "clicked within a day of viewing, purchased
+    * within a day of that", the form product analytics actually reports
+    * (the unwindowed [[funnel]] credits a purchase years later). Same
+    * monotone-shrinking staged-join shape; the window predicate rides the
+    * existing stage join, so the plan cost is identical.
+    */
+  def funnelWindowed(events: DataFrame, stages: Seq[String] = funnelStages,
+      windowSec: Long = funnelWindowSec): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val inWindow = col("ts") > col("prev_t") &&
+      col("ts") <= col("prev_t") + expr(s"INTERVAL $windowSec SECONDS")
+    val firstByStage = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) {
+      case (prev, stage) =>
+        events.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+          .filter(inWindow)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val counts = stages.zip(firstByStage).zipWithIndex.map {
+      case ((stage, reached), i) =>
+        reached.agg(count(lit(1)).as("users"))
+          .select(lit((i + 1).toLong).as("stage_idx"), lit(stage).as("stage"), col("users"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_idx"))
+    counts.withColumn("conv_from_prev",
+      col("users").cast(DoubleType) / lag(col("users"), 1).over(w))
+  }
+
   val anomalyZ = 2.0
 
   /** Daily volume anomalies: days whose event count sits ≥ [[anomalyZ]]
@@ -759,6 +796,30 @@ object EventOps {
          |       CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage_idx) AS conv_from_prev
          |FROM counts""".stripMargin) { (s, d) =>
       funnel(Tables.events(s, d))
+    },
+
+    // The funnel with a per-stage conversion window (next stage within a
+    // day of the previous stage's entry).
+    Op.sql("events_funnel_windowed",
+      s"""WITH $eventsCte,
+         |s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t
+         |         AND e.ts <= s1.t + INTERVAL $funnelWindowSec SECOND
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+         |         AND e.ts <= s2.t + INTERVAL $funnelWindowSec SECOND
+         |       GROUP BY e.user_id),
+         |counts AS (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, COUNT(*) AS users FROM s1
+         |  UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+         |SELECT stage_idx, stage, users,
+         |       CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage_idx) AS conv_from_prev
+         |FROM counts""".stripMargin) { (s, d) =>
+      funnelWindowed(Tables.events(s, d))
     },
 
     Op.sql("events_user_stats",

@@ -130,6 +130,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
   }
 
+  test("price outliers: Tukey fences from exact quartile ranks catch the spike") {
+    import spark.implicits._
+    // cat A: 1..8 plus a 100.0 spike → n=9, q1 = rank 2 → 2.0, q3 = rank 7
+    // → 7.0, IQR 5 → fences [−5.5, 14.5], one outlier
+    val rows = ((1 to 8).map(_.toDouble) :+ 100.0).map(p => ("A", p))
+    val out = Analytics.priceOutliers(rows.toDF("category", "sale_price")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_items") == 9L)
+    assert(r.getAs[Double]("q1") == 2.0 && r.getAs[Double]("q3") == 7.0)
+    assert(r.getAs[Double]("lo") == -5.5 && r.getAs[Double]("hi") == 14.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
   test("basket rules: directional ppm confidence from the same counts") {
     import spark.implicits._
     // same fixture as the market-basket test: 10∈{1,2,4}, 20∈{1,2,3,4},

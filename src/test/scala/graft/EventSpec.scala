@@ -114,6 +114,28 @@ class EventSpec extends AnyFunSuite {
     assert(f("purchase") == ((1L, Some(1.0))))
   }
 
+  test("windowed funnel: late conversions fall outside the stage window") {
+    // A converts within the day at every stage; B clicks 2 days after the
+    // view (outside); C clicks in-window but purchases 3 days later (outside)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "view", 0.0, ""),
+      (2L, ts("2024-01-01 11:00:00"), 10L, "click", 0.0, ""),
+      (3L, ts("2024-01-01 12:00:00"), 10L, "purchase", 0.0, ""),
+      (4L, ts("2024-01-01 10:00:00"), 20L, "view", 0.0, ""),
+      (5L, ts("2024-01-03 10:00:00"), 20L, "click", 0.0, ""),
+      (6L, ts("2024-01-01 10:00:00"), 30L, "view", 0.0, ""),
+      (7L, ts("2024-01-01 11:00:00"), 30L, "click", 0.0, ""),
+      (8L, ts("2024-01-04 11:00:00"), 30L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f = EventOps.funnelWindowed(ev).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(f == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L), s"got $f")
+    // the unwindowed funnel would credit everyone
+    val open = EventOps.funnel(ev).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("users")).toMap
+    assert(open == Map("view" -> 3L, "click" -> 3L, "purchase" -> 2L))
+  }
+
   test("weekday anomalies: spike flagged against its own weekday; zero-variance weekdays excluded") {
     import spark.implicits._
     // four Mondays (10,10,10,40 events) and two constant Tuesdays (5,5)
