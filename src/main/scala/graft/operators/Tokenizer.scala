@@ -48,11 +48,8 @@ object Tokenizer {
     bpeTrainState(docs, merges)._1
 
   /** Final symbol vocabulary after training: (sym, total_freq, n_words). */
-  def bpeVocab(docs: DataFrame, merges: Int = bpeMerges): DataFrame = {
-    val syms = bpeTrainState(docs, merges)._2
-    syms.groupBy(col("sym"))
-      .agg(sum(col("freq")).as("total_freq"), count_distinct(col("word")).as("n_words"))
-  }
+  def bpeVocab(docs: DataFrame, merges: Int = bpeMerges): DataFrame =
+    bpeVocabFromSyms(bpeTrainState(docs, merges)._2)
 
   /** Shared trainer: (merge table, final symbol frame). */
   private def bpeTrainState(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
@@ -114,8 +111,65 @@ object Tokenizer {
     * production pipeline the word→symbols table is the stored tokenizer
     * artifact and the encode pass is just this join + aggregate.
     */
-  def bpeEncode(docs: DataFrame, merges: Int = bpeMerges): DataFrame = {
-    val syms = bpeTrainState(docs, merges)._2
+  def bpeEncode(docs: DataFrame, merges: Int = bpeMerges): DataFrame =
+    bpeEncodeFromSyms(docs, bpeTrainState(docs, merges)._2)
+
+  // --------------------------------------------------------------------------
+  // Trained-tokenizer store (build-once, content-stamped — the edge-store /
+  // search-store convention): the merge table and the word→symbols state
+  // are THE tokenizer artifact a production pipeline ships; training runs
+  // once per corpus version and every registered op reads the artifact.
+  // --------------------------------------------------------------------------
+
+  /** Baked into the store dir name — bump on any trainer/schema change. */
+  val TokenizerStoreVersion = "v1"
+
+  private def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val builtDirs = scala.collection.mutable.Set[String]()
+
+  /** Train-once BPE artifact for the documents fixture under `srcDir`:
+    * `merges` (the ranked merge table) + `syms` (the final word→symbol
+    * state). Stamped by the source files' (name, mtime, size).
+    */
+  def ensureTrained(spark: SparkSession, srcDir: String): String = synchronized {
+    val stamp = Option(new java.io.File(srcDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
+      .getOrElse("")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-bpestore-$TokenizerStoreVersion-" +
+      md5hex(s"$srcDir|$stamp")
+    if (builtDirs.contains(dir)) return dir
+    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
+    if (!marker.exists()) {
+      val (merges, syms) = bpeTrainState(Tables.documents(spark, srcDir), bpeMerges)
+      merges.write.mode("overwrite").parquet(s"$dir/merges")
+      syms.write.mode("overwrite").parquet(s"$dir/syms")
+      marker.createNewFile()
+    }
+    builtDirs += dir
+    dir
+  }
+
+  /** Stored merge table (training on first use). */
+  def storedMerges(spark: SparkSession, srcDir: String): DataFrame =
+    spark.read.parquet(s"${ensureTrained(spark, srcDir)}/merges")
+
+  /** Stored final word→symbols state (training on first use). */
+  def storedSyms(spark: SparkSession, srcDir: String): DataFrame =
+    spark.read.parquet(s"${ensureTrained(spark, srcDir)}/syms")
+
+  /** [[bpeVocab]] over a prebuilt symbol state. */
+  def bpeVocabFromSyms(syms: DataFrame): DataFrame =
+    syms.groupBy(col("sym"))
+      .agg(sum(col("freq")).as("total_freq"), count_distinct(col("word")).as("n_words"))
+
+  /** [[bpeEncode]] over a prebuilt symbol state — the production encode
+    * pass: one corpus scan to (doc, word, n), one word-keyed join against
+    * the stored artifact.
+    */
+  def bpeEncodeFromSyms(docs: DataFrame, syms: DataFrame): DataFrame = {
     val docWords = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
@@ -195,13 +249,14 @@ object Tokenizer {
        |FROM s$bpeMerges GROUP BY sym""".stripMargin
 
   def ops: Seq[Op] = Seq(
-    // The trained merge table — the tokenizer artifact itself.
+    // The trained merge table — the tokenizer artifact itself, read from
+    // the train-once store (oracle re-derives from scratch; identical).
     Op.sql("text_bpe_merges", mergesOracle) { (s, d) =>
-      bpeTrain(Tables.documents(s, d))
+      storedMerges(s, d)
     },
     // The symbol vocabulary the corpus tokenizes into after those merges.
     Op.sql("text_bpe_vocab", vocabOracle) { (s, d) =>
-      bpeVocab(Tables.documents(s, d))
+      bpeVocabFromSyms(storedSyms(s, d))
     },
     // Tokenize the corpus with the trained tokenizer: per-doc symbol counts.
     Op.sql("text_bpe_encode",
@@ -215,7 +270,7 @@ object Tokenizer {
          |SELECT dw.doc_id, w.sym, CAST(SUM(dw.n * w.k) AS BIGINT) AS n_tokens
          |FROM dw JOIN wsy w USING (word)
          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      bpeEncode(Tables.documents(s, d))
+      bpeEncodeFromSyms(Tables.documents(s, d), storedSyms(s, d))
     },
   )
 }
