@@ -198,6 +198,41 @@ object Search {
   }
 
   // --------------------------------------------------------------------------
+  // Hybrid retrieval: lexical ∪ dense via reciprocal-rank fusion
+  // --------------------------------------------------------------------------
+
+  /** RRF dampening constant (the standard k=60 from Cormack et al.). */
+  val rrfK = 60L
+
+  /** Hybrid related-document retrieval: the lexical ranking
+    * ([[relatedDocs]] over the index bundle) FUSED with the dense ranking
+    * (the query doc's in-cell cosine neighbors over its embedding) by
+    * reciprocal-rank fusion — `Σ 10^6 div (60 + rank)` per ranker, exact
+    * integers so the fused order is bit-stable. A doc found by only one
+    * ranker keeps that ranker's contribution (full outer join); ties break
+    * to the lower doc_id. This is the production RAG retrieval shape:
+    * sparse and dense candidate generation run independently (each with its
+    * own pruning — df caps / IVF cells), and only the tiny per-query rank
+    * lists meet for fusion.
+    */
+  def hybridRrf(idx: Bm25Index, embs: DataFrame,
+      queryDocs: Seq[Long] = mltQueryDocs, k: Int = mltK): DataFrame = {
+    val lex = relatedDocs(idx, queryDocs, k)
+      .select(col("query_doc"), col("doc_id"), col("rank").as("lex_rank"))
+    val dense = Similarity.ivfTopK(embs, col("vec_id").isin(queryDocs: _*), k)
+      .select(col("query_id").as("query_doc"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    val fused = lex.join(dense, Seq("query_doc", "doc_id"), "full_outer")
+      .select(col("query_doc"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + dense_rank)"), lit(0L)))
+          .cast("long").as("rrf_ppm"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------------------
   // Persisted index store (build-once, content-stamped — the FactStore/
   // SketchStore/edge-store convention): postings + df + stats land as three
   // parquet artifacts, and every registered query reads THOSE, so the plan
@@ -317,6 +352,54 @@ object Search {
     // stored artifacts).
     Op.sql("search_bm25_topk", bm25Oracle) { (s, d) =>
       bm25TopKFromIndex(storedIndex(s, d))
+    },
+
+    // Hybrid retrieval: lexical related-docs ∪ dense in-cell neighbors,
+    // fused by integer reciprocal rank — the RAG candidate-generation shape.
+    Op.sql("search_hybrid_rrf",
+      s"""WITH $indexCtes,
+         |qp AS (SELECT doc_id AS query_doc, token, tf AS qtf
+         |       FROM tf WHERE doc_id IN (${mltQueryDocs.mkString(", ")})),
+         |wq AS (
+         |  SELECT qp.token, qp.query_doc, qp.qtf,
+         |         ((2*st.n - 2*d.df + 1) * $bm25Grid) // (2*d.df + 1) AS idf_q
+         |  FROM qp JOIN dfr d ON d.token = qp.token CROSS JOIN st
+         |  WHERE d.df <= (4 * st.n) // 5),
+         |lsc AS (
+         |  SELECT wq.query_doc, f.doc_id,
+         |         CAST(SUM(LEAST(f.tf, wq.qtf) * wq.idf_q) AS BIGINT) AS score_q
+         |  FROM wq JOIN tf f ON f.token = wq.token
+         |  WHERE f.doc_id <> wq.query_doc
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_doc, doc_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+         |                                 ORDER BY score_q DESC, doc_id) AS rank
+         |    FROM lsc) WHERE rank <= $mltK),
+         |${Similarity.ivfAssignedCte},
+         |qc AS (SELECT vec_id AS query_id, embedding, n2, cell FROM assigned
+         |       WHERE vec_id IN (${mltQueryDocs.mkString(", ")})),
+         |dsc AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM qc q JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.query_id),
+         |denser AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM dsc) WHERE rank <= $mltK),
+         |fused AS (
+         |  SELECT COALESCE(l.query_doc, d.query_id) AS query_doc,
+         |         COALESCE(l.doc_id, d.neighbor_id) AS doc_id,
+         |         CAST(COALESCE(1000000 // ($rrfK + l.rank), 0)
+         |              + COALESCE(1000000 // ($rrfK + d.rank), 0) AS BIGINT) AS rrf_ppm
+         |  FROM lexr l FULL OUTER JOIN denser d
+         |    ON d.query_id = l.query_doc AND d.neighbor_id = l.doc_id)
+         |SELECT query_doc, doc_id, rrf_ppm,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+         |                               ORDER BY rrf_ppm DESC, doc_id) AS INTEGER) AS rank
+         |FROM fused
+         |QUALIFY rank <= $mltK""".stripMargin) { (s, d) =>
+      hybridRrf(storedIndex(s, d), Tables.embeddings(s, d))
     },
 
     // "More like this": weighted term-overlap related docs for the fixed

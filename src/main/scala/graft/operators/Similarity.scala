@@ -595,7 +595,7 @@ object Similarity {
          |FROM m$kmeansIters""".stripMargin
   }
 
-  private lazy val ivfAssignedCte: String =
+  private[operators] lazy val ivfAssignedCte: String =
     s"""cent AS (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < $ivfCells),
        |assigned AS (

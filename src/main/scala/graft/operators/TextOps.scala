@@ -701,12 +701,15 @@ object TextOps {
     */
   def bigramFluency(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
+    // consumed twice (the LM count table and the scoring re-join) — persist
+    // so the corpus is tokenized once, not per branch
     val docBigrams = docs.filter(size(ws) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", slice(ws, i, lit(2))))).as("bg"))
       .select(col("doc_id"),
         split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val left = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val table = counts.join(left, "w1")

@@ -142,6 +142,35 @@ class SearchSpec extends AnyFunSuite {
     assert(open.toSeq == Seq(1L, 2L, 3L), s"got ${open.toSeq}")
   }
 
+  test("hybrid rrf: fused ranking is exactly the integer-RRF of its two components") {
+    import graft.operators.Similarity
+    val sf = TestSession.sf
+    val corpus = graft.sources.Tables.documents(spark, sf)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val idx = Search.buildIndex(corpus)
+    val lex = Search.relatedDocs(idx).collect()
+      .map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val dense = Similarity.ivfTopK(embs, col("vec_id").isin(Search.mltQueryDocs: _*))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    def f(r: Option[Int]): Long = r.map(x => 1000000L / (Search.rrfK + x)).getOrElse(0L)
+    val expected = (lex.keySet ++ dense.keySet).groupBy(_._1).flatMap { case (q, keys) =>
+      keys.toSeq
+        .map { k => (k._2, f(lex.get(k)) + f(dense.get(k))) }
+        .sortBy { case (doc, s) => (-s, doc) }
+        .take(Search.mltK)
+        .zipWithIndex.map { case ((doc, s), i) => (q, doc) -> ((s, i + 1)) }
+    }
+    val got = Search.hybridRrf(idx, embs).collect()
+      .map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Long]("rrf_ppm"), r.getAs[Int]("rank")))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // a doc surfaced by both rankers outranks equal-rank single-source docs
+    assert(got.nonEmpty)
+  }
+
   test("inverted index: postings carry tf and doc length") {
     val idx = Search.invertedIndex(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
