@@ -348,6 +348,26 @@ class PlanSpec extends AnyFunSuite {
       "top-k must rank inside per-query partitions, never a global sort")
   }
 
+  test("knn graph / related docs: equi-joins only, windows always partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val knn = graft.operators.Similarity
+      .knnGraph(Tables.embeddings(spark, TestSession.sf))
+      .queryExecution.sparkPlan
+    assert(knn.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the in-cell self-join must stay an equi-join on cell, never a cross product")
+    assert(knn.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty),
+      "per-vector top-k must rank inside per-vector partitions")
+    val mlt = graft.operators.Search
+      .relatedDocs(graft.operators.Search.buildIndex(Tables.documents(spark, TestSession.sf)))
+      .queryExecution.sparkPlan
+    // one-row stats frame broadcasts through a nested-loop cross — the only
+    // non-equi join allowed; a CartesianProduct (unbroadcast) is not
+    assert(mlt.collect { case c: CartesianProductExec => c }.isEmpty,
+      "related docs must broadcast the one-row stats frame, not cross-join it")
+    assert(mlt.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 
