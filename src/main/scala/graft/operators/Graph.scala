@@ -349,6 +349,40 @@ object Graph {
         coalesce(col("cid"), col("product_id")).as("component_id"))
   }
 
+  /** k-core parameters: minimum in-subgraph degree and fixed peel rounds
+    * (unrolled in the oracle, like the PageRank/BFS/LPA loops).
+    */
+  val kcoreK = 3L
+  val kcoreRounds = 3
+
+  /** k-core membership after [[kcoreRounds]] peel rounds over the STRONG
+    * (w ≥ [[componentsMinW]]) subgraph: repeatedly drop nodes whose degree
+    * within the surviving subgraph falls below k — the standard cohesion
+    * filter (a node in the k-core has k neighbors that are themselves
+    * k-connected, which a raw degree cut can't express). Fixed-round
+    * truncation keeps the oracle unrollable; each round is one semi-join
+    * restriction + one node-grain aggregate, `localCheckpoint`'d like every
+    * iterative loop here. Peeling is monotone (the surviving set only
+    * shrinks), so early convergence just makes later rounds no-ops.
+    */
+  def kcoreMembers(edges: DataFrame, k: Long = kcoreK,
+      rounds: Int = kcoreRounds): DataFrame = {
+    val strong = edges.filter(col("w") >= componentsMinW)
+      .select(col("src"), col("dst"))
+    var nodes = strong.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= k).select(col("n"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      nodes = strong
+        .join(nodes.select(col("n").as("src")), "src")
+        .join(nodes.select(col("n").as("dst")), "dst")
+        .groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("n"))
+        .localCheckpoint()
+    }
+    nodes.select(col("n").as("product_id"))
+  }
+
   // --------------------------------------------------------------------------
   // Edge store: the co-purchase graph as a build-once artifact
   // --------------------------------------------------------------------------
@@ -575,6 +609,27 @@ object Graph {
          |       COALESCE(lab.component_id, o.src) AS component_id
          |FROM outw o LEFT JOIN lab ON lab.node = o.src""".stripMargin) { (s, d) =>
       components(storedEdges(s, d))
+    },
+
+    // k-core membership after 3 unrolled peel rounds on the strong subgraph.
+    Op.sql("graph_kcore", {
+      val rounds = (1 to kcoreRounds).map { r =>
+        val prev = s"n${r - 1}"
+        s"""n$r AS (
+           |  SELECT src AS n FROM (
+           |    SELECT e.src, COUNT(*) AS dg
+           |    FROM se e JOIN $prev a ON a.n = e.src JOIN $prev b ON b.n = e.dst
+           |    GROUP BY e.src)
+           |  WHERE dg >= $kcoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCtes,
+         |se AS (SELECT src, dst FROM e WHERE w >= $componentsMinW),
+         |n0 AS (SELECT src AS n FROM (SELECT src, COUNT(*) AS dg FROM se GROUP BY src)
+         |       WHERE dg >= $kcoreK),
+         |$rounds
+         |SELECT n AS product_id FROM n$kcoreRounds""".stripMargin
+    }) { (s, d) =>
+      kcoreMembers(storedEdges(s, d))
     },
 
     // One-pass degree centrality baseline.

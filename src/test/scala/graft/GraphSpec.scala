@@ -174,6 +174,30 @@ class GraphSpec extends AnyFunSuite {
     assert(joined.toSeq == Seq(1L), "the bridge must join everything at minW=1")
   }
 
+  test("kcore: cliques survive the peel, path tails cascade off round by round") {
+    // K5 on 1..5 (all w=2) + a path tail 5—6—7—8 (w=2): at k=3 the clique
+    // survives (in-subgraph degree 4) and the tail peels — 8 dies round 1
+    // (deg 1), then 7, then 6
+    val und = (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)) ++
+      Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b, 2L), (b, a, 2L)) }
+      .toDF("src", "dst", "w")
+    val core = Graph.kcoreMembers(edges).collect()
+      .map(_.getAs[Long]("product_id")).sorted.toSeq
+    assert(core == (1L to 5L), s"got $core")
+    // k=2 on a 7-path: the peel cascades inward one ring per round
+    // (n0 = {2..6} → {3,4,5} → {4} → {}), pinning both the iteration and
+    // its convergence to the true (empty) 2-core
+    val path = (1L to 6L).map(i => (i, i + 1))
+      .flatMap { case (a, b) => Seq((a, b, 2L), (b, a, 2L)) }
+      .toDF("src", "dst", "w")
+    val afterTwo = Graph.kcoreMembers(path, k = 2L, rounds = 2).collect()
+      .map(_.getAs[Long]("product_id")).sorted.toSeq
+    assert(afterTwo == Seq(4L), s"round-2 peel must leave the center, got $afterTwo")
+    val converged = Graph.kcoreMembers(path, k = 2L).collect()
+    assert(converged.isEmpty, "a path has no 2-core — round 3 must empty it")
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>
