@@ -551,6 +551,34 @@ object TextOps {
         col("n_shared").cast(DoubleType) / col("n_grams"))
   }
 
+  /** Marginal n-gram NOVELTY per document — the "what does this doc add"
+    * curation signal dual to [[dupNgramFraction]]'s "what does it repeat":
+    * a gram is credited to the LOWEST doc_id carrying it (deterministic
+    * first-seen under the corpus's canonical order), and each doc reports
+    * its distinct-gram count, how many it introduced, and the ppm ratio.
+    * Feeding docs in by ingestion order makes this "novel vs the existing
+    * corpus" — the incremental-curation acceptance signal.
+    *
+    * Scale shape: distinct (doc, gram-hash) pairs once (the dedup shingle
+    * machinery), one gram-grain min aggregate, one hash re-join, doc-grain
+    * collapse. Never all-pairs; integers end to end.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = docs.filter(size(ws) >= contamN)
+      .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_ppm"))
+  }
+
   /** Bloom filter geometry for [[decontaminateBloom]]: 2²⁰ bits (128 KB) and
     * 5 probes — false-positive rate (kn/m)^k ≈ 10⁻¹⁰ at benchmark sizes.
     */
@@ -1055,6 +1083,24 @@ object TextOps {
          |              CROSS JOIN total)
          |ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT $collocationsK""".stripMargin) { (s, d) =>
       collocations(Tables.documents(s, d))
+    },
+
+    // Marginal novelty: which docs introduce grams the corpus hasn't seen
+    // (first-seen = lowest doc_id, the canonical order).
+    Op.sql("text_ngram_novelty",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, ${hash60Sql("gram")} AS gh
+         |  FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |        FROM ws WHERE len(ws) >= $contamN)),
+         |f AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST((CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |             * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM g JOIN f USING (gh)
+         |GROUP BY g.doc_id""".stripMargin) { (s, d) =>
+      ngramNovelty(Tables.documents(s, d))
     },
 
     Op.sql("text_decontaminate",

@@ -84,6 +84,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L)._3 > out(2L)._3)
   }
 
+  test("ngram novelty: first-seen credit by doc order; duplicates add nothing") {
+    // doc 1 introduces all its 5-grams; doc 2 is an exact copy (novelty 0);
+    // doc 3 shares a 4-word overlap but introduces its shifted grams
+    val a = "q w e r t y u"
+    val d = docs(1L -> a, 2L -> a, 3L -> ("z " + a))
+    val out = TextOps.ngramNovelty(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_ppm")))).toMap
+    // 7 words → 3 distinct 5-grams; doc 1 owns them all
+    assert(out(1L) == ((3L, 3L, 1000000L)), s"got ${out(1L)}")
+    // the exact copy introduces nothing
+    assert(out(2L) == ((3L, 0L, 0L)))
+    // "z q w e r t y u" → 4 grams, 3 shared with doc 1, 1 novel ("z q w e r")
+    assert(out(3L) == ((4L, 1L, 250000L)), s"got ${out(3L)}")
+  }
+
   test("lm commonness: mean corpus frequency and rare-token fraction, exact arithmetic") {
     // vocab: a→3, b→1, c→1 (b and c are "rare" at the ≤2 threshold; a is not)
     val out = TextOps.lmCommonness(docs(1L -> "a a b", 2L -> "a c")).collect()
