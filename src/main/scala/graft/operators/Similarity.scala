@@ -760,6 +760,93 @@ object Similarity {
        |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= $defaultK""".stripMargin
 
+  /** ANN EVALUATION report: recall@k of each approximate method against the
+    * exact brute-force ranking for the fixed query set — one row per
+    * method. The harness a real deployment runs before trusting an index:
+    * the recall/latency tradeoff is a measured number, not folklore. All
+    * counts exact integers; recall on the ppm grid.
+    *
+    * Scale shape: each method runs its own (already scale-shaped) plan;
+    * only the |Q|·k rank lists meet the brute-force list at a pair-grain
+    * join. Brute force over the full corpus is the one genuinely expensive
+    * leg — in production it runs on a SAMPLE of queries, which is exactly
+    * what the fixed query set models.
+    */
+  def annRecallReport(embs: DataFrame, k: Int = defaultK): DataFrame = {
+    val qp = col("vec_id") < 5
+    val bf = bruteForceTopK(embs, qp, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = bf.agg(count(lit(1)).as("total"))
+    Seq(
+      "ivf" -> ivfTopK(embs, qp, k),
+      "ivf_multiprobe" -> ivfMultiprobeTopK(embs, qp, k = k),
+      "pq_adc" -> pqAdcTopK(embs, qp, k))
+      .map { case (name, df) =>
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(bf, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(total))
+          .select(lit(name).as("method"), col("hits"), col("total"),
+            expr("(hits * 1000000) div total").as("recall_ppm"))
+      }
+      .reduce(_.unionAll(_))
+  }
+
+  /** Oracle twin of [[annRecallReport]]: each method's existing full oracle
+    * embedded as a nested-WITH derived CTE, recall = pair-grain join counts.
+    */
+  private lazy val annRecallOracle: String = {
+    val ivfQ =
+      s"""WITH $ivfAssignedCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM assigned q JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $defaultK""".stripMargin
+    val mpQ =
+      s"""WITH $ivfAssignedCte,
+         |qc AS (
+         |  SELECT query_id, embedding, n2, cell FROM (
+         |    SELECT e.vec_id AS query_id, e.embedding,
+         |           ${GraftExpressions.qdotSql("e.embedding", "e.embedding")} AS n2,
+         |           c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id < 5)
+         |  WHERE rn <= $ivfProbes),
+         |scored AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM qc q JOIN assigned v ON v.cell = q.cell AND v.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $defaultK""".stripMargin
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (${bruteForceOracle(defaultK.toString)})),
+       |mi AS ($ivfQ),
+       |mp AS ($mpQ),
+       |mq AS (SELECT query_id, neighbor_id FROM ($pqAdcOracle)),
+       |r AS (
+       |  SELECT 'ivf' AS method,
+       |         (SELECT COUNT(*) FROM mi JOIN bf USING (query_id, neighbor_id)) AS hits,
+       |         (SELECT COUNT(*) FROM bf) AS total
+       |  UNION ALL
+       |  SELECT 'ivf_multiprobe',
+       |         (SELECT COUNT(*) FROM mp JOIN bf USING (query_id, neighbor_id)),
+       |         (SELECT COUNT(*) FROM bf)
+       |  UNION ALL
+       |  SELECT 'pq_adc',
+       |         (SELECT COUNT(*) FROM mq JOIN bf USING (query_id, neighbor_id)),
+       |         (SELECT COUNT(*) FROM bf))
+       |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
+       |       CAST((hits * 1000000) // total AS BIGINT) AS recall_ppm
+       |FROM r""".stripMargin
+  }
+
   private def bruteForceOracle(kExpr: String): String =
     s"""WITH ev AS (
        |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
@@ -1080,6 +1167,12 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       ivfMultiprobeTopK(Tables.embeddings(s, d), col("vec_id") < 20)
+    },
+
+    // Recall@k of each ANN method vs brute force — the index-evaluation
+    // harness, one row per method, exact integers on the ppm grid.
+    Op.sql("sim_ann_recall_report", annRecallOracle) { (s, d) =>
+      annRecallReport(Tables.embeddings(s, d))
     },
 
     // Exact k-NN graph blocked by IVF cells — every vector is a query; the

@@ -450,6 +450,20 @@ class DedupSpec extends AnyFunSuite {
     assert(d3 <= d1, s"3-round distortion $d3 exceeds 1-round $d1")
   }
 
+  test("ann recall report: hits bounded by total, multiprobe never below single-probe") {
+    val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val r = Similarity.annRecallReport(e).collect()
+      .map(x => x.getAs[String]("method") ->
+        ((x.getAs[Long]("hits"), x.getAs[Long]("total"), x.getAs[Long]("recall_ppm"))))
+      .toMap
+    assert(r.keySet == Set("ivf", "ivf_multiprobe", "pq_adc"))
+    r.foreach { case (m, (h, t, p)) =>
+      assert(h <= t && p == h * 1000000L / t, s"$m: inconsistent ($h, $t, $p)")
+    }
+    assert(r("ivf_multiprobe")._3 >= r("ivf")._3,
+      "probing more cells can only add brute-force hits")
+  }
+
   test("knn graph: neighbors stay in-cell and match the in-cell brute force") {
     val e = graft.sources.Tables.embeddings(spark, TestSession.sf)
     val cellOf = Similarity.ivfAssign(e).collect()
