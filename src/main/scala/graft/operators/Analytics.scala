@@ -119,6 +119,26 @@ object Analytics {
         pick(1, 2).as("p50"), pick(9, 10).as("p90"), pick(99, 100).as("p99"))
   }
 
+  /** Monthly repeat-purchase rate: per month, the users active that month
+    * split into new (their first-order month) vs returning, with the ppm
+    * repeat share — the retention KPI beside [[cohortLtv]]'s revenue
+    * triangle. Two aggregates at (user, month) grain and one user-keyed
+    * join; the fact table is touched once.
+    */
+  def repeatPurchaseRate(orders: DataFrame): DataFrame = {
+    val um = orders
+      .select(col("user_id"),
+        to_date(date_trunc("month", col("created_at"))).as("m"))
+      .distinct()
+    val first = um.groupBy(col("user_id")).agg(min(col("m")).as("fm"))
+    um.join(first, "user_id")
+      .groupBy(col("m").as("month"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("m") > col("fm"), 1L).otherwise(0L)).as("repeat_users"))
+      .select(col("month"), col("active_users"), col("repeat_users"),
+        expr("(repeat_users * 1000000) div active_users").as("repeat_ppm"))
+  }
+
   /** Tukey-fence outlier detection per category: exact Q1/Q3 via the same
     * integer-rank order statistics as [[priceQuantiles]], fences at
     * `q1 − 1.5·IQR / q3 + 1.5·IQR`, and the per-category count of items
@@ -624,6 +644,22 @@ object Analytics {
          |  MAX(CASE WHEN rn = FLOOR((99*n + 99) / 100) THEN sale_price END) AS p99
          |FROM r GROUP BY category""".stripMargin) { (s, d) =>
       priceQuantiles(Kpi.consolidatedOf(s, d))
+    },
+
+    // Monthly new-vs-returning split with ppm repeat share.
+    Op.sql("analytics_repeat_purchase",
+      s"""${Tables.domainCtes},
+         |um AS (SELECT DISTINCT user_id,
+         |              CAST(date_trunc('month', created_at) AS DATE) AS m
+         |       FROM orders_v),
+         |f AS (SELECT user_id, MIN(m) AS fm FROM um GROUP BY user_id)
+         |SELECT um.m AS month, CAST(COUNT(*) AS BIGINT) AS active_users,
+         |       CAST(SUM(CASE WHEN um.m > f.fm THEN 1 ELSE 0 END) AS BIGINT) AS repeat_users,
+         |       CAST((CAST(SUM(CASE WHEN um.m > f.fm THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |            // COUNT(*) AS BIGINT) AS repeat_ppm
+         |FROM um JOIN f USING (user_id)
+         |GROUP BY um.m""".stripMargin) { (s, d) =>
+      repeatPurchaseRate(Tables.ordersDomain(s, d))
     },
 
     // Tukey-fence price outliers per category (exact ranks + IEEE fences).

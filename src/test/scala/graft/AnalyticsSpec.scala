@@ -130,6 +130,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((20L, 30L)) == ((2L, 4L, 2L, 2.0 * 4 / (4 * 2))))
   }
 
+  test("repeat purchase: first month is new, later active months are repeat") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // u10: Jan + Feb (repeat in Feb); u20: Feb only (new); two Jan orders
+    // for u10 collapse to one active month
+    val orders = Seq(
+      (1L, 10L, t("2024-01-05 00:00:00")), (2L, 10L, t("2024-01-20 00:00:00")),
+      (3L, 10L, t("2024-02-10 00:00:00")), (4L, 20L, t("2024-02-20 00:00:00"))
+    ).toDF("order_id", "user_id", "created_at")
+    val out = Analytics.repeatPurchaseRate(orders).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getAs[Long]("active_users"), r.getAs[Long]("repeat_users"),
+          r.getAs[Long]("repeat_ppm")))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((1L, 0L, 0L)),
+      "2024-02-01" -> ((2L, 1L, 500000L))), s"got $out")
+  }
+
   test("price outliers: Tukey fences from exact quartile ranks catch the spike") {
     import spark.implicits._
     // cat A: 1..8 plus a 100.0 spike → n=9, q1 = rank 2 → 2.0, q3 = rank 7
