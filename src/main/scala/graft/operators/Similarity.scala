@@ -387,10 +387,13 @@ object Similarity {
     * (the standard empty-cell policy, shared with [[pqCodebookRefined]]).
     */
   def pqCodebookTrained(embs: DataFrame, iters: Int): Array[Array[Array[Float]]] = {
-    var cb = pqCodebook(embs)
+    // every round re-scans the corpus for its encode+sum pass; cache it so
+    // rounds 2+ read executor-local blocks instead of re-reading parquet
+    val cached = embs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = pqCodebook(cached)
     for (_ <- 1 to iters) {
       val next = cb.map(_.map(_.clone()))
-      pqTrainStepFrom(embs, cb).collect().foreach { r =>
+      pqTrainStepFrom(cached, cb).collect().foreach { r =>
         next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
       }
       cb = next
