@@ -646,6 +646,24 @@ object Analytics {
       priceQuantiles(Kpi.consolidatedOf(s, d))
     },
 
+    // Long-form (metric, value) export of the daily KPI table via Spark's
+    // native UNPIVOT — the shape metric stores and plotting layers ingest.
+    // All metrics cast to double (counts are exact in double range).
+    Op.sql("analytics_kpi_unpivot",
+      s"""WITH k AS (${Kpi.orderKpiSql("")})
+         |SELECT date_key, metric, value FROM (
+         |  SELECT date_key, 'total_orders' AS metric, CAST(total_orders AS DOUBLE) AS value FROM k
+         |  UNION ALL SELECT date_key, 'total_revenue', CAST(total_revenue AS DOUBLE) FROM k
+         |  UNION ALL SELECT date_key, 'return_rate', CAST(return_rate AS DOUBLE) FROM k
+         |  UNION ALL SELECT date_key, 'unique_customers', CAST(unique_customers AS DOUBLE) FROM k
+         |  UNION ALL SELECT date_key, 'total_items_sold', CAST(total_items_sold AS DOUBLE) FROM k)""".stripMargin) { (s, d) =>
+      val daily = Kpi.orderKpis(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+      val metrics = Seq("total_orders", "total_revenue", "return_rate",
+        "unique_customers", "total_items_sold")
+      daily.select(col("date_key") +: metrics.map(m => col(m).cast("double").as(m)): _*)
+        .unpivot(Array(col("date_key")), metrics.map(col).toArray, "metric", "value")
+    },
+
     // Monthly new-vs-returning split with ppm repeat share.
     Op.sql("analytics_repeat_purchase",
       s"""${Tables.domainCtes},

@@ -297,7 +297,7 @@ object Kpi {
        |FROM consolidated $where
        |GROUP BY category, order_date""".stripMargin
 
-  private def orderKpiSql(where: String) =
+  private[operators] def orderKpiSql(where: String) =
     s"""${Tables.domainCtes},
        |orders_flagged AS (
        |  SELECT order_id, user_id, CAST(created_at AS DATE) AS order_date,
