@@ -51,6 +51,12 @@ object Tokenizer {
   def bpeVocab(docs: DataFrame, merges: Int = bpeMerges): DataFrame =
     bpeVocabFromSyms(bpeTrainState(docs, merges)._2)
 
+  /** Final word→symbols state after training — the input [[bpeEncodeFromSyms]]
+    * and [[bpeFertility]] consume (what [[storedSyms]] persists).
+    */
+  def trainedSyms(docs: DataFrame, merges: Int = bpeMerges): DataFrame =
+    bpeTrainState(docs, merges)._2
+
   /** Shared trainer: (merge table, final symbol frame). */
   private def bpeTrainState(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
@@ -113,6 +119,27 @@ object Tokenizer {
     */
   def bpeEncode(docs: DataFrame, merges: Int = bpeMerges): DataFrame =
     bpeEncodeFromSyms(docs, bpeTrainState(docs, merges)._2)
+
+  /** Tokenizer FERTILITY per source: encoded tokens divided by words — THE
+    * standard tokenizer-quality metric (a fertility near 1 means the vocab
+    * captures whole words of that source; high fertility means the source
+    * fragments into many subwords and will cost proportionally more
+    * training-token budget). Exact integer token/word masses under one ppm
+    * division. Word symbol-lengths come from the trained state at
+    * word-vocab grain; the corpus re-joins it word-keyed, like
+    * [[bpeEncode]].
+    */
+  def bpeFertility(docs: DataFrame, syms: DataFrame): DataFrame = {
+    val wordLen = syms.groupBy(col("word")).agg(count(lit(1)).as("k"))
+    val sourceWords = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    sourceWords.join(wordLen, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_words"), sum(col("n") * col("k")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div n_words").as("fertility_ppm"))
+  }
 
   // --------------------------------------------------------------------------
   // Trained-tokenizer store (build-once, content-stamped — the edge-store /
@@ -271,6 +298,24 @@ object Tokenizer {
          |FROM dw JOIN wsy w USING (word)
          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       bpeEncodeFromSyms(Tables.documents(s, d), storedSyms(s, d))
+    },
+    // Tokens-per-word by source under the trained tokenizer — the fertility
+    // report that prices each source's training-token budget.
+    Op.sql("text_bpe_fertility",
+      s"""WITH ${bpeCtes(bpeMerges)},
+         |wl AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS k
+         |       FROM s$bpeMerges GROUP BY word),
+         |sw AS (
+         |  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT sw.source, CAST(SUM(sw.n) AS BIGINT) AS n_words,
+         |       CAST(SUM(sw.n * wl.k) AS BIGINT) AS n_tokens,
+         |       CAST((CAST(SUM(sw.n * wl.k) AS BIGINT) * 1000000)
+         |            // CAST(SUM(sw.n) AS BIGINT) AS BIGINT) AS fertility_ppm
+         |FROM sw JOIN wl USING (word)
+         |GROUP BY sw.source""".stripMargin) { (s, d) =>
+      bpeFertility(Tables.documents(s, d), storedSyms(s, d))
     },
   )
 }

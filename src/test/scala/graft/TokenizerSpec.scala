@@ -120,6 +120,25 @@ class TokenizerSpec extends AnyFunSuite {
       "per-symbol encode totals across docs must equal the vocab's total_freq")
   }
 
+  test("fertility: token mass over word mass per source, consistent with encode") {
+    val docs = Seq((0L, "low low lower", "a", "webA"), (1L, "lowest low", "b", "webB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val syms = Tokenizer.trainedSyms(docs, 2)
+    val out = Tokenizer.bpeFertility(docs, syms).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("fertility_ppm")))).toMap
+    // totals must reconcile with the per-doc encode
+    val enc = Tokenizer.bpeEncodeFromSyms(docs, syms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+    assert(out("webA")._1 == 3L && out("webA")._2 == enc(0L))
+    assert(out("webB")._1 == 2L && out("webB")._2 == enc(1L))
+    out.values.foreach { case (w, t, f) =>
+      assert(f == t * 1000000L / w && t >= w, "a word is at least one token")
+    }
+  }
+
   test("repartitioning the corpus does not change the trained merges") {
     val docs = graft.sources.Tables.documents(spark, TestSession.sf)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
