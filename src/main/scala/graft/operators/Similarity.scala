@@ -784,7 +784,9 @@ object Similarity {
     Seq(
       "ivf" -> ivfTopK(embs, qp, k),
       "ivf_multiprobe" -> ivfMultiprobeTopK(embs, qp, k = k),
-      "pq_adc" -> pqAdcTopK(embs, qp, k))
+      "pq_adc" -> pqAdcTopK(embs, qp, k),
+      "sq8" -> sq8TopK(embs, qp, k),
+      "sq8_rerank" -> sq8RerankTopK(embs, qp, k))
       .map { case (name, df) =>
         df.select(col("query_id"), col("neighbor_id"))
           .join(bf, Seq("query_id", "neighbor_id"))
@@ -829,22 +831,48 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $defaultK""".stripMargin
+    val sq8Q =
+      s"""WITH $sq8CodesCtes,
+         |$sq8ScoredCte,
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $defaultK""".stripMargin
+    val rrQ =
+      s"""WITH $sq8CodesCtes,
+         |$sq8ScoredCte,
+         |c_ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qscore DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |cand AS (SELECT query_id, neighbor_id FROM c_ranked WHERE rank <= $rerankCandidates),
+         |ev AS (
+         |  SELECT vec_id, embedding, ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM cand c
+         |  JOIN ev v ON v.vec_id = c.neighbor_id
+         |  JOIN ev q ON q.vec_id = c.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $defaultK""".stripMargin
+    def row(name: String, cte: String) =
+      s"""SELECT '$name' AS method,
+         |       (SELECT COUNT(*) FROM $cte JOIN bf USING (query_id, neighbor_id)) AS hits,
+         |       (SELECT COUNT(*) FROM bf) AS total""".stripMargin
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM (${bruteForceOracle(defaultK.toString)})),
        |mi AS ($ivfQ),
        |mp AS ($mpQ),
        |mq AS (SELECT query_id, neighbor_id FROM ($pqAdcOracle)),
+       |ms AS ($sq8Q),
+       |mr AS ($rrQ),
        |r AS (
-       |  SELECT 'ivf' AS method,
-       |         (SELECT COUNT(*) FROM mi JOIN bf USING (query_id, neighbor_id)) AS hits,
-       |         (SELECT COUNT(*) FROM bf) AS total
-       |  UNION ALL
-       |  SELECT 'ivf_multiprobe',
-       |         (SELECT COUNT(*) FROM mp JOIN bf USING (query_id, neighbor_id)),
-       |         (SELECT COUNT(*) FROM bf)
-       |  UNION ALL
-       |  SELECT 'pq_adc',
-       |         (SELECT COUNT(*) FROM mq JOIN bf USING (query_id, neighbor_id)),
-       |         (SELECT COUNT(*) FROM bf))
+       |  ${row("ivf", "mi")}
+       |  UNION ALL ${row("ivf_multiprobe", "mp")}
+       |  UNION ALL ${row("pq_adc", "mq")}
+       |  UNION ALL ${row("sq8", "ms")}
+       |  UNION ALL ${row("sq8_rerank", "mr")})
        |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(total AS BIGINT) AS total,
        |       CAST((hits * 1000000) // total AS BIGINT) AS recall_ppm
        |FROM r""".stripMargin

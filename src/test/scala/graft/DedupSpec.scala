@@ -456,12 +456,14 @@ class DedupSpec extends AnyFunSuite {
       .map(x => x.getAs[String]("method") ->
         ((x.getAs[Long]("hits"), x.getAs[Long]("total"), x.getAs[Long]("recall_ppm"))))
       .toMap
-    assert(r.keySet == Set("ivf", "ivf_multiprobe", "pq_adc"))
+    assert(r.keySet == Set("ivf", "ivf_multiprobe", "pq_adc", "sq8", "sq8_rerank"))
     r.foreach { case (m, (h, t, p)) =>
       assert(h <= t && p == h * 1000000L / t, s"$m: inconsistent ($h, $t, $p)")
     }
     assert(r("ivf_multiprobe")._3 >= r("ivf")._3,
       "probing more cells can only add brute-force hits")
+    assert(r("sq8_rerank")._3 >= r("sq8")._3,
+      "exact re-ranking of sq8 candidates can only improve recall")
   }
 
   test("knn graph: neighbors stay in-cell and match the in-cell brute force") {
