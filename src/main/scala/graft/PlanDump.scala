@@ -11,7 +11,8 @@ object PlanDump {
   val headline: Seq[String] = Seq(
     "kpi_consolidated", "kpi_revenue_by_nation", "dedup_minhash_pairs",
     "graph_pagerank", "search_bm25_topk", "sim_topk_ivf_sq8",
-    "sample_token_budget", "graph_triangles_per_node")
+    "sample_token_budget", "graph_triangles_per_node",
+    "search_hybrid_rrf", "sim_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -43,6 +43,40 @@ object Layout {
       .sortWithinPartitions(c1)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
 
+  /** Size-targeted write — the small-files lever: at 100 TB a table written
+    * with whatever partitioning the last shuffle left behind lands either
+    * thousands of KB-scale files (NameNode/listing pressure, per-file open
+    * cost on every scan) or a few multi-GB files (no scan parallelism). The
+    * recipe: measure the dataset's serialized bytes-per-row on a bounded
+    * SAMPLE, derive rows-per-file for the byte target, and write through
+    * `maxRecordsPerFile` + a round-robin repartition to the implied file
+    * count — one extra count + sample pass, no full-data second write.
+    * Parquet compression makes the on-disk size approximate (spec asserts
+    * the ±2× band, not equality); the knob that matters is the ORDER of
+    * magnitude of the file count, which this pins exactly.
+    */
+  def sizeTargetedWrite(df: DataFrame, outDir: String,
+      targetFileBytes: Long = 128L << 20, sampleRows: Int = 1000): Long = {
+    val spark = df.sparkSession
+    val n = df.count()
+    if (n == 0) { df.write.mode(SaveMode.Overwrite).parquet(outDir); return 0L }
+    // serialized-size probe: write the sample as parquet to a temp dir and
+    // read the actual encoded bytes (estimates from in-memory sizes are off
+    // by the codec factor, which is the whole question)
+    val probeDir = java.nio.file.Files.createTempDirectory("graft-sizeprobe").toString
+    val probeN = math.min(n, sampleRows.toLong)
+    df.limit(probeN.toInt).coalesce(1).write.mode(SaveMode.Overwrite).parquet(probeDir)
+    val probeBytes = new java.io.File(probeDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val bytesPerRow = math.max(1L, probeBytes / probeN)
+    val rowsPerFile = math.max(1L, targetFileBytes / bytesPerRow)
+    val nFiles = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile)
+    df.repartition(nFiles.toInt)
+      .write.option("maxRecordsPerFile", rowsPerFile)
+      .mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   /** Training-reader export: the corpus written as `shard=`-partitioned
     * parquet with rows in the deterministic
     * [[graft.operators.TextOps.globalShuffle]] order — one file per shard, so

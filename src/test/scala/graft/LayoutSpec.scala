@@ -52,6 +52,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(sSupp >= 0.9, s"single-sort suppkey width $sSupp — expected full-range")
   }
 
+  test("size-targeted write: file count follows the byte target, data complete") {
+    val li = graft.sources.Tables.lineitem(spark, TestSession.sf)
+    val n = li.count()
+    val out = java.nio.file.Files.createTempDirectory("graft-sized").toString
+    // pick a target that implies a handful of files for the smoke fixture
+    val totalProbe = java.nio.file.Files.createTempDirectory("graft-sized-all").toString
+    li.coalesce(1).write.mode("overwrite").parquet(totalProbe)
+    val totalBytes = new java.io.File(totalProbe).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(1L, totalBytes / 4) // aim for ~4 files
+    val planned = graft.sources.Layout.sizeTargetedWrite(li, out, target)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(planned >= 2 && planned <= 8, s"expected ~4 planned files, got $planned")
+    assert(files.length.toLong == planned,
+      s"wrote ${files.length} files, planned $planned")
+    // every file within the order-of-magnitude band of the target (codec
+    // variance allowed; the point is no KB-dust and no multi-GB monolith)
+    files.foreach { f =>
+      assert(f.length < target * 3, s"${f.getName} is ${f.length} B vs target $target")
+    }
+    assert(spark.read.parquet(out).count() == n, "sized write must keep every row")
+  }
+
   test("shuffled export: one file per shard, rows in global-shuffle order, corpus complete") {
     val docs = Tables.documents(spark, TestSession.sf)
     val out = Files.createTempDirectory("graft-export").toString + "/shuffled"
