@@ -282,6 +282,27 @@ object EventOps {
       col("users").cast(DoubleType) / lag(col("users"), 1).over(w))
   }
 
+  /** Per-minute event-rate threshold above which a user is bot-flagged. */
+  val botPerMinute = 3L
+
+  /** Bot-rate screen per user: burst detection at minute grain — total
+    * events, active minutes, the PEAK events-in-one-minute, and a flag when
+    * the peak crosses [[botPerMinute]]. Automated traffic is the classic
+    * training-data contaminant in behavioral logs (a scraper's clicks teach
+    * a recommender to recommend everything); the peak-rate signal separates
+    * it from heavy humans, who spread the same volume over many minutes.
+    * Two hash aggregates — (user, minute) grain absorbs the stream
+    * map-side, then user grain; exact integers.
+    */
+  def botRate(events: DataFrame, perMinute: Long = botPerMinute): DataFrame =
+    events
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("active_minutes"),
+        max(col("c")).as("max_per_minute"))
+      .withColumn("bot_flag", (col("max_per_minute") >= perMinute).cast(IntegerType))
+
   /** Max seconds between consecutive funnel stages for [[funnelWindowed]]. */
   val funnelWindowSec = 86400L
 
@@ -796,6 +817,19 @@ object EventOps {
          |       CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage_idx) AS conv_from_prev
          |FROM counts""".stripMargin) { (s, d) =>
       funnel(Tables.events(s, d))
+    },
+
+    // Minute-grain burst detection: peak per-minute rate + bot flag.
+    Op.sql("events_bot_rate",
+      s"""WITH $eventsCte,
+         |pm AS (SELECT user_id, date_trunc('minute', ts) AS m, COUNT(*) AS c
+         |       FROM ev GROUP BY 1, 2)
+         |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         |       CAST(COUNT(*) AS BIGINT) AS active_minutes,
+         |       CAST(MAX(c) AS BIGINT) AS max_per_minute,
+         |       CAST(CASE WHEN MAX(c) >= $botPerMinute THEN 1 ELSE 0 END AS INTEGER) AS bot_flag
+         |FROM pm GROUP BY user_id""".stripMargin) { (s, d) =>
+      botRate(Tables.events(s, d))
     },
 
     // The funnel with a per-stage conversion window (next stage within a

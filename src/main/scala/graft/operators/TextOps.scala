@@ -133,6 +133,34 @@ object TextOps {
     withCounts.withColumn("lang_pred", langPredFromCounts(en, de, es, fr))
   }
 
+  /** Declared-vs-detected language mismatch rate per source (audit twin of
+    * [[langId]]): docs whose confident prediction disagrees with the
+    * declared `lang` label, counted at source grain on the ppm grid —
+    * 'unknown' predictions abstain rather than accuse.
+    */
+  def langMismatch(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") =!= lit("unknown") &&
+          col("lang_pred") =!= col("lang_label"), 1L).otherwise(0L)).as("n_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        expr("(n_mismatch * 1000000) div n_docs").as("mismatch_ppm"))
+
+  /** Oracle twin of [[langId]] (shared with the mismatch audit). */
+  private lazy val langIdOracle: String = {
+    val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(",\n       ")
+    s"""SELECT doc_id, lang_label, en_ct, de_ct, es_ct, fr_ct,
+       |  CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+       |       WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+       |       WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+       |       WHEN fr_ct > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS lang_pred
+       |FROM (SELECT doc_id, lang AS lang_label, $cts
+       |      FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents))""".stripMargin
+  }
+
   /** Composite quality score in [0,1] (see [[qualityExprs]]). */
   def qualityScore(docs: DataFrame): DataFrame =
     docs
@@ -869,17 +897,25 @@ object TextOps {
       tokenCounts(Tables.documents(s, d))
     },
 
-    Op.sql("text_lang_id", {
-      val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(",\n       ")
-      s"""SELECT doc_id, lang_label, en_ct, de_ct, es_ct, fr_ct,
-         |  CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
-         |       WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
-         |       WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
-         |       WHEN fr_ct > 0 THEN 'fr'
-         |       ELSE 'unknown' END AS lang_pred
-         |FROM (SELECT doc_id, lang AS lang_label, $cts
-         |      FROM (SELECT doc_id, lang, string_split(text, ' ') ws FROM documents))""".stripMargin
-    }) { (s, d) => langId(Tables.documents(s, d)) },
+    Op.sql("text_lang_id", langIdOracle) { (s, d) => langId(Tables.documents(s, d)) },
+
+    // Declared-vs-detected language audit per source: the upstream-labeling
+    // health check (a source whose declared lang disagrees with the n-gram
+    // detector is mislabeled or mixed — both poison per-language curation).
+    Op.sql("text_lang_mismatch",
+      s"""WITH li AS ($langIdOracle)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN li.lang_pred <> 'unknown'
+         |                      AND li.lang_pred <> li.lang_label
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+         |       CAST((CAST(SUM(CASE WHEN li.lang_pred <> 'unknown'
+         |                            AND li.lang_pred <> li.lang_label
+         |                           THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |            // COUNT(*) AS BIGINT) AS mismatch_ppm
+         |FROM li JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin) { (s, d) =>
+      langMismatch(Tables.documents(s, d))
+    },
 
     Op.sql("text_quality",
       s"""SELECT doc_id, len_score, stop_score, diversity_score,

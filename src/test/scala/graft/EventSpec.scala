@@ -114,6 +114,20 @@ class EventSpec extends AnyFunSuite {
     assert(f("purchase") == ((1L, Some(1.0))))
   }
 
+  test("bot rate: a burst flags, the same volume spread over minutes does not") {
+    // user 10: 4 events in ONE minute (bot burst); user 20: 4 events in 4
+    // separate minutes (heavy human)
+    val ev = ((1 to 4).map(i => (i.toLong, ts("2024-01-01 10:00:00"), 10L, "view", 0.0, "")) ++
+      (1 to 4).map(i => (10L + i, ts(s"2024-01-01 10:0$i:00"), 20L, "view", 0.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.botRate(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("active_minutes"),
+          r.getAs[Long]("max_per_minute"), r.getAs[Int]("bot_flag")))).toMap
+    assert(out(10L) == ((4L, 1L, 4L, 1)), s"got ${out(10L)}")
+    assert(out(20L) == ((4L, 4L, 1L, 0)), s"got ${out(20L)}")
+  }
+
   test("windowed funnel: late conversions fall outside the stage window") {
     // A converts within the day at every stage; B clicks 2 days after the
     // view (outside); C clicks in-window but purchases 3 days later (outside)

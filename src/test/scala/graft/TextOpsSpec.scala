@@ -84,6 +84,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(1L)._3 > out(2L)._3)
   }
 
+  test("lang mismatch: confident disagreements count, unknown abstains") {
+    import spark.implicits._
+    // doc 1: English text declared 'en' (agree); doc 2: English text
+    // declared 'de' (mismatch); doc 3: no marker words (unknown — abstains
+    // even though declared 'fr')
+    val d = Seq(
+      (1L, "the quick and the lazy with many of those words", "en", "webA", 0L),
+      (2L, "the quick and the lazy with many of those words", "de", "webA", 0L),
+      (3L, "zzz qqq xxx", "fr", "webB", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.langMismatch(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_mismatch"),
+          r.getAs[Long]("mismatch_ppm")))).toMap
+    assert(out("webA") == ((2L, 1L, 500000L)), s"got ${out("webA")}")
+    assert(out("webB") == ((1L, 0L, 0L)), s"got ${out("webB")}")
+  }
+
   test("ngram novelty: first-seen credit by doc order; duplicates add nothing") {
     // doc 1 introduces all its 5-grams; doc 2 is an exact copy (novelty 0);
     // doc 3 shares a 4-word overlap but introduces its shifted grams
