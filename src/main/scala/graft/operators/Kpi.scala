@@ -190,6 +190,22 @@ object Kpi {
         max(col("lag_days")).cast(LongType).as("max_lag_days"),
         (sum(col("lag_days")).cast(DoubleType) / count(lit(1))).as("avg_lag_days"))
 
+  /** Weekday revenue seasonality: per day-of-week (1=Sunday..7, Spark's
+    * `dayofweek` convention) item count, exact decimal revenue, and the
+    * revenue share — the staffing/promotion-planning view. One narrow scan
+    * to a 7-row aggregate; the one-row total broadcasts back for the share
+    * (a single IEEE division of two decimal-derived doubles — bit-stable).
+    */
+  def weekdayRevenue(items: DataFrame): DataFrame = {
+    val wd = items
+      .groupBy(dayofweek(col("created_at")).as("weekday"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("sale_price")).as("revenue"))
+    val total = wd.agg(dsum(col("revenue")).as("total_revenue"))
+    wd.crossJoin(broadcast(total))
+      .select(col("weekday"), col("n_items"), col("revenue"),
+        (col("revenue") / col("total_revenue")).as("revenue_share"))
+  }
+
   // --------------------------------------------------------------------------
   // Date-partitioned fact store (the incremental-recompute scale path)
   // --------------------------------------------------------------------------
@@ -387,6 +403,21 @@ object Kpi {
          |FROM order_items i JOIN orders_v o USING (order_id)
          |GROUP BY 1""".stripMargin) { (s, d) =>
       fulfillmentLag(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
+    },
+
+    // Weekday revenue seasonality (Spark dayofweek: 1=Sunday..7; DuckDB's
+    // 0-based dayofweek shifted to match).
+    Op.sql("kpi_weekday_revenue",
+      s"""${Tables.domainCtes},
+         |wd AS (
+         |  SELECT dayofweek(CAST(created_at AS DATE)) + 1 AS weekday,
+         |         COUNT(*) AS n_items, ${dsumSql("sale_price")} AS revenue
+         |  FROM order_items GROUP BY 1),
+         |t AS (SELECT ${dsumSql("revenue")} AS total_revenue FROM wd)
+         |SELECT CAST(weekday AS INTEGER) AS weekday, n_items, revenue,
+         |       revenue / total_revenue AS revenue_share
+         |FROM wd CROSS JOIN t""".stripMargin) { (s, d) =>
+      weekdayRevenue(Tables.orderItems(s, d))
     },
 
     Op.sql("kpi_daily", orderKpiSql("")) { (s, d) =>
