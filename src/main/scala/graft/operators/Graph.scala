@@ -324,6 +324,18 @@ object Graph {
         expr(s"(strength * ${prGrid}L) div total_w").as("strength_share_q"))
   }
 
+  /** Incremental edge maintenance: merge two edge tables built from
+    * ORDER-DISJOINT item batches by weight ADDITION. Exact, not
+    * approximate: co-purchase pairs, the basket cap, and the per-order
+    * dedup are all order-local, so a batch can never change another
+    * batch's pairs — the arriving orders are exploded once, ever, and the
+    * stored edges are never recomputed (the search-index incremental
+    * argument applied to the graph artifact).
+    */
+  def mergeEdges(stored: DataFrame, arriving: DataFrame): DataFrame =
+    stored.unionByName(arriving)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
   /** Minimum edge weight for the STRONG subgraph [[components]] runs on —
     * a single co-purchase is noise; repeated co-purchase is structure.
     */
@@ -475,6 +487,17 @@ object Graph {
       s"""WITH $edgesCtes
          |SELECT src, dst, w FROM e""".stripMargin) { (s, d) =>
       copurchaseEdges(Tables.orderItems(s, d))
+    },
+
+    // Incremental edge maintenance: edges from order-disjoint batches merge
+    // by weight addition — the oracle is the FULL from-scratch edge build.
+    Op.sql("graph_edges_incremental",
+      s"""WITH $edgesCtes
+         |SELECT src, dst, w FROM e""".stripMargin) { (s, d) =>
+      val items = Tables.orderItems(s, d)
+      mergeEdges(
+        copurchaseEdges(items.filter(col("order_id") % 10 < 8)),
+        copurchaseEdges(items.filter(col("order_id") % 10 >= 8)))
     },
 
     // Fixed-iteration integer-grid PageRank over that graph.

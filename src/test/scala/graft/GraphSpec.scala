@@ -157,6 +157,17 @@ class GraphSpec extends AnyFunSuite {
     assert(jp((2L, 3L)) == 0L, "a pure bridge edge has zero neighborhood overlap")
   }
 
+  test("incremental edges: order-disjoint batches merge to the full build exactly") {
+    val items = graft.sources.Tables.orderItems(spark, TestSession.sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) -> r.getAs[Long]("w")).toMap
+    val full = key(Graph.copurchaseEdges(items))
+    val merged = key(Graph.mergeEdges(
+      Graph.copurchaseEdges(items.filter(col("order_id") % 2 === 0)),
+      Graph.copurchaseEdges(items.filter(col("order_id") % 2 =!= 0))))
+    assert(merged == full, "order-disjoint edge batches must merge exactly")
+  }
+
   test("components: the weight threshold splits blobs a weak bridge would join") {
     // two w=2 triangles bridged by one w=1 edge (the LPA fixture): at
     // minW=2 the bridge vanishes → two components rooted at min ids; at
