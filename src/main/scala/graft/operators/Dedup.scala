@@ -260,6 +260,32 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Per-band pair counts over the [[ngramJaccardPairs]] candidates — the
+    * τ-tuning curve (bands of 0.05 on [0.5, 1]; the 0.5 floor is the
+    * blocking guarantee's validity bound, so the sweep covers exactly the
+    * τ range the pipeline could actually enforce).
+    */
+  def jaccardThresholdSweep(docs: DataFrame): DataFrame =
+    ngramJaccardPairs(docs)
+      .groupBy(floor(col("jaccard") * 20).as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select((col("band").cast(DoubleType) / 20).as("tau_lo"), col("n_pairs"))
+
+  /** Oracle twin of [[ngramJaccardPairs]] (shared with the sweep). */
+  private lazy val ngramJaccardOracle: String =
+    s"""WITH shb AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) // 50 AS bucket,
+       |         list_transform(${shinglesSql("w", shingleN)}, x -> ${hexToLongSql("md5(x)", 1)}) AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
+       |  WHERE len(w) >= $shingleN),
+       |shn AS (SELECT doc_id, bucket, sh, len(sh) AS n FROM shb)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.sh, b.sh)) / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM shn a JOIN shn b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
+       |WHERE jaccard >= 0.5""".stripMargin
+
   /** Containment threshold as an exact rational (4/5): the criterion is the
     * all-integer `5·inter ≥ 4·min(n_a, n_b)`, so no float boundary can
     * disagree between engines or break the prefix-filter guarantee.
@@ -772,20 +798,20 @@ object Dedup {
       simhashPairs(Tables.documents(s, d))
     },
 
-    Op.sql("dedup_ngram_jaccard",
-      s"""WITH shb AS (
-         |  SELECT doc_id, CAST(length(text) AS BIGINT) // 50 AS bucket,
-         |         list_transform(${shinglesSql("w", shingleN)}, x -> ${hexToLongSql("md5(x)", 1)}) AS sh
-         |  FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
-         |  WHERE len(w) >= $shingleN),
-         |shn AS (SELECT doc_id, bucket, sh, len(sh) AS n FROM shb)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         len(list_intersect(a.sh, b.sh)) / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
-         |  FROM shn a JOIN shn b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
-         |WHERE jaccard >= 0.5""".stripMargin) { (s, d) =>
+    Op.sql("dedup_ngram_jaccard", ngramJaccardOracle) { (s, d) =>
       ngramJaccardPairs(Tables.documents(s, d))
+    },
+
+    // Threshold-sweep histogram over the verified pair set: how many pairs
+    // each dedup τ ∈ [0.5, 1] would act on — the tuning curve a curator
+    // reads before fixing the threshold (bands of 0.05; band arithmetic is
+    // the same exact ratio floored identically on both engines).
+    Op.sql("dedup_threshold_sweep",
+      s"""WITH p AS ($ngramJaccardOracle)
+         |SELECT CAST(FLOOR(jaccard * 20) AS DOUBLE) / 20 AS tau_lo,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+      jaccardThresholdSweep(Tables.documents(s, d))
     },
 
     Op.sql("dedup_containment_pairs",
