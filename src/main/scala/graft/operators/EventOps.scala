@@ -303,6 +303,89 @@ object EventOps {
         max(col("c")).as("max_per_minute"))
       .withColumn("bot_flag", (col("max_per_minute") >= perMinute).cast(IntegerType))
 
+  /** Rolling-window lengths (days) for [[stickiness]]. */
+  val stickinessWeek = 7
+  val stickinessMonth = 28
+
+  /** Engagement stickiness: per calendar day, DAU plus the rolling 7-day
+    * (WAU) and 28-day (MAU) unique-user counts ending that day, and the
+    * DAU/MAU ratio on the ppm integer grid — the standard product-health
+    * dashboard metric (a stickiness of 1e6 means every monthly user shows
+    * up daily).
+    *
+    * Scale shape: the corpus collapses to the distinct (user, day) grid
+    * FIRST (one hash aggregate absorbs the raw stream map-side), and each
+    * rolling window is computed by replicating each (user, day) row onto
+    * the ≤ w target days it can serve — so the shuffled volume is
+    * |users×days| · w, never a self-join of the event stream, and there is
+    * no per-day rescan of a 28-day window. Counts and ratios are exact
+    * BIGINTs; the day spine is dense (gap days report 0/0/0).
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .persist()
+    val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def rolling(w: Int, name: String): DataFrame = ud
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(date_add(col("day"), w - 1), col("d1")))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(name))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    spine
+      .join(dau, Seq("day"), "left")
+      .join(rolling(stickinessWeek, "wau"), Seq("day"), "left")
+      .join(rolling(stickinessMonth, "mau"), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_ppm",
+        when(col("mau") === 0, lit(0L))
+          .otherwise(expr("(dau * 1000000) div mau")))
+  }
+
+  /** Attribution lookback for [[multitouchCredit]]. */
+  val touchWindowHours = 24
+
+  /** Touch event types that can receive purchase credit. */
+  val touchTypes: Seq[String] = Seq("view", "click")
+
+  /** Linear multi-touch attribution: every purchase distributes one unit of
+    * credit (1e6 ppm) equally across the user's view/click touches in the
+    * prior 24 h; output is (touch day, touch type) grain with the touch
+    * count, the number of purchases reached, and the summed credit. The
+    * floor-division per touch keeps credit exact-integer (a purchase with n
+    * touches hands out n·(1e6 div n) ≤ 1e6 ppm — the standard budget-safe
+    * rounding).
+    *
+    * Scale shape: purchases join touches on the USER equi-key (the range
+    * predicate rides the join as a filter), so the shuffle is user-grain
+    * and the per-key fan-out is bounded by one user's 24 h activity — never
+    * a time-range cross join. The per-purchase touch count is a window over
+    * the purchase id, partitioned (no global sort).
+    */
+  def multitouchCredit(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val t = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id").as("tid"), col("user_id"), col("event_type"), col("ts"))
+    val attributed = p.join(t, Seq("user_id"))
+      .filter(col("ts") <= col("pts")
+        && col("ts") > col("pts") - expr(s"INTERVAL $touchWindowHours HOURS"))
+      .select(col("pid"), col("tid"), col("event_type"),
+        to_date(col("ts")).as("day"))
+    val n = Window.partitionBy(col("pid"))
+    attributed
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("pid")).as("purchases"),
+        sum(expr("1000000 div n")).as("credit_ppm"))
+  }
+
   /** Max seconds between consecutive funnel stages for [[funnelWindowed]]. */
   val funnelWindowSec = 86400L
 
@@ -864,6 +947,55 @@ object EventOps {
          |       MIN(ts) AS first_seen, MAX(ts) AS last_seen
          |FROM ev GROUP BY user_id""".stripMargin) { (s, d) =>
       userStats(Tables.events(s, d))
+    },
+
+    // DAU / rolling-WAU / rolling-MAU engagement stickiness per day.
+    Op.sql("events_stickiness",
+      s"""WITH $eventsCte,
+         |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+         |                                     CAST(s.d1 AS TIMESTAMP),
+         |                                     INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span s),
+         |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+         |        FROM ud GROUP BY 1),
+         |wau AS (SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+         |        FROM spine s JOIN ud u
+         |          ON u.day BETWEEN s.day - ${stickinessWeek - 1} AND s.day
+         |        GROUP BY 1),
+         |mau AS (SELECT s.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+         |        FROM spine s JOIN ud u
+         |          ON u.day BETWEEN s.day - ${stickinessMonth - 1} AND s.day
+         |        GROUP BY 1)
+         |SELECT s.day, COALESCE(d.dau, 0) AS dau, COALESCE(w.wau, 0) AS wau,
+         |       COALESCE(m.mau, 0) AS mau,
+         |       CASE WHEN COALESCE(m.mau, 0) = 0 THEN 0
+         |            ELSE (COALESCE(d.dau, 0) * 1000000) // m.mau
+         |       END AS stickiness_ppm
+         |FROM spine s LEFT JOIN dau d USING (day)
+         |LEFT JOIN wau w ON w.day = s.day
+         |LEFT JOIN mau m ON m.day = s.day""".stripMargin) { (s, d) =>
+      stickiness(Tables.events(s, d))
+    },
+
+    // Linear multi-touch purchase attribution at (touch day, type) grain.
+    Op.sql("events_multitouch_credit",
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id AS pid, user_id, ts AS pts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id AS tid, user_id, event_type, ts FROM ev
+         |      WHERE event_type IN (${touchTypes.map("'" + _ + "'").mkString(", ")})),
+         |a AS (SELECT p.pid, t.tid, t.event_type, CAST(t.ts AS DATE) AS day
+         |      FROM p JOIN t ON t.user_id = p.user_id
+         |        AND t.ts <= p.pts AND t.ts > p.pts - INTERVAL $touchWindowHours HOUR),
+         |n AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1)
+         |SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS touches,
+         |       CAST(COUNT(DISTINCT a.pid) AS BIGINT) AS purchases,
+         |       CAST(SUM(1000000 // n.n) AS BIGINT) AS credit_ppm
+         |FROM a JOIN n ON n.pid = a.pid GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      multitouchCredit(Tables.events(s, d))
     },
   )
 }

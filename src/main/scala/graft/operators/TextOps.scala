@@ -679,6 +679,47 @@ object TextOps {
       .groupBy(col("bucket_start"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** Bucket width (whitespace tokens) for [[sourceDrift]]'s length bins. */
+  val driftBucketTokens = 8
+
+  /** Per-source distribution drift: total-variation distance (TVD) between
+    * each source's document-length distribution and the corpus-wide one, on
+    * the ppm integer grid — ½·Σ_b |p_src(b) − p_corpus(b)| over token-count
+    * buckets. The standard mixture-health screen for a multi-source
+    * training corpus: a source whose length profile departs from the blend
+    * (truncated scrapes, boilerplate floods) surfaces as high TVD without
+    * any model in the loop. TVD over binned counts needs no logarithm, so
+    * — unlike KL/PSI — the whole statistic stays EXACT integer arithmetic
+    * and bit-matches the oracle under any partitioning.
+    *
+    * Scale shape: the corpus is touched by ONE narrow tokenize-count pass
+    * collapsing to (source, bucket) grain; everything after is arithmetic
+    * on that tiny grid (sources × buckets), dense-completed so absent
+    * buckets contribute their full |0 − p_corpus| mass. No windows, no
+    * per-doc state.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val buck = docs.select(col("source"),
+      expr(s"CAST(size(split(text, ' ')) AS BIGINT) div $driftBucketTokens")
+        .as("bucket"))
+    val sc = buck.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+      .persist()
+    val st = sc.groupBy(col("source")).agg(sum(col("c")).as("s_tot"))
+    val cc = sc.groupBy(col("bucket")).agg(sum(col("c")).as("cc_c"))
+    val ct = cc.agg(sum(col("cc_c")).as("c_tot"))
+    sc.select(col("source")).distinct()
+      .crossJoin(broadcast(cc))
+      .join(sc, Seq("source", "bucket"), "left")
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(ct))
+      .select(col("source"),
+        abs(expr("coalesce(c, 0L) * 1000000 div s_tot - cc_c * 1000000 div c_tot"))
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(expr("CAST(sum(term) div 2 AS BIGINT)").as("tvd_ppm"),
+        count(lit(1)).as("n_buckets"))
+  }
+
   /** The end-to-end curation capstone: ONE declarative plan emitting the
     * training manifest — per document, its exact-dup canonicity, near-dup
     * cluster and survivorship, language, quality, train/val/test split, and
@@ -1329,6 +1370,31 @@ object TextOps {
          |        regexp_replace(text, '$emailPattern', '<EMAIL>', 'g') AS em
          |      FROM documents)""".stripMargin) { (s, d) =>
       redactPii(Tables.documents(s, d))
+    },
+
+    // Per-source length-distribution drift vs the corpus blend (TVD, ppm).
+    Op.sql("text_source_drift",
+      s"""WITH b AS (
+         |  SELECT source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) // $driftBucketTokens AS bucket
+         |  FROM documents),
+         |sc AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS s_tot FROM sc GROUP BY 1),
+         |cc AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc_c FROM sc GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(cc_c) AS BIGINT) AS c_tot FROM cc),
+         |grid AS (
+         |  SELECT s.source, g.bucket, COALESCE(sc.c, 0) AS sc_c, g.cc_c,
+         |         st.s_tot, ct.c_tot
+         |  FROM (SELECT DISTINCT source FROM sc) s
+         |  CROSS JOIN cc g
+         |  LEFT JOIN sc ON sc.source = s.source AND sc.bucket = g.bucket
+         |  JOIN st ON st.source = s.source CROSS JOIN ct)
+         |SELECT source,
+         |       CAST(SUM(ABS(sc_c * 1000000 // s_tot - cc_c * 1000000 // c_tot)) // 2
+         |            AS BIGINT) AS tvd_ppm,
+         |       CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |FROM grid GROUP BY source""".stripMargin) { (s, d) =>
+      sourceDrift(Tables.documents(s, d))
     },
   )
 }

@@ -145,6 +145,45 @@ object Warehouse {
   val cdcAsOfB = "2000-07-01"
   val cdcWindowDays = 180
 
+  /** As-of instant for the SCD2 time-travel read — mid-history, so current
+    * and superseded versions both appear at every fixture SF.
+    */
+  val scd2AsOf = "1998-07-01"
+
+  /** Shared SCD2-history CTE chain (priority per customer) — the
+    * `warehouse_scd2_priority` oracle body, reused verbatim by the as-of
+    * read so both ops pin the same history.
+    */
+  private val scd2PriorityCtes =
+    """log AS (
+      |  SELECT o_custkey AS user_id, o_orderpriority AS priority,
+      |         o_orderdate AS ts, o_orderkey AS oid
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(priority) OVER w IS NULL
+      |                   OR LAG(priority) OVER w <> priority THEN 1 ELSE 0 END AS chg
+      |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, oid)),
+      |islands AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, oid
+      |                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version
+      |  FROM flagged),
+      |runs AS (
+      |  SELECT user_id, version, MIN(priority) AS priority,
+      |         MIN(ts) AS valid_from, COUNT(*) AS n_obs
+      |  FROM islands GROUP BY user_id, version),
+      |hist AS (
+      |  SELECT user_id, version, priority, valid_from, n_obs,
+      |         LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |         CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |                IS NULL THEN 1 ELSE 0 END AS is_current
+      |  FROM runs)""".stripMargin
+
+  /** The priority change log as a frame (shared by both SCD2 ops). */
+  private def priorityLog(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"), col("o_orderpriority").as("priority"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("oid"))
+
   private val diffSql =
     s"""WITH a AS (${snapshotSql(cdcAsOfA, cdcWindowDays)}),
        |b AS (${snapshotSql(cdcAsOfB, cdcWindowDays)})
@@ -164,31 +203,31 @@ object Warehouse {
   def ops: Seq[Op] = Seq(
     // SCD Type-2 history of each customer's order priority.
     Op.sql("warehouse_scd2_priority",
-      """WITH log AS (
-        |  SELECT o_custkey AS user_id, o_orderpriority AS priority,
-        |         o_orderdate AS ts, o_orderkey AS oid
-        |  FROM orders),
-        |flagged AS (
-        |  SELECT *, CASE WHEN LAG(priority) OVER w IS NULL
-        |                   OR LAG(priority) OVER w <> priority THEN 1 ELSE 0 END AS chg
-        |  FROM log WINDOW w AS (PARTITION BY user_id ORDER BY ts, oid)),
-        |islands AS (
-        |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, oid
-        |                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS version
-        |  FROM flagged),
-        |runs AS (
-        |  SELECT user_id, version, MIN(priority) AS priority,
-        |         MIN(ts) AS valid_from, COUNT(*) AS n_obs
-        |  FROM islands GROUP BY user_id, version)
-        |SELECT user_id, version, priority, valid_from, n_obs,
-        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
-        |       CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-        |              IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM runs""".stripMargin) { (s, d) =>
-      val log = Tables.orders(s, d).select(
-        col("o_custkey").as("user_id"), col("o_orderpriority").as("priority"),
-        col("o_orderdate").as("ts"), col("o_orderkey").as("oid"))
-      scd2(log, "user_id", "priority", "ts", "oid").drop("ts", "oid")
+      s"""WITH $scd2PriorityCtes
+         |SELECT user_id, version, priority, valid_from, n_obs, valid_to,
+         |       is_current
+         |FROM hist""".stripMargin) { (s, d) =>
+      scd2(priorityLog(s, d), "user_id", "priority", "ts", "oid").drop("ts", "oid")
+    },
+
+    // Time-travel read: the dimension AS OF an instant — exactly one row
+    // per key whose validity interval covers it. The consumer-side filter
+    // `valid_from <= T < valid_to` over the SCD2 history; with history
+    // stored sorted/partitioned on valid_from this prunes at the file level,
+    // so a 100 TB history answers a point-in-time read from the slice of
+    // versions open at T.
+    Op.sql("warehouse_scd2_asof",
+      s"""WITH $scd2PriorityCtes
+         |SELECT user_id, version, priority, valid_from, n_obs, valid_to,
+         |       is_current
+         |FROM hist
+         |WHERE valid_from <= TIMESTAMP '$scd2AsOf'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$scd2AsOf')""".stripMargin) {
+      (s, d) =>
+      scd2(priorityLog(s, d), "user_id", "priority", "ts", "oid").drop("ts", "oid")
+        .filter(col("valid_from") <= lit(scd2AsOf).cast("timestamp")
+          && (col("valid_to").isNull
+            || col("valid_to") > lit(scd2AsOf).cast("timestamp")))
     },
 
     // Point-in-time activity snapshot (the CDC base table).
