@@ -265,6 +265,48 @@ object Graph {
         explode(array_intersect(col("na"), col("nb"))).as("w"))
   }
 
+  /** Relaxation rounds for [[weightedSssp]] (diameter bound explored). */
+  val ssspRounds = 4
+
+  /** Edge length for [[weightedSssp]] on the integer grid: stronger
+    * co-purchase ties are shorter — `1 + (1e6 div w)` — so the "distance"
+    * between products is low along frequently-bought-together paths. The
+    * +1 keeps every hop strictly positive (a zero-length hop would let
+    * path length stop encoding hop effort on very heavy edges).
+    */
+  private def edgeLen: Column = expr("1 + (1000000 div w)")
+
+  /** Single-source (multi-seed) weighted shortest paths: `rounds` synchronous
+    * Bellman-Ford relaxations from the seed set, exact integer path lengths.
+    * Per round: frontier state joins the edge list (state broadcast at node
+    * grain — the documented bucketed fallback applies when nodes outgrow
+    * broadcast), one dst-grain `min` aggregate, one `least` merge. Edges
+    * never re-shuffle across rounds; state is node-grain, so per-round cost
+    * is |E| map-side + |V| reduce — the [[bfsDistances]] plan with weighted
+    * relaxation. Bounded rounds (not to-convergence) is deliberate: at
+    * 100 TB the frontier beyond a few hops is the whole graph, and the
+    * oracle pins the same bounded unrolling.
+    */
+  def weightedSssp(edges: DataFrame, seedPred: Column,
+      rounds: Int = ssspRounds): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), edgeLen.as("len"))
+    // src ∪ dst: a sink-only node must still be reachable state
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    var dist = nodes.select(col("node"),
+      when(seedPred, lit(0L)).otherwise(lit(null).cast(LongType)).as("d"))
+    (1 to rounds).foreach { _ =>
+      val relaxed = e.join(broadcast(dist.filter(col("d").isNotNull)),
+          e("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("d") + col("len")).as("nd"))
+      dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
+        .select(dist("node"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint()
+    }
+    dist.filter(col("d").isNotNull)
+      .select(col("node").as("product_id"), col("d").as("dist_q"))
+  }
+
   /** Per-node triangle counts: credit the three corners of each enumerated
     * triangle — one explode + one node-grain aggregate over |triangles|
     * rows. The intermediate is the triangle set itself (the information-
@@ -653,6 +695,33 @@ object Graph {
          |SELECT n AS product_id FROM n$kcoreRounds""".stripMargin
     }) { (s, d) =>
       kcoreMembers(storedEdges(s, d))
+    },
+
+    // Bounded Bellman-Ford weighted shortest paths from the seed set.
+    Op.sql("graph_weighted_sssp", {
+      val rounds = (1 to ssspRounds).map { r =>
+        val prev = s"p${r - 1}"
+        s"""t$r AS (
+           |  SELECT el.dst AS node, MIN(p.d + el.len) AS nd
+           |  FROM el JOIN $prev p ON p.node = el.src
+           |  WHERE p.d IS NOT NULL GROUP BY el.dst),
+           |p$r AS (
+           |  SELECT p.node,
+           |         CASE WHEN p.d IS NULL THEN t.nd WHEN t.nd IS NULL THEN p.d
+           |              WHEN p.d < t.nd THEN p.d ELSE t.nd END AS d
+           |  FROM $prev p LEFT JOIN t$r t ON t.node = p.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCtes,
+         |el AS (SELECT src, dst, 1 + (1000000 // w) AS len FROM e),
+         |vn AS (SELECT DISTINCT node
+         |       FROM (SELECT src AS node FROM el UNION ALL SELECT dst FROM el)),
+         |p0 AS (SELECT node,
+         |              CASE WHEN node < 5 THEN CAST(0 AS BIGINT) END AS d FROM vn),
+         |$rounds
+         |SELECT node AS product_id, CAST(d AS BIGINT) AS dist_q
+         |FROM p$ssspRounds WHERE d IS NOT NULL""".stripMargin
+    }) { (s, d) =>
+      weightedSssp(storedEdges(s, d), col("node") < 5)
     },
 
     // One-pass degree centrality baseline.

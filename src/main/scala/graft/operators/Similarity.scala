@@ -1034,7 +1034,98 @@ object Similarity {
        |  FROM codes q JOIN codes v ON v.vec_id <> q.vec_id
        |  WHERE q.vec_id < 5)""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Farthest-point (k-center) diverse sampling
+  // --------------------------------------------------------------------------
+
+  /** Points selected by [[fpsSample]] (seed + 7 greedy selections). */
+  val fpsK = 8
+
+  /** Deterministic seed point for [[fpsSample]]. */
+  val fpsSeed = 0L
+
+  /** Farthest-point sampling: the greedy 2-approximation to the k-center
+    * problem — start from the seed vector and repeatedly add the point
+    * farthest (max–min quantized L2²) from everything chosen so far. THE
+    * standard coreset / diverse-subset selector for training-data curation:
+    * k prototypes that cover the embedding space's extremes rather than its
+    * density mass (the opposite bias to k-means centroids).
+    *
+    * Scale shape: the chosen set is a driver-resident array of ≤ k vectors
+    * (the [[kmeansTrain]] codebook convention), so each round is ONE
+    * narrow codegen scan — min-of-k quantized-dot distances in the
+    * projection, no join, no shuffle — plus a 1-row `orderBy.limit(1)`
+    * argmax (the Tokenizer BPE-argmax precedent; Spark plans it as
+    * TakeOrderedAndProject, never a global sort). Total cost k scans of
+    * the corpus; distances are exact integers on the [[GraftExpressions
+    * .Quant]] grid, so selections are partitioning-invariant and
+    * bit-match the unrolled oracle.
+    */
+  def fpsSample(embs: DataFrame, k: Int = fpsK): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val base = embs.select(col("vec_id"), col("embedding"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+      .persist()
+    val seed = base.filter(col("vec_id") === fpsSeed)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head()
+    // (selection round, vec_id, min-dist at selection — null for the seed)
+    var chosen = Vector[(Long, Long, Option[Long], Array[Float])](
+      (0L, seed._1, None, seed._2.toArray))
+    for (r <- 1 until k) {
+      val dists = chosen.map { case (_, _, _, ce) =>
+        col("n2") - lit(2L) * GraftExpressions.qdot(col("embedding"),
+          typedLit(ce.toSeq)) + lit(qdotLocal(ce, ce))
+      }
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = base
+        .filter(!col("vec_id").isin(chosen.map(_._2): _*))
+        .select(col("vec_id"), col("embedding"), minDist.as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(1)
+        .as[(Long, Seq[Float], Long)].head()
+      chosen = chosen :+ ((r.toLong, next._1, Some(next._3), next._2.toArray))
+    }
+    base.unpersist()
+    chosen.map { case (r, id, dq, _) => (r, id, dq) }
+      .toDF("sel_round", "vec_id", "dist_q")
+  }
+
+  /** Unrolled [[fpsSample]] oracle: per round, the min-distance frame over
+    * the chosen-so-far CTE, a 1-row ordered limit, and the grown chosen set.
+    */
+  private def fpsOracle: String = {
+    val qd = (a: String, b: String) => GraftExpressions.qdotSql(a, b)
+    val rounds = (1 until fpsK).map { r =>
+      val prev = s"ch${r - 1}"
+      s"""d$r AS (
+         |  SELECT v.vec_id, v.embedding, v.n2,
+         |         MIN(v.n2 - 2 * ${qd("v.embedding", "c.embedding")} + c.n2) AS dist
+         |  FROM emb v CROSS JOIN $prev c
+         |  WHERE v.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY v.vec_id, v.embedding, v.n2),
+         |s$r AS (SELECT $r AS sel_round, vec_id, embedding, n2, dist AS dist_q
+         |        FROM d$r ORDER BY dist DESC, vec_id LIMIT 1),
+         |ch$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |               ${qd("embedding", "embedding")} AS n2 FROM embeddings),
+       |ch0 AS (SELECT 0 AS sel_round, vec_id, embedding, n2,
+       |               CAST(NULL AS BIGINT) AS dist_q
+       |        FROM emb WHERE vec_id = $fpsSeed),
+       |$rounds
+       |SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id,
+       |       CAST(dist_q AS BIGINT) AS dist_q
+       |FROM ch${fpsK - 1}""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    // Farthest-point diverse sample (k-center greedy coreset).
+    Op.sql("sim_fps_sample", fpsOracle) { (s, d) =>
+      fpsSample(Tables.embeddings(s, d))
+    },
+
     // Int8 scalar-quantized corpus representation.
     Op.sql("sim_sq8_codes",
       s"""WITH $sq8CodesCtes

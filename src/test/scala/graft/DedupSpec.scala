@@ -500,4 +500,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.forall { case (q, n) => q != n })
     assert(bf.forall { case (q, n) => q != n })
   }
+
+  test("fps: greedy max-min selection order on a line, partitioning-invariant") {
+    // points on a line (x, 0, 0, ...): 0 at 0 (seed), 1 at 1, 2 at 10, 3 at 5.
+    // greedy from 0: farthest is 2 (d=100); then 3 (min(25,25)=25 beats 1's
+    // min(1,81)=1); then 1 — selection order 0, 2, 3, 1.
+    def line(x: Double): Seq[Float] = (x +: Seq.fill(63)(0.0)).map(_.toFloat)
+    val pts = Seq((0L, line(0), 0), (1L, line(1), 0), (2L, line(10), 0),
+      (3L, line(5), 0)).toDF("vec_id", "embedding", "label")
+    val order = Similarity.fpsSample(pts, k = 4).collect()
+      .sortBy(_.getAs[Long]("sel_round")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(order == Seq(0L, 2L, 3L, 1L), s"selection order was $order")
+    val reparted = Similarity.fpsSample(pts.repartition(7), k = 4).collect()
+      .sortBy(_.getAs[Long]("sel_round")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(reparted == order, "FPS selection must not depend on partitioning")
+    // seed has null distance; every later selection records its max-min dist
+    val dists = Similarity.fpsSample(pts, k = 4).collect()
+      .sortBy(_.getAs[Long]("sel_round")).map(r => Option(r.getAs[java.lang.Long]("dist_q")))
+    assert(dists.head.isEmpty && dists.tail.forall(_.isDefined))
+  }
 }

@@ -330,4 +330,41 @@ class EventSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(u.toSeq == Seq((1L, 3L, 2L, 6.0), (2L, 1L, 1L, 10.0)))
   }
+
+  test("stickiness: rolling windows cover gap days, ratio on the ppm grid") {
+    // u1 active day 1 and day 4, u2 active day 1 only — 4-day dense spine
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-04 10:00:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.stickiness(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+          r.getAs[Long]("stickiness_ppm"))).toMap
+    assert(rows.size == 4, s"dense 4-day spine expected, got ${rows.keys}")
+    assert(rows("2024-01-01") == ((2L, 2L, 2L, 1000000L)), "both users on day 1")
+    assert(rows("2024-01-02") == ((0L, 2L, 2L, 0L)), "gap day: dau 0, window carries both")
+    assert(rows("2024-01-04") == ((1L, 2L, 2L, 500000L)), "1 of 2 monthly users active")
+  }
+
+  test("multitouch credit: 24h lookback splits purchase credit, out-of-window dropped") {
+    // purchase day 2 noon; in-window: view day 1 13:00 + click day 2 11:00;
+    // out-of-window: view day 1 11:00 (25h before). credit = 1e6 div 2 each.
+    val ev = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-01 13:00:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-02 11:00:00"), 1L, "click", 1.0, ""),
+      (4L, ts("2024-01-02 12:00:00"), 1L, "purchase", 9.0, ""),
+      (5L, ts("2024-01-02 12:00:00"), 2L, "purchase", 5.0, "") // touchless
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.multitouchCredit(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("touches"), r.getAs[Long]("purchases"), r.getAs[Long]("credit_ppm")))
+      .toMap
+    assert(rows == Map(
+      ("2024-01-01", "view") -> ((1L, 1L, 500000L)),
+      ("2024-01-02", "click") -> ((1L, 1L, 500000L))),
+      s"got $rows")
+  }
 }

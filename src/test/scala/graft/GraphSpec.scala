@@ -142,6 +142,17 @@ class GraphSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1, 6L -> 0))
   }
 
+  test("weighted sssp: strong two-hop path beats the weak direct edge") {
+    // 1→2 weak (w=1, len 1000001); 1→3→2 strong (w=1000 each, len 1001/hop):
+    // shortest 1→2 is VIA 3 at 2002, not the direct hop
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1000L), (3L, 2L, 1000L))
+      .toDF("src", "dst", "w")
+    val d = Graph.weightedSssp(edges, col("node") === 1L).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("dist_q")).toMap
+    assert(d == Map(1L -> 0L, 3L -> 1001L, 2L -> 2002L),
+      s"expected the relaxed two-hop distance, got $d")
+  }
+
   test("edge jaccard: K4 edges are embedded at 1/2; path edges are bridges at 0") {
     val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
       .flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")

@@ -179,4 +179,26 @@ class SearchSpec extends AnyFunSuite {
     assert(idx((1L, "hash")) == ((1L, 8L)))
     assert(!idx.contains((2L, "hash")))
   }
+
+  test("phrase match: consecutive-only occurrences, overlapping repeats counted") {
+    val pdocs = Seq(
+      (0L, "a b a b c"),  // "a b" at starts 0 and 2 → tf 2
+      (1L, "a x b a"),    // terms present but never adjacent → no match
+      (2L, "b a b a"),    // one occurrence (start 1)
+      (3L, "a a a")       // "a a" overlaps: starts 0 and 1 → tf 2
+    ).toDF("doc_id", "text")
+    val pos = Search.positionalPostings(pdocs)
+    val ab = Search.phraseMatch(pos, Seq((1L, "a b"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phrase_tf")).toMap
+    assert(ab == Map(0L -> 2L, 2L -> 1L), s"'a b' matches: $ab")
+    // repeated-token phrase: each start needs BOTH term positions (distinct
+    // term_idx), so "a a" in "a a a" counts the two overlapping starts
+    val aa = Search.phraseMatch(pos, Seq((1L, "a a"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phrase_tf")).toMap
+    assert(aa == Map(3L -> 2L, 0L -> 0L).filter(_._2 > 0), s"'a a' matches: $aa")
+    // ranking: higher phrase_tf first, doc_id tie-break
+    val ranked = Search.phraseMatch(pos, Seq((1L, "a b"))).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(ranked == Seq(0L, 2L))
+  }
 }

@@ -399,4 +399,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!out(2L)._1 && !out(2L)._2) // duplicate dropped
     assert(!out(3L)._2)                // no stopwords → lang unknown → dropped
   }
+
+  test("source drift: symmetric two-source split yields equal TVD, exact ppm") {
+    // source A: all 8-token docs (bucket 1); source B: all 80-token (bucket 10).
+    // corpus is half/half, so each source's TVD = ½(|1e6−5e5| + |0−5e5|) = 5e5.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = ((1 to 10).map(i => (i.toLong, words(8), "en", "A", 0L)) ++
+      (11 to 20).map(i => (i.toLong, words(80), "en", "B", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceDrift(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tvd_ppm"), r.getAs[Long]("n_buckets"))).toMap
+    assert(out == Map("A" -> ((500000L, 2L)), "B" -> ((500000L, 2L))), s"got $out")
+  }
 }
