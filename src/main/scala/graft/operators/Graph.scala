@@ -184,17 +184,21 @@ object Graph {
     */
   def bfsDistances(edges: DataFrame, seedPred: Column,
       hops: Int = bfsHops): DataFrame = {
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // persisted for the loop — each hop's action would re-read the edge
+    // store otherwise (same rationale as [[weightedSssp]]/[[pageRank]])
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("node")).distinct()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0)).otherwise(lit(null).cast(IntegerType)).as("d"))
     (1 to hops).foreach { _ =>
-      val relaxed = edges.join(broadcast(dist.filter(col("d").isNotNull)),
-          edges("src") === col("node"))
+      val relaxed = e.join(broadcast(dist.filter(col("d").isNotNull)),
+          e("src") === col("node"))
         .groupBy(col("dst")).agg((min(col("d")) + 1).as("nd"))
       dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
         .select(dist("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint()
     }
+    e.unpersist() // final dist state is checkpoint-materialized
     dist.filter(col("d").isNotNull)
       .select(col("node").as("product_id"), col("d").as("dist"))
   }
@@ -289,10 +293,12 @@ object Graph {
     */
   def weightedSssp(edges: DataFrame, seedPred: Column,
       rounds: Int = ssspRounds): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), edgeLen.as("len"))
+    // persisted for the loop: each round's action re-reads the edge store
+    // otherwise — `rounds` scans of a table that never changes mid-query
+    val e = edges.select(col("src"), col("dst"), edgeLen.as("len")).persist()
     // src ∪ dst: a sink-only node must still be reachable state
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0L)).otherwise(lit(null).cast(LongType)).as("d"))
     (1 to rounds).foreach { _ =>
@@ -303,6 +309,7 @@ object Graph {
         .select(dist("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint()
     }
+    e.unpersist() // final dist state is checkpoint-materialized
     dist.filter(col("d").isNotNull)
       .select(col("node").as("product_id"), col("d").as("dist_q"))
   }

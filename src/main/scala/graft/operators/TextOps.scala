@@ -588,8 +588,11 @@ object TextOps {
     * corpus" — the incremental-curation acceptance signal.
     *
     * Scale shape: distinct (doc, gram-hash) pairs once (the dedup shingle
-    * machinery), one gram-grain min aggregate, one hash re-join, doc-grain
-    * collapse. Never all-pairs; integers end to end.
+    * machinery), then the first-seen doc via a gh-PARTITIONED window min —
+    * the gram set shuffles ONCE on gh (a groupBy + join-back would shuffle
+    * it twice for the same partitioning), per-gh state is that gram's doc
+    * list — then the doc-grain collapse. Never all-pairs; integers end to
+    * end.
     */
   def ngramNovelty(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
@@ -597,9 +600,10 @@ object TextOps {
       .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
       .select(col("doc_id"), hash60(col("gram")).as("gh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, "gh")
+    grams
+      .withColumn("first_doc",
+        min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
