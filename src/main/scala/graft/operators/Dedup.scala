@@ -110,6 +110,30 @@ object Dedup {
        |    FROM cand JOIN hh x ON x.doc_id = da JOIN hh y ON y.doc_id = db)
        |  WHERE jaccard >= $jaccardTau)""".stripMargin
 
+  /** Cross-source contamination audit: near-dup pairs whose two documents
+    * came from DIFFERENT sources, rolled up to the unordered source pair
+    * with the pair count and how many are verbatim copies (Jaccard = 1).
+    * The provenance view of dedup — a hot (src_i, src_j) cell means one
+    * feed is re-scraping another, which silently over-weights that content
+    * in any per-source mixture budget.
+    *
+    * Plan: [[minhashPairs]]' banded candidates (never all-pairs), two
+    * doc_id equi-joins to attach provenance, a tiny source-pair aggregate.
+    * The Jaccard = 1 test is exact on both engines (intersection = union).
+    */
+  def crossSourcePairs(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashPairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") === 1.0, 1L).otherwise(0L)).as("n_exact"))
+  }
+
   // --------------------------------------------------------------------------
   // Exact dedup
   // --------------------------------------------------------------------------
@@ -812,6 +836,22 @@ object Dedup {
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
       jaccardThresholdSweep(Tables.documents(s, d))
+    },
+
+    // Provenance rollup of near-dup pairs spanning two different sources.
+    Op.sql("dedup_cross_source",
+      s"""WITH $minhashPairsCtes,
+         |ss AS (SELECT doc_id, source FROM documents),
+         |x AS (SELECT LEAST(a.source, b.source) AS source_a,
+         |             GREATEST(a.source, b.source) AS source_b, p.jaccard
+         |      FROM mh_pairs p
+         |      JOIN ss a ON a.doc_id = p.doc_a
+         |      JOIN ss b ON b.doc_id = p.doc_b
+         |      WHERE a.source <> b.source)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN jaccard = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |FROM x GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      crossSourcePairs(Tables.documents(s, d))
     },
 
     Op.sql("dedup_containment_pairs",

@@ -347,6 +347,48 @@ object EventOps {
           .otherwise(expr("(dau * 1000000) div mau")))
   }
 
+  /** Robust daily anomaly screen: median/MAD instead of mean/stddev — a
+    * single extreme day inflates a z-score's own threshold (masking), but
+    * barely moves the median, so MAD flags exactly the outliers the z-test
+    * is blind to. Flag: |count − median| > 3·MAD.
+    *
+    * Exactness: medians are computed as MIDDLE-SUMS on doubled integer
+    * grids — `med2` = sum of the two middle daily counts (2× grid; an odd
+    * day-count contributes its middle twice), `dev2` = |2·c − med2| (2×),
+    * `mad4` = middle-sum of dev2 (4×) — and the flag `2·dev2 > 3·mad4` is
+    * the 3-MAD rule cleared of denominators. No doubles anywhere, so the
+    * result is bit-stable under any partitioning (engine `median()`
+    * builtins differ on interpolation; the middle-sum rank recipe doesn't).
+    *
+    * Scale shape: the stream collapses to (type, day) grain first; every
+    * window partitions by event_type (state bounded by days-per-type — the
+    * calendar, not the corpus); the two per-type stat frames broadcast.
+    */
+  def madAnomalies(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val rk = daily
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("rn", row_number().over(byType.orderBy(col("c"), col("day"))))
+    def middleSum(rank: Column, x: Column): Column = sum(
+      when(rank === expr("(n + 1) div 2"), x).otherwise(lit(0L)) +
+        when(rank === expr("(n + 2) div 2"), x).otherwise(lit(0L)))
+    val med = rk.groupBy(col("event_type"))
+      .agg(middleSum(col("rn"), col("c")).as("med2"))
+    val dev = rk.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(lit(2) * col("c") - col("med2")))
+    val drk = dev.withColumn("drn",
+      row_number().over(byType.orderBy(col("dev2"), col("day"))))
+    val madt = drk.groupBy(col("event_type"))
+      .agg(middleSum(col("drn"), col("dev2")).as("mad4"))
+    dev.join(broadcast(madt), "event_type")
+      .select(col("event_type"), col("day"), col("c").as("n_events"),
+        col("med2"), col("mad4"),
+        (lit(2) * col("dev2") > lit(3) * col("mad4")).cast(IntegerType)
+          .as("is_anomaly"))
+  }
+
   /** Attribution lookback for [[multitouchCredit]]. */
   val touchWindowHours = 24
 
@@ -978,6 +1020,41 @@ object EventOps {
          |LEFT JOIN wau w ON w.day = s.day
          |LEFT JOIN mau m ON m.day = s.day""".stripMargin) { (s, d) =>
       stickiness(Tables.events(s, d))
+    },
+
+    // Robust (median/MAD) daily anomaly screen on exact integer grids.
+    Op.sql("events_anomaly_mad",
+      s"""WITH $eventsCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |                 CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM ev GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+         |rk AS (SELECT d.*, st.n,
+         |              ROW_NUMBER() OVER (PARTITION BY d.event_type
+         |                                 ORDER BY d.c, d.day) AS rn
+         |       FROM daily d JOIN st ON st.event_type = d.event_type),
+         |med AS (SELECT event_type,
+         |               CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END
+         |                       + CASE WHEN rn = (n + 2) // 2 THEN c ELSE 0 END)
+         |                    AS BIGINT) AS med2
+         |        FROM rk GROUP BY 1),
+         |dev AS (SELECT r.event_type, r.day, r.c, r.n,
+         |               ABS(2 * r.c - m.med2) AS dev2, m.med2
+         |        FROM rk r JOIN med m ON m.event_type = r.event_type),
+         |drk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |                                     ORDER BY dev2, day) AS drn
+         |        FROM dev),
+         |madt AS (SELECT event_type,
+         |                CAST(SUM(CASE WHEN drn = (n + 1) // 2 THEN dev2 ELSE 0 END
+         |                        + CASE WHEN drn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+         |                     AS BIGINT) AS mad4
+         |         FROM drk GROUP BY 1)
+         |SELECT d.event_type, d.day, d.c AS n_events, d.med2, t.mad4,
+         |       CAST(CASE WHEN 2 * d.dev2 > 3 * t.mad4 THEN 1 ELSE 0 END
+         |            AS INTEGER) AS is_anomaly
+         |FROM dev d JOIN madt t ON t.event_type = d.event_type""".stripMargin) {
+      (s, d) =>
+      madAnomalies(Tables.events(s, d))
     },
 
     // Linear multi-touch purchase attribution at (touch day, type) grain.

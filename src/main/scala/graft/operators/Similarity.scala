@@ -1092,6 +1092,107 @@ object Similarity {
       .toDF("sel_round", "vec_id", "dist_q")
   }
 
+  // --------------------------------------------------------------------------
+  // MMR: maximal-marginal-relevance diversified retrieval
+  // --------------------------------------------------------------------------
+
+  /** Selections per query for [[mmrRerank]]. */
+  val mmrK = 5
+
+  /** Candidate-list size fed into the MMR selection. */
+  val mmrCandidates = 20
+
+  /** Fixed query vector for the registered MMR op. */
+  val mmrQueryId = 0L
+
+  /** Maximal-marginal-relevance rerank: from the IVF candidate list, greedily
+    * pick results balancing closeness to the QUERY against distance from the
+    * results already picked — the standard redundancy-killer for RAG result
+    * lists (ten near-identical top hits carry one hit's information). With
+    * λ = ½ the MMR objective clears denominators to exact integers on the
+    * quantized-L2² grid: round 1 takes argmin d²(q, i); later rounds take
+    * argmin of `d²(q, i) − min_{s∈S} d²(i, s)` (ties to the lower vec_id).
+    *
+    * Scale shape: candidate GENERATION is the distributed part and reuses
+    * the IVF path (cell-pruned, broadcast query). The selection itself runs
+    * on the driver over the ≤ [[mmrCandidates]]-row candidate list — the
+    * bounded-artifact convention ([[kmeansTrain]] codebooks, BPE argmax):
+    * per-query rerank state is O(k·dim) no matter the corpus size.
+    */
+  def mmrRerank(embs: DataFrame, queryId: Long = mmrQueryId, k: Int = mmrK,
+      nCand: Int = mmrCandidates): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val cvecs = ivfTopK(embs, col("vec_id") === queryId, nCand)
+      .select(col("neighbor_id"))
+      .join(embs, col("neighbor_id") === embs("vec_id"))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, e) => (id, e.toArray) }.sortBy(_._1).toVector
+    val qvec = embs.filter(col("vec_id") === queryId)
+      .select(col("embedding")).as[Seq[Float]].head().toArray
+    def d2(a: Array[Float], b: Array[Float]): Long =
+      qdotLocal(a, a) - 2L * qdotLocal(a, b) + qdotLocal(b, b)
+    val dq = cvecs.map { case (id, e) => id -> d2(qvec, e) }.toMap
+    var sel = Vector[(Long, Array[Float], Long)]() // (id, emb, score at pick)
+    var rem = cvecs
+    while (sel.length < k && rem.nonEmpty) {
+      val scored = rem.map { case (id, e) =>
+        val score =
+          if (sel.isEmpty) dq(id)
+          else dq(id) - sel.iterator.map(s => d2(e, s._2)).min
+        (score, id, e)
+      }
+      val best = scored.minBy(t => (t._1, t._2))
+      sel = sel :+ ((best._2, best._3, best._1))
+      rem = rem.filterNot(_._1 == best._2)
+    }
+    sel.zipWithIndex.map { case ((id, _, sc), i) => ((i + 1).toLong, id, sc) }
+      .toDF("sel_round", "vec_id", "score_q")
+  }
+
+  /** Unrolled [[mmrRerank]] oracle: the IVF in-cell candidate CTE, then per
+    * selection round a min-over-chosen marginal score and a 1-row ordered
+    * limit — the [[fpsOracle]] recipe anchored to a query.
+    */
+  private def mmrOracle: String = {
+    val qd = (a: String, b: String) => GraftExpressions.qdotSql(a, b)
+    val cols = "sel_round, vec_id, embedding, n2, dq2, score_q"
+    val rounds = (2 to mmrK).map { r =>
+      val prev = s"ch${r - 1}"
+      s"""d$r AS (
+         |  SELECT v.vec_id, v.embedding, v.n2, v.dq2,
+         |         v.dq2 - MIN(v.n2 - 2 * ${qd("v.embedding", "s.embedding")} + s.n2)
+         |           AS score
+         |  FROM dq v CROSS JOIN $prev s
+         |  WHERE v.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY v.vec_id, v.embedding, v.n2, v.dq2),
+         |s$r AS (SELECT $r AS sel_round, vec_id, embedding, n2, dq2,
+         |               score AS score_q
+         |        FROM d$r ORDER BY score, vec_id LIMIT 1),
+         |ch$r AS (SELECT $cols FROM $prev UNION ALL SELECT $cols FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ivfAssignedCte,
+       |qv AS (SELECT vec_id, embedding, n2, cell FROM assigned
+       |       WHERE vec_id = $mmrQueryId),
+       |sc0 AS (SELECT v.vec_id, v.embedding, v.n2, ${Dedup.cosQSql("q", "v")} AS cos
+       |        FROM qv q JOIN assigned v
+       |          ON v.cell = q.cell AND v.vec_id <> q.vec_id),
+       |cand AS (SELECT vec_id, embedding, n2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank
+       |    FROM sc0) WHERE rank <= $mmrCandidates),
+       |dq AS (SELECT c.vec_id, c.embedding, c.n2,
+       |              c.n2 - 2 * ${qd("c.embedding", "q.embedding")} + q.n2 AS dq2
+       |       FROM cand c CROSS JOIN qv q),
+       |s1 AS (SELECT 1 AS sel_round, vec_id, embedding, n2, dq2, dq2 AS score_q
+       |       FROM dq ORDER BY dq2, vec_id LIMIT 1),
+       |ch1 AS (SELECT $cols FROM s1),
+       |$rounds
+       |SELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id,
+       |       CAST(score_q AS BIGINT) AS score_q
+       |FROM ch$mmrK""".stripMargin
+  }
+
   /** Unrolled [[fpsSample]] oracle: per round, the min-distance frame over
     * the chosen-so-far CTE, a 1-row ordered limit, and the grown chosen set.
     */
@@ -1124,6 +1225,11 @@ object Similarity {
     // Farthest-point diverse sample (k-center greedy coreset).
     Op.sql("sim_fps_sample", fpsOracle) { (s, d) =>
       fpsSample(Tables.embeddings(s, d))
+    },
+
+    // MMR-diversified rerank of the IVF candidate list.
+    Op.sql("sim_mmr_rerank", mmrOracle) { (s, d) =>
+      mmrRerank(Tables.embeddings(s, d))
     },
 
     // Int8 scalar-quantized corpus representation.

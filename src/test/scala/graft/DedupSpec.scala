@@ -501,6 +501,32 @@ class DedupSpec extends AnyFunSuite {
     assert(bf.forall { case (q, n) => q != n })
   }
 
+  test("cross-source audit: provenance rollup of near-dup pairs, exact copies counted") {
+    // fixture docs: 0(s0) ≡ 1(s1) verbatim; 2(s2) near-dup of both; 3 unrelated
+    val rows = Dedup.crossSourcePairs(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_exact"))).toMap
+    assert(rows(("s0", "s1")) == ((1L, 1L)), "verbatim cross-source copy counted as exact")
+    assert(rows(("s0", "s2")) == ((1L, 0L)) && rows(("s1", "s2")) == ((1L, 0L)),
+      s"near-dups roll up without the exact flag: $rows")
+    assert(!rows.keys.exists(k => k._1 == "s3" || k._2 == "s3"), "unrelated source absent")
+  }
+
+  test("mmr rerank: relevance-first then diversity, exact integer marginals") {
+    // colinear points x = 1 (query), 2, 4, 12: nearest first (2), then 4
+    // (marginal 9−4 = 5 beats 12's 121−100 = 21), then 12 (121−64 = 57) —
+    // all on the Quant² grid (Δx²·2^40)
+    def line(x: Double): Seq[Float] = (x +: Seq.fill(63)(0.0)).map(_.toFloat)
+    val pts = Seq((0L, line(1), 0), (1L, line(2), 0), (2L, line(4), 0),
+      (3L, line(12), 0)).toDF("vec_id", "embedding", "label")
+    val sel = Similarity.mmrRerank(pts, queryId = 0L, k = 3, nCand = 3).collect()
+      .sortBy(_.getAs[Long]("sel_round"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_q")))
+    val g2 = 1L << 40 // (2^20)² — one unit of squared distance on the grid
+    assert(sel.toSeq == Seq((1L, 1L * g2), (2L, 5L * g2), (3L, 57L * g2)),
+      s"got ${sel.toSeq}")
+  }
+
   test("fps: greedy max-min selection order on a line, partitioning-invariant") {
     // points on a line (x, 0, 0, ...): 0 at 0 (seed), 1 at 1, 2 at 10, 3 at 5.
     // greedy from 0: farthest is 2 (d=100); then 3 (min(25,25)=25 beats 1's

@@ -348,6 +348,25 @@ class EventSpec extends AnyFunSuite {
     assert(rows("2024-01-04") == ((1L, 2L, 2L, 500000L)), "1 of 2 monthly users active")
   }
 
+  test("mad anomalies: spike day flagged, mad4 robust to its own outlier") {
+    // type A: 4 quiet days of 5 events + one 50-event spike. median stays 5
+    // (med2 = 10), MAD stays 0 (mad4 = 0: middle deviations are all zero),
+    // so ONLY the spike clears 2·dev2 > 3·mad4 — the masking-free property.
+    val quiet = (1 to 4).flatMap(d => (1 to 5).map(i =>
+      ((d * 100 + i).toLong, ts(f"2024-01-0$d 10:00:$i%02d"), 1L, "A", 1.0, "")))
+    val spike = (1 to 50).map(i =>
+      ((500 + i).toLong, ts(f"2024-01-05 10:00:${i % 60}%02d"), 1L, "A", 1.0, ""))
+    val ev = (quiet ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.madAnomalies(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("med2"), r.getAs[Long]("mad4"),
+          r.getAs[Int]("is_anomaly"))).toMap
+    assert(rows.size == 5)
+    assert(rows("2024-01-05") == ((50L, 10L, 0L, 1)), s"spike must flag: $rows")
+    assert((1 to 4).forall(d => rows(s"2024-01-0$d")._4 == 0), "quiet days stay quiet")
+  }
+
   test("multitouch credit: 24h lookback splits purchase credit, out-of-window dropped") {
     // purchase day 2 noon; in-window: view day 1 13:00 + click day 2 11:00;
     // out-of-window: view day 1 11:00 (25h before). credit = 1e6 div 2 each.
