@@ -321,9 +321,28 @@ object EventOps {
     * no per-day rescan of a 28-day window. Counts and ratios are exact
     * BIGINTs; the day spine is dense (gap days report 0/0/0).
     */
-  def stickiness(events: DataFrame): DataFrame = {
-    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .persist()
+  def stickiness(events: DataFrame): DataFrame =
+    stickinessFromGrid(userDayGrid(events))
+
+  /** The distinct (user, day) activity grid — [[stickiness]]'s sufficient
+    * statistic, and the mergeable state of the incremental path: grids of
+    * two event batches combine by distinct-union (set union is exact
+    * regardless of how events were split), so stored state never re-reads
+    * history.
+    */
+  def userDayGrid(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+
+  /** Incremental [[stickiness]]: stored grid ∪ arriving batch's grid. Must
+    * equal the full recompute bit-for-bit — the registered op shares the
+    * full path's oracle verbatim.
+    */
+  def stickinessIncremental(stored: DataFrame, arriving: DataFrame): DataFrame =
+    stickinessFromGrid(
+      userDayGrid(stored).unionByName(userDayGrid(arriving)).distinct())
+
+  private def stickinessFromGrid(grid: DataFrame): DataFrame = {
+    val ud = grid.persist()
     val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
     def rolling(w: Int, name: String): DataFrame = ud
@@ -346,6 +365,31 @@ object EventOps {
         when(col("mau") === 0, lit(0L))
           .otherwise(expr("(dau * 1000000) div mau")))
   }
+
+  /** Hash-split A/B readout: users are assigned a variant by the parity of
+    * the portable 60-bit hash of their id — the deterministic, sticky,
+    * engine-portable bucketing every experimentation system needs (the same
+    * user lands in the same arm on any engine, any partitioning, any day).
+    * Per variant: user count, purchase count, exact spend (decimal-sum rule)
+    * and purchases-per-user on the ppm grid.
+    *
+    * Scale shape: one user-grain aggregate absorbs the stream map-side,
+    * then a 2-row variant aggregate. Nothing here is proportional to more
+    * than |users|.
+    */
+  def abLift(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 4)))).as("spend_d"))
+      .select((graft.functions.Portable.hash60(col("user_id").cast(StringType)) % 2)
+        .as("variant"), col("np"), col("spend_d"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("np")).as("n_purchases"),
+        sum(col("spend_d")).cast(DoubleType).as("spend"))
+      .withColumn("purchases_per_user_ppm",
+        expr("(n_purchases * 1000000) div n_users"))
 
   /** Robust daily anomaly screen: median/MAD instead of mean/stddev — a
     * single extreme day inflates a z-score's own threshold (masking), but
@@ -615,7 +659,9 @@ object EventOps {
        |       COUNT(*) AS n_events
        |FROM x GROUP BY event_type""".stripMargin
 
-  def ops: Seq[Op] = Seq(
+  def ops: Seq[Op] = mainOps ++ anomalyAndAttributionOps
+
+  private def mainOps: Seq[Op] = Seq(
     // Densified daily series with zero-filled gaps and LOCF carry-forward.
     Op.sql("events_daily_dense_locf",
       s"""WITH $eventsCte,
@@ -992,7 +1038,43 @@ object EventOps {
     },
 
     // DAU / rolling-WAU / rolling-MAU engagement stickiness per day.
-    Op.sql("events_stickiness",
+    Op.sql("events_stickiness", stickinessOracle) { (s, d) =>
+      stickiness(Tables.events(s, d))
+    },
+
+    // Incremental stickiness: stored (user, day) grid ∪ the arriving batch's
+    // — the full-recompute oracle, verbatim (set-union state is exact).
+    Op.sql("events_stickiness_incremental", stickinessOracle) { (s, d) =>
+      val ev = Tables.events(s, d)
+      stickinessIncremental(
+        ev.filter(col("event_id") % 10 < 8),
+        ev.filter(col("event_id") % 10 >= 8))
+    },
+
+    // Hash-split A/B readout: per variant, users / purchases / exact spend.
+    Op.sql("events_ab_lift",
+      s"""WITH $eventsCte,
+         |u AS (
+         |  SELECT user_id,
+         |         CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+         |           % 2 AS variant,
+         |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS np,
+         |         SUM(CASE WHEN event_type = 'purchase'
+         |                  THEN CAST(value AS DECIMAL(18,4)) END) AS spend_d
+         |  FROM ev GROUP BY user_id)
+         |SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |       CAST(SUM(np) AS BIGINT) AS n_purchases,
+         |       CAST(SUM(spend_d) AS DOUBLE) AS spend,
+         |       CAST((SUM(np) * 1000000) // COUNT(*) AS BIGINT)
+         |         AS purchases_per_user_ppm
+         |FROM u GROUP BY variant""".stripMargin) { (s, d) =>
+      abLift(Tables.events(s, d))
+    },
+  )
+
+  /** Shared by the full and incremental stickiness ops. */
+  private lazy val stickinessOracle: String =
       s"""WITH $eventsCte,
          |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
          |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
@@ -1018,10 +1100,9 @@ object EventOps {
          |       END AS stickiness_ppm
          |FROM spine s LEFT JOIN dau d USING (day)
          |LEFT JOIN wau w ON w.day = s.day
-         |LEFT JOIN mau m ON m.day = s.day""".stripMargin) { (s, d) =>
-      stickiness(Tables.events(s, d))
-    },
+         |LEFT JOIN mau m ON m.day = s.day""".stripMargin
 
+  private def anomalyAndAttributionOps: Seq[Op] = Seq(
     // Robust (median/MAD) daily anomaly screen on exact integer grids.
     Op.sql("events_anomaly_mad",
       s"""WITH $eventsCte,

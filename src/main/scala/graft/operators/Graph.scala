@@ -269,6 +269,42 @@ object Graph {
         explode(array_intersect(col("na"), col("nb"))).as("w"))
   }
 
+  /** Modularity of the [[labelPropagation]] partition, per community on the
+    * ppm grid: `Q_c = w_in/m − (d_c/m)²` with w_in the community's internal
+    * directed weight, d_c its out-strength sum, m the total directed weight
+    * — the standard "are these communities denser than chance" scorecard
+    * that turns LPA from a label dump into an audited clustering (a
+    * community with q_ppm ≤ 0 is no better than random wiring).
+    *
+    * Exactness: both ratio terms are floor divisions on the ppm grid and
+    * `a²` is `(a_ppm · a_ppm) div 1e6` — all BIGINT, so the score is
+    * partitioning-invariant. Plan: the LPA labels (node-grain, broadcast
+    * by the same contract as LPA itself) join the edge list twice (src and
+    * dst side) for w_in, once for d_c; community-grain aggregates after.
+    */
+  def modularity(edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    val comm = labelPropagation(e)
+    val m = e.agg(sum(col("w")).as("m"))
+    val ca = comm.select(col("product_id").as("src"), col("community"))
+    val cb = comm.select(col("product_id").as("dst"), col("community").as("cb"))
+    val win = e.join(broadcast(ca), "src").join(broadcast(cb), "dst")
+      .filter(col("community") === col("cb"))
+      .groupBy(col("community")).agg(sum(col("w")).as("w_in"))
+    val dcs = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .join(broadcast(ca), "src")
+      .groupBy(col("community")).agg(sum(col("ow")).as("dsum"))
+    // e stays cached until the session's per-query cache clear — all three
+    // consumers (w_in, d_c, m) and LPA's rounds read the same blocks
+    dcs.join(win, Seq("community"), "left").crossJoin(broadcast(m))
+      .select(col("community"), coalesce(col("w_in"), lit(0L)).as("w_in"),
+        col("dsum"), col("m"))
+      .select(col("community"), col("w_in"), col("dsum"),
+        expr("""(w_in * 1000000) div m
+               - (((dsum * 1000000) div m) * ((dsum * 1000000) div m)) div 1000000""")
+          .as("q_ppm"))
+  }
+
   /** Relaxation rounds for [[weightedSssp]] (diameter bound explored). */
   val ssspRounds = 4
 
@@ -507,6 +543,25 @@ object Graph {
        |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
        |nn AS (SELECT COUNT(*) AS n FROM outw)""".stripMargin
 
+  /** LPA CTE chain ending in `l{lpaIters}(node, lab)` — shared by the LPA op
+    * and the modularity scorecard so both pin the same partition.
+    */
+  private lazy val lpaCtes: String = {
+    val rounds = (1 to lpaIters).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""t$r AS (
+         |  SELECT e.dst, l.lab, SUM(e.w) AS wt
+         |  FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT dst AS node, lab FROM (
+         |    SELECT dst, lab,
+         |           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY wt DESC, lab) AS rn
+         |    FROM t$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT src AS node, src AS lab FROM outw),
+       |$rounds""".stripMargin
+  }
+
   /** Unrolled PageRank oracle: p0 then [[prIters]] rounds of the identical
     * integer recurrence ([[pageRank]] scaladoc), HUGEINT-safe via the final
     * BIGINT cast.
@@ -584,24 +639,34 @@ object Graph {
     },
 
     // Synchronous LPA communities (deterministic tie-break, unrolled oracle).
-    Op.sql("graph_label_propagation", {
-      val rounds = (1 to lpaIters).map { r =>
-        val prev = if (r == 1) "l0" else s"l${r - 1}"
-        s"""t$r AS (
-           |  SELECT e.dst, l.lab, SUM(e.w) AS wt
-           |  FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
-           |l$r AS (
-           |  SELECT dst AS node, lab FROM (
-           |    SELECT dst, lab,
-           |           ROW_NUMBER() OVER (PARTITION BY dst ORDER BY wt DESC, lab) AS rn
-           |    FROM t$r) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+    Op.sql("graph_label_propagation",
       s"""WITH $edgesCtes,
-         |l0 AS (SELECT src AS node, src AS lab FROM outw),
-         |$rounds
-         |SELECT node AS product_id, lab AS community FROM l$lpaIters""".stripMargin
-    }) { (s, d) =>
+         |$lpaCtes
+         |SELECT node AS product_id, lab AS community FROM l$lpaIters""".stripMargin) {
+      (s, d) =>
       labelPropagation(storedEdges(s, d))
+    },
+
+    // Modularity of the LPA partition — the community-quality scorecard.
+    Op.sql("graph_modularity",
+      s"""WITH $edgesCtes,
+         |$lpaCtes,
+         |comm AS (SELECT node, lab AS community FROM l$lpaIters),
+         |m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+         |win AS (SELECT ca.community, CAST(SUM(e.w) AS BIGINT) AS w_in
+         |        FROM e JOIN comm ca ON ca.node = e.src
+         |               JOIN comm cb ON cb.node = e.dst
+         |        WHERE ca.community = cb.community GROUP BY 1),
+         |dcs AS (SELECT c.community, CAST(SUM(o.ow) AS BIGINT) AS dsum
+         |        FROM outw o JOIN comm c ON c.node = o.src GROUP BY 1)
+         |SELECT d.community, COALESCE(w.w_in, 0) AS w_in, d.dsum,
+         |       CAST((COALESCE(w.w_in, 0) * 1000000) // m.m
+         |            - (((d.dsum * 1000000) // m.m)
+         |               * ((d.dsum * 1000000) // m.m)) // 1000000
+         |            AS BIGINT) AS q_ppm
+         |FROM dcs d LEFT JOIN win w ON w.community = d.community
+         |CROSS JOIN m""".stripMargin) { (s, d) =>
+      modularity(storedEdges(s, d))
     },
 
     // Hop-limited multi-source BFS from the seed products.

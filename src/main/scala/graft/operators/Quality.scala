@@ -197,7 +197,40 @@ object Quality {
 
   private val itemCols = Seq("order_id", "product_id", "sale_price", "returned_at", "created_at")
 
+  /** Order-independent table content signature: COUNT plus BIT_XOR of a
+    * per-row portable 60-bit hash over a canonical string rendering. THE
+    * cheap replication/migration check at 100 TB — two copies of a table
+    * compare by exchanging ONE row each, with no sort, no shuffle-to-one,
+    * and no row ever leaving its partition (xor is commutative/associative,
+    * so partial signatures combine map-side in any order). Caveats are the
+    * contract: columns must be rendered identically on both engines (ints
+    * and strings verbatim, dates via the fixed `yyyy-MM-dd` format under
+    * the UTC session) and non-null — a null would collapse the whole row
+    * string on one engine and skip a separator on the other.
+    */
+  def rowsChecksum(orders: DataFrame): DataFrame =
+    orders
+      .select(graft.functions.Portable.hash60(concat_ws("|",
+        col("o_orderkey").cast(StringType), col("o_custkey").cast(StringType),
+        col("o_orderstatus"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("h60"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h60)").as("xor_sig"))
+
   def ops: Seq[Op] = Seq(
+    // Order-independent content signature of the orders table.
+    Op.sql("quality_rows_checksum",
+      """WITH h AS (
+        |  SELECT CAST(('0x'||substr(md5(
+        |           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |           || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||
+        |           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')), 1, 15))
+        |         AS BIGINT) AS h60
+        |  FROM orders)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(bit_xor(h60) AS BIGINT) AS xor_sig
+        |FROM h""".stripMargin) { (s, d) =>
+      rowsChecksum(Tables.orders(s, d))
+    },
     // Benford leading-digit drift over order totals.
     Op.sql("quality_benford_prices", {
       val values = benfordPpm.map { case (d, p) => s"($d, $p)" }.mkString(", ")

@@ -348,6 +348,45 @@ class EventSpec extends AnyFunSuite {
     assert(rows("2024-01-04") == ((1L, 2L, 2L, 500000L)), "1 of 2 monthly users active")
   }
 
+  test("incremental stickiness equals the full recompute on any event split") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-02 11:00:00"), 2L, "view", 1.0, ""),
+      (4L, ts("2024-01-03 12:00:00"), 3L, "view", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val full = EventOps.stickiness(ev).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+        r.getAs[Long]("stickiness_ppm"))).sortBy(_._1)
+    val merged = EventOps.stickinessIncremental(
+      ev.filter($"event_id" <= 2), ev.filter($"event_id" > 2)).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("dau"),
+        r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+        r.getAs[Long]("stickiness_ppm"))).sortBy(_._1)
+    assert(merged.toSeq == full.toSeq)
+  }
+
+  test("ab lift: sticky hash split partitions users, exact counts and spend") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 10.0, ""),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-01 12:00:00"), 2L, "purchase", 5.0, ""),
+      (4L, ts("2024-01-01 13:00:00"), 3L, "view", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.abLift(ev).collect()
+      .map(r => (r.getAs[Long]("variant"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_purchases"), Option(r.getAs[java.lang.Double]("spend"))))
+    assert(rows.map(_._2).sum == 3, "every user lands in exactly one arm")
+    assert(rows.map(_._3).sum == 2, "purchase totals preserved across arms")
+    assert(rows.flatMap(_._4).map(_.toDouble).sum == 15.0, "spend partitions exactly")
+    // stickiness: rerun with different partitioning → identical assignment
+    val rows2 = EventOps.abLift(ev.repartition(5)).collect()
+      .map(r => (r.getAs[Long]("variant"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_purchases"), Option(r.getAs[java.lang.Double]("spend"))))
+    assert(rows.sortBy(_._1).toSeq == rows2.sortBy(_._1).toSeq)
+  }
+
   test("mad anomalies: spike day flagged, mad4 robust to its own outlier") {
     // type A: 4 quiet days of 5 events + one 50-event spike. median stays 5
     // (med2 = 10), MAD stays 0 (mad4 = 0: middle deviations are all zero),

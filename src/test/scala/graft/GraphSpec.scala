@@ -142,6 +142,19 @@ class GraphSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1, 6L -> 0))
   }
 
+  test("modularity: two disjoint triangles score +1/4 each on the ppm grid") {
+    // LPA resolves each K3 to one community; per community w_in = 6 of
+    // m = 12, d_c = 6 → q = 6/12 − (6/12)² = 1/4 exactly (250000 ppm)
+    val tri = (base: Long) => Seq((base, base + 1), (base, base + 2),
+      (base + 1, base + 2)).flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+    val edges = (tri(1L) ++ tri(4L)).toDF("src", "dst", "w")
+    val q = Graph.modularity(edges).collect()
+      .map(r => r.getAs[Long]("community") ->
+        (r.getAs[Long]("w_in"), r.getAs[Long]("dsum"), r.getAs[Long]("q_ppm"))).toMap
+    assert(q.size == 2, s"expected one community per triangle, got $q")
+    assert(q.values.forall(_ == ((6L, 6L, 250000L))), s"got $q")
+  }
+
   test("weighted sssp: strong two-hop path beats the weak direct edge") {
     // 1→2 weak (w=1, len 1000001); 1→3→2 strong (w=1000 each, len 1001/hop):
     // shortest 1→2 is VIA 3 at 2002, not the direct hop

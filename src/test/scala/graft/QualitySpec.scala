@@ -160,4 +160,28 @@ class QualitySpec extends AnyFunSuite {
     assert(s1.map(_.getAs[Long]("order_id")).sorted.sameElements(
       s2.map(_.getAs[Long]("order_id")).sorted))
   }
+
+  test("rows checksum: order/partitioning-invariant, any changed row flips it") {
+    import java.sql.Timestamp
+    def row(k: Long, c: Long, st: String, pr: String, d: String) =
+      (k, c, st, pr, Timestamp.valueOf(d + " 00:00:00"))
+    val rows = Seq(
+      row(1, 10, "O", "1-URGENT", "1995-01-01"),
+      row(2, 20, "F", "3-MEDIUM", "1995-06-01"),
+      row(3, 30, "O", "5-LOW", "1996-01-01"))
+    def frame(rs: Seq[(Long, Long, String, String, Timestamp)], parts: Int) =
+      rs.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate").repartition(parts)
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val r = Quality.rowsChecksum(df).collect().head
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_sig"))
+    }
+    val base = sig(frame(rows, 1))
+    assert(sig(frame(rows.reverse, 7)) == base,
+      "signature must not depend on row order or partitioning")
+    val changed = sig(frame(rows.updated(1,
+      row(2, 20, "F", "2-HIGH", "1995-06-01")), 3))
+    assert(changed._1 == base._1 && changed._2 != base._2,
+      "a one-column change must flip the xor signature")
+  }
 }
