@@ -176,14 +176,48 @@ object Dedup {
     // three times (bands + both verify sides). MEMORY_AND_DISK spills cleanly
     // on a real cluster.
     val hs = hashedShingles(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyPairs(lshCandidates(hs), hs)
+  }
+
+  /** The band-collision candidate pair set BEFORE Jaccard verification —
+    * [[minhashPairs]]' first stage, exposed so the recall report can score
+    * the banding scheme itself (a verified pair set can't distinguish "LSH
+    * missed it" from "verification rejected it").
+    */
+  def lshCandidates(hs: DataFrame): DataFrame = {
     val bands = bandsOf(minhashSignatures(hs))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, hs)
+  }
+
+  /** Banding recall curve: the exact blocked n-gram-Jaccard baseline pairs
+    * (j ≥ 0.5, same shingle space) bucketed into 0.05 Jaccard bands, with
+    * the fraction of each band that the MinHash banding scheme surfaced as
+    * a CANDIDATE — the measured S-curve that validates the (bands × rows)
+    * choice against its theoretical `1−(1−j^r)^b`. Low-j bands SHOULD show
+    * low recall (that's the point of banding); the τ-relevant bands near 1
+    * must be ≈ 1e6.
+    *
+    * Plan: both pair generators are the existing banded/blocked plans
+    * (never all-pairs); scoring is one left join of two pair sets on the
+    * pair key + a band-grain aggregate. Integers except the band label.
+    */
+  def lshRecallReport(docs: DataFrame): DataFrame = {
+    GraftExpressions.register(docs.sparkSession)
+    val hs = hashedShingles(docs)
+    val cand = lshCandidates(hs).withColumn("found", lit(1L))
+    ngramJaccardPairs(docs)
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"), coalesce(col("found"), lit(0L)).as("found"))
+      .groupBy(floor(col("jaccard") * 20).as("band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("found")).as("n_found"))
+      .select((col("band").cast(DoubleType) / 20).as("tau_lo"),
+        col("n_pairs"), col("n_found"),
+        expr("(n_found * 1000000) div n_pairs").as("recall_ppm"))
   }
 
   /** Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs
@@ -836,6 +870,22 @@ object Dedup {
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
       jaccardThresholdSweep(Tables.documents(s, d))
+    },
+
+    // Measured LSH banding S-curve against the exact Jaccard baseline.
+    Op.sql("dedup_lsh_recall",
+      s"""WITH $minhashPairsCtes,
+         |p AS ($ngramJaccardOracle),
+         |sc AS (SELECT p.jaccard,
+         |              CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS found
+         |       FROM p LEFT JOIN cand c
+         |         ON c.da = p.doc_a AND c.db = p.doc_b)
+         |SELECT CAST(FLOOR(jaccard * 20) AS DOUBLE) / 20 AS tau_lo,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(found) AS BIGINT) AS n_found,
+         |       CAST((SUM(found) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM sc GROUP BY 1""".stripMargin) { (s, d) =>
+      lshRecallReport(Tables.documents(s, d))
     },
 
     // Provenance rollup of near-dup pairs spanning two different sources.

@@ -366,6 +366,34 @@ object EventOps {
           .otherwise(expr("(dau * 1000000) div mau")))
   }
 
+  /** Seasonal lag (days) for [[forecastNaive]]. */
+  val forecastLagDays = 7
+
+  /** Seasonal-naive forecast evaluation: predict each day's event count
+    * with the count from the same weekday one week earlier, and report the
+    * per-type absolute-error profile — the BASELINE every real forecasting
+    * model must beat (a model that loses to last-week-same-day is worse
+    * than no model; this op is the denominator of that comparison, MASE's
+    * scaling term). Errors are exact integer counts; the mean is reported
+    * in milli-units (`sum·1000 div n`).
+    *
+    * Scale shape: the stream collapses to (type, day) grain; the forecast
+    * is a self-equi-join on (type, day − 7) of that tiny frame — no windows,
+    * no dense spine needed (a day with no lagged observation is excluded
+    * from scoring, which is the standard holdout rule).
+    */
+  def forecastNaive(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val lagged = daily.select(col("event_type"),
+      date_add(col("day"), forecastLagDays).as("day"), col("c").as("f"))
+    daily.join(lagged, Seq("event_type", "day"))
+      .select(col("event_type"), abs(col("c") - col("f")).as("abs_err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("abs_err")).as("sum_abs_err"))
+      .withColumn("mae_milli", expr("(sum_abs_err * 1000) div n_eval"))
+  }
+
   /** Hash-split A/B readout: users are assigned a variant by the parity of
     * the portable 60-bit hash of their id — the deterministic, sticky,
     * engine-portable bucketing every experimentation system needs (the same
@@ -1103,6 +1131,23 @@ object EventOps {
          |LEFT JOIN mau m ON m.day = s.day""".stripMargin
 
   private def anomalyAndAttributionOps: Seq[Op] = Seq(
+    // Seasonal-naive forecast baseline: |count − count(day−7)| per type.
+    Op.sql("events_forecast_naive",
+      s"""WITH $eventsCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |                 CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM ev GROUP BY 1, 2),
+         |sc AS (SELECT d.event_type, ABS(d.c - p.c) AS abs_err
+         |       FROM daily d JOIN daily p
+         |         ON p.event_type = d.event_type
+         |        AND p.day = d.day - $forecastLagDays)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+         |       CAST((SUM(abs_err) * 1000) // COUNT(*) AS BIGINT) AS mae_milli
+         |FROM sc GROUP BY event_type""".stripMargin) { (s, d) =>
+      forecastNaive(Tables.events(s, d))
+    },
+
     // Robust (median/MAD) daily anomaly screen on exact integer grids.
     Op.sql("events_anomaly_mad",
       s"""WITH $eventsCte,

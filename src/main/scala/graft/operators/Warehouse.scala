@@ -67,6 +67,62 @@ object Warehouse {
       .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
   }
 
+  /** Incremental SCD2 maintenance: merge a stored history with the history
+    * of a NEWER batch (every arriving observation later than every stored
+    * one per key — the watermark contract a daily warehouse load satisfies
+    * by construction). The stored history is never rebuilt:
+    *
+    *  - keys untouched by the batch pass through;
+    *  - a batch whose first run CONTINUES the stored current value merges
+    *    into that run (observation counts add, `valid_from` keeps the
+    *    original onset, the run inherits the batch run's closure);
+    *  - otherwise the stored current run CLOSES at the batch's first
+    *    `valid_from`;
+    *  - remaining batch runs append with versions shifted to continue the
+    *    stored numbering.
+    *
+    * Must equal `scd2(full log)` bit-for-bit — the registered op shares the
+    * full rebuild's oracle verbatim. At 100 TB this is THE difference
+    * between a daily dimension load that touches one day of change and one
+    * that re-sorts all of history: every join here is key-grain, and only
+    * current runs and the batch shuffle.
+    */
+  def scd2Merge(stored: DataFrame, batch: DataFrame, key: String,
+      attr: String): DataFrame = {
+    val hist = stored.filter(col("is_current") === 0)
+    val curr = stored.filter(col("is_current") === 1)
+    val first = batch.filter(col("version") === 1)
+      .select(col(key), col(attr).as("a_new"), col("valid_from").as("f_new"),
+        col("n_obs").as("m_new"), col("valid_to").as("vt_new"),
+        col("is_current").as("ic_new"))
+    val j = curr.join(first, Seq(key), "left")
+    val untouched = j.filter(col("a_new").isNull)
+      .select(curr.columns.map(col): _*)
+    val merged = j.filter(col("a_new").isNotNull && col(attr) === col("a_new"))
+      .select(col(key), col("version"), col(attr), col("valid_from"),
+        (col("n_obs") + col("m_new")).as("n_obs"),
+        col("vt_new").as("valid_to"), col("ic_new").as("is_current"))
+    val closed = j.filter(col("a_new").isNotNull && col(attr) =!= col("a_new"))
+      .select(col(key), col("version"), col(attr), col("valid_from"),
+        col("n_obs"), col("f_new").as("valid_to"), lit(0).as("is_current"))
+    val shiftInfo = curr.select(col(key), col("version").as("v_cur"),
+      col(attr).as("a_cur"))
+    val appended = batch
+      .join(first.select(col(key), col("a_new")), Seq(key))
+      .join(shiftInfo, Seq(key), "left")
+      .withColumn("mergedk", col("a_cur").isNotNull && col("a_cur") === col("a_new"))
+      .filter(!(col("mergedk") && col("version") === 1)) // run 1 absorbed above
+      .select(col(key),
+        (col("version") + when(col("v_cur").isNull, 0)
+          .when(col("mergedk"), col("v_cur") - 1)
+          .otherwise(col("v_cur"))).as("version"),
+        col(attr), col("valid_from"), col("n_obs"), col("valid_to"),
+        col("is_current"))
+    hist.select(curr.columns.map(col): _*)
+      .unionByName(untouched).unionByName(merged).unionByName(closed)
+      .unionByName(appended)
+  }
+
   // --------------------------------------------------------------------------
   // CDC: snapshot, diff, apply
   // --------------------------------------------------------------------------
@@ -228,6 +284,21 @@ object Warehouse {
         .filter(col("valid_from") <= lit(scd2AsOf).cast("timestamp")
           && (col("valid_to").isNull
             || col("valid_to") > lit(scd2AsOf).cast("timestamp")))
+    },
+
+    // Incremental SCD2: stored history + newer-batch history merge —
+    // the oracle is the FULL-rebuild history query verbatim.
+    Op.sql("warehouse_scd2_incremental",
+      s"""WITH $scd2PriorityCtes
+         |SELECT user_id, version, priority, valid_from, n_obs, valid_to,
+         |       is_current
+         |FROM hist""".stripMargin) { (s, d) =>
+      val log = priorityLog(s, d)
+      val split = lit("1998-01-01").cast("timestamp")
+      scd2Merge(
+        scd2(log.filter(col("ts") < split), "user_id", "priority", "ts", "oid"),
+        scd2(log.filter(col("ts") >= split), "user_id", "priority", "ts", "oid"),
+        "user_id", "priority")
     },
 
     // Point-in-time activity snapshot (the CDC base table).

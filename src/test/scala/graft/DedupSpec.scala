@@ -501,6 +501,20 @@ class DedupSpec extends AnyFunSuite {
     assert(bf.forall { case (q, n) => q != n })
   }
 
+  test("lsh recall report: high-jaccard bands fully recalled on the dup fixture") {
+    // fixture: (0,1) identical (j=1), (0,2)/(1,2) near (j≈0.88) — all three
+    // collide in LSH bands (proven by the minhash test), so every band the
+    // exact baseline emits must report full recall here
+    val rows = Dedup.lshRecallReport(docs).collect()
+      .map(r => r.getAs[Double]("tau_lo") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_found"),
+          r.getAs[Long]("recall_ppm")))
+    assert(rows.map(_._2._1).sum == 3, s"3 baseline pairs expected: ${rows.toSeq}")
+    assert(rows.forall { case (_, (n, f, ppm)) => n == f && ppm == 1000000L },
+      s"full recall expected on this fixture: ${rows.toSeq}")
+    assert(rows.exists(_._1 == 1.0), "the identical pair sits in the top band")
+  }
+
   test("cross-source audit: provenance rollup of near-dup pairs, exact copies counted") {
     // fixture docs: 0(s0) ≡ 1(s1) verbatim; 2(s2) near-dup of both; 3 unrelated
     val rows = Dedup.crossSourcePairs(docs).collect()

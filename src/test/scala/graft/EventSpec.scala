@@ -348,6 +348,20 @@ class EventSpec extends AnyFunSuite {
     assert(rows("2024-01-04") == ((1L, 2L, 2L, 500000L)), "1 of 2 monthly users active")
   }
 
+  test("forecast naive: same-weekday-last-week baseline, unlagged days excluded") {
+    // type A: day 1 → 2 events, day 8 → 5 events (err 3); days 2-7 absent.
+    // Only day 8 has a 7-day-lagged observation, so n_eval = 1.
+    val ev = ((1 to 2).map(i => (i.toLong, ts(s"2024-01-01 10:00:0$i"), 1L, "A", 1.0, "")) ++
+      (1 to 5).map(i => ((10 + i).toLong, ts(s"2024-01-08 10:00:0$i"), 1L, "A", 1.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.forecastNaive(ev).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[String]("event_type"), row.getAs[Long]("n_eval"),
+      row.getAs[Long]("sum_abs_err"), row.getAs[Long]("mae_milli"))
+      == (("A", 1L, 3L, 3000L)))
+  }
+
   test("incremental stickiness equals the full recompute on any event split") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),

@@ -89,4 +89,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition(t"), "window must partition by key")
     assert(plan.contains("windowspecdefinition(user_id"), plan)
   }
+
+  test("scd2 merge equals full rebuild across all branch shapes") {
+    // key 1: batch CONTINUES the current value (run merge, counts add);
+    // key 2: batch CHANGES it (close + append); key 3: stored-only;
+    // key 4: batch-only (fresh key)
+    val stored = Seq(
+      (1L, "A", ts("2024-01-01"), 1L), (1L, "A", ts("2024-01-02"), 2L),
+      (2L, "X", ts("2024-01-01"), 3L),
+      (3L, "Z", ts("2024-01-01"), 4L)
+    ).toDF("user_id", "priority", "t", "oid")
+    val batch = Seq(
+      (1L, "A", ts("2024-02-01"), 11L), (1L, "B", ts("2024-02-02"), 12L),
+      (2L, "Y", ts("2024-02-01"), 13L),
+      (4L, "Q", ts("2024-02-01"), 14L)
+    ).toDF("user_id", "priority", "t", "oid")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Warehouse.scd2(df, "user_id", "priority", "t", "oid")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[String]("priority"), r.getAs[Timestamp]("valid_from"),
+        r.getAs[Long]("n_obs"), Option(r.getAs[Timestamp]("valid_to")),
+        r.getAs[Int]("is_current"))).toSet
+    val merged = rows(Warehouse.scd2Merge(hist(stored), hist(batch),
+      "user_id", "priority"))
+    val full = rows(hist(stored.unionByName(batch)))
+    assert(merged == full, s"merged\n$merged\nfull\n$full")
+    // the continued run really merged: key 1 version 1 holds 3 observations
+    assert(merged.exists(r => r._1 == 1L && r._2 == 1 && r._5 == 3L))
+  }
 }
