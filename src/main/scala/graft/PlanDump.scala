@@ -12,7 +12,9 @@ object PlanDump {
     "kpi_consolidated", "kpi_revenue_by_nation", "dedup_minhash_pairs",
     "graph_pagerank", "search_bm25_topk", "sim_topk_ivf_sq8",
     "sample_token_budget", "graph_triangles_per_node",
-    "search_hybrid_rrf", "sim_knn_graph")
+    "search_hybrid_rrf", "sim_knn_graph",
+    "search_phrase_match", "events_stickiness", "graph_modularity",
+    "dedup_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
