@@ -56,7 +56,9 @@ object GraftExpressions {
     ("graft_minhash", classOf[MinHashSig],
       args => MinHashSig(args(0), args(1), MinHashSig.literalK(args(2)))),
     ("graft_sorted_run_stats", classOf[SortedRunStats],
-      args => SortedRunStats(args(0))))
+      args => SortedRunStats(args(0))),
+    ("graft_hilbert", classOf[HilbertKey],
+      args => HilbertKey(args(0), args(1))))
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
@@ -78,6 +80,9 @@ object GraftExpressions {
 
   /** 32-bit SimHash of a long-array of feature hashes, in ONE array pass. */
   def simhash32(a: Column): Column = call_function("graft_simhash32", a)
+
+  /** Hilbert-curve distance of a (x, y) cell on the 2^16 × 2^16 grid. */
+  def hilbert(x: Column, y: Column): Column = call_function("graft_hilbert", x, y)
 
   /** k MinHash minima of the double-hash family (h1 + s·(h2>>4)) & 2^60-1,
     * s = 0..k-1, in ONE pass over the aligned hash arrays.
@@ -456,4 +461,79 @@ case class MinHashSig(left: Expression, right: Expression, k: Int)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): MinHashSig = copy(left = newLeft, right = newRight)
+}
+
+/** Hilbert-curve distance of an (x, y) cell on the fixed 2^16 × 2^16 grid
+  * (inputs masked to their low 16 bits). The locality-clustering key that
+  * strictly dominates Z-order for range scans: consecutive Hilbert distances
+  * are ALWAYS grid neighbors (no Z-shape jumps across the plane), so a file
+  * sorted by this key answers a 2-D range predicate from fewer row groups.
+  *
+  * One imperative 16-level loop per row (the classic rx/ry rotate-and-
+  * accumulate walk), inlined into whole-stage codegen. An unrolled
+  * expression-tree formulation is NOT equivalent here: each level rewrites
+  * (x, y) via branches, so inlining doubles the tree per level — the
+  * codegen'd loop is what keeps this a cheap per-row kernel. The DuckDB twin
+  * ([[graft.functions.Portable.hilbertKeySql]]) spells the same walk as 16
+  * nested subqueries.
+  */
+case class HilbertKey(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hilbert"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[Long] & HilbertKey.Mask
+    var y = b.asInstanceOf[Long] & HilbertKey.Mask
+    var d = 0L
+    var s = 1L << (HilbertKey.Bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (x, y, d, s) = (ctx.freshName("x"), ctx.freshName("y"),
+        ctx.freshName("d"), ctx.freshName("s"))
+      val (rx, ry, t) = (ctx.freshName("rx"), ctx.freshName("ry"), ctx.freshName("t"))
+      s"""
+         |long $x = $a & ${HilbertKey.Mask}L;
+         |long $y = $b & ${HilbertKey.Mask}L;
+         |long $d = 0L;
+         |for (long $s = ${1L << (HilbertKey.Bits - 1)}L; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0L) {
+         |    if ($rx == 1L) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertKey = copy(left = newLeft, right = newRight)
+}
+
+object HilbertKey {
+  /** Bits per dimension (fixed — the key covers a 2^16 × 2^16 grid). */
+  val Bits = 16
+  val Mask: Long = (1L << Bits) - 1
 }

@@ -89,6 +89,31 @@ object Portable {
     terms.mkString("(", " + ", ")")
   }
 
+  /** DuckDB twin of [[HilbertKey]]: the same 16-level rotate-and-accumulate
+    * walk spelled as nested subqueries (one per level) — NOT one unrolled
+    * expression, which would double per level. `__SRC__` is the caller's
+    * relation placeholder; the result column is `hd`, and the walk's working
+    * columns `hx`/`hy` are dropped at the outermost level by the caller's
+    * projection.
+    */
+  def hilbertKeySql(x: String, y: String): String = {
+    val bits = graft.functions.HilbertKey.Bits
+    val mask = graft.functions.HilbertKey.Mask
+    var q = s"SELECT *, CAST($x AS BIGINT) & $mask AS hx, " +
+      s"CAST($y AS BIGINT) & $mask AS hy, CAST(0 AS BIGINT) AS hd FROM __SRC__"
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      q = s"SELECT * EXCLUDE (hx, hy, hd), " +
+        s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hy ELSE hy END) ELSE hx END AS hx, " +
+        s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${s - 1} - hx ELSE hx END) ELSE hy END AS hy, " +
+        s"hd + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS hd " +
+        s"FROM ($q)"
+    }
+    q
+  }
+
   /** Word n-gram shingles of a (pre-split) words array, deduplicated.
     * Caller must ensure `size(words) >= n` (Spark's `sequence(1, k)` with k<1
     * would count DOWN; the ops filter short docs out explicitly on both sides).

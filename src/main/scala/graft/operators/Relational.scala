@@ -344,6 +344,28 @@ object Relational {
         zorderKey(col("l_partkey"), 16, col("l_suppkey"), 16).as("z"))
     },
 
+    // Hilbert clustering key: the locality-superior alternative to Z-order
+    // (consecutive keys are ALWAYS grid neighbors — no Z-jump across the
+    // plane), via the codegen'd 16-level walk; the oracle spells the same
+    // walk as 16 nested subqueries.
+    Op.sql("layout_hilbert_key", {
+      val inner = graft.functions.Portable
+        .hilbertKeySql("l_partkey", "l_suppkey")
+        .replace("__SRC__",
+          "(SELECT l_orderkey AS order_id, l_partkey, l_suppkey FROM lineitem)")
+      s"""SELECT order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
+         |       hd AS h
+         |FROM ($inner)""".stripMargin
+    }) { (s, d) =>
+      graft.functions.GraftExpressions.register(s)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("supplier_id"),
+        graft.functions.GraftExpressions
+          .hilbert(col("l_partkey"), col("l_suppkey")).as("h"))
+    },
+
     Op.sql("sample_weighted_priority",
       s"""SELECT o_orderkey AS order_id, o_totalprice AS weight,
          |  CAST(${hexToLongSql("md5(CAST(o_orderkey AS VARCHAR) || '|w1')", 1)} AS DOUBLE)

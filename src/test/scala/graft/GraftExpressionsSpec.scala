@@ -141,4 +141,30 @@ class GraftExpressionsSpec extends AnyFunSuite {
     // 1,5,9: bit 0 set in all three (majority); bits 2 and 3 set in one of three each
     assert(on.getLong(1) == off.getLong(1) && on.getLong(1) == 1L)
   }
+
+  test("HilbertKey: bijective on a sub-square and ALWAYS neighbor-adjacent") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    // all of [0,32)²: high-level rotations keep it a valid Hilbert sub-curve,
+    // so d must be exactly 0..1023 and consecutive d values must be Manhattan
+    // neighbors — THE property Z-order lacks (its z-jumps teleport)
+    val n = 32
+    val pts = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val rows = pts.select($"x", $"y",
+        GraftExpressions.hilbert($"x", $"y").as("d")).collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1)))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq,
+      "distances must be a bijection onto 0..n²−1")
+    val jumps = rows.sliding(2).count { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps == 0, s"$jumps non-adjacent consecutive steps — not a Hilbert walk")
+    // masking: coordinates beyond 16 bits wrap onto the grid, never throw
+    val big = Seq((70000L, 140000L)).toDF("x", "y")
+      .select(GraftExpressions.hilbert($"x", $"y")).collect().head.getLong(0)
+    val masked = Seq((70000L & 0xFFFFL, 140000L & 0xFFFFL)).toDF("x", "y")
+      .select(GraftExpressions.hilbert($"x", $"y")).collect().head.getLong(0)
+    assert(big == masked)
+  }
 }
