@@ -131,8 +131,18 @@ object Search {
     import spark.implicits._
     val qt = queries.toDF("query_id", "qtext")
       .select(col("query_id"), explode(split(col("qtext"), " ")).as("token"))
+    rankTopK(bm25Scores(idx, qt), k)
+  }
+
+  /** The BM25 scoring core against an expanded/explicit (query_id, token)
+    * term frame — the shared kernel of [[bm25TopKFromIndex]] and the PRF
+    * second pass. Plan: postings ⋈ broadcast(term frame ⋈ df artifact) ⋈
+    * broadcast one-row stats → exact integer per-term score → (query, doc)
+    * hash aggregate. The postings scan touches only the frame's terms.
+    */
+  private def bm25Scores(idx: Bm25Index, qt: DataFrame): DataFrame = {
     val dfr = idx.df.join(broadcast(qt), "token") // term-grain artifact, pruned to query terms
-    val scored = idx.postings
+    idx.postings
       .join(broadcast(dfr), "token")
       .crossJoin(broadcast(idx.stats))
       .select(col("query_id"), col("doc_id"),
@@ -142,10 +152,68 @@ object Search {
         expr(s"(num div den) * $bm25Grid + ((num % den) * $bm25Grid) div den").as("s"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score_q"))
+  }
+
+  /** Per-query top-k of a (query_id, doc_id, score_q) frame. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------------------
+  // Pseudo-relevance-feedback query expansion (Rocchio-style) over the index
+  // --------------------------------------------------------------------------
+
+  /** Feedback depth: docs per query assumed relevant after pass 1. */
+  val prfFeedbackDocs = 3
+
+  /** Expansion width: new terms adopted per query. */
+  val prfExpansionTerms = 2
+
+  /** Two-pass retrieval with pseudo-relevance feedback: pass 1 ranks with
+    * BM25 and takes the top-f docs as assumed-relevant; every term those
+    * docs contain that is NOT already a query term is weighted by
+    * `Σ_feedback tf · idfQ(t)` (the same 2^20-grid rational IDF, df-capped
+    * at the [[mltDfCapOf]] stopword threshold); the top-e terms per query
+    * join the original terms and pass 2 re-ranks with plain BM25 over the
+    * widened term set — classic Rocchio expansion with integer weights, so
+    * the final ranking is bit-deterministic under any partitioning.
+    *
+    * Scale shape: pass 1 is [[bm25Scores]] (query-term postings only). The
+    * expansion candidate set comes from ONE postings scan semi-joined to
+    * the broadcast (|queries|·f)-row feedback list — at 100 TB this is the
+    * only full-scan stage and it is map-side (no shuffle; the aggregate
+    * key is (query, term) over feedback-doc vocabulary only). Term weights
+    * join the df ARTIFACT (never re-aggregated postings); pass 2 is
+    * [[bm25Scores]] again over ≤ |q|+e terms per query. Every window is
+    * per-query top-k.
+    */
+  def prfTopK(idx: Bm25Index, queries: Seq[(Long, String)] = bm25Queries,
+      f: Int = prfFeedbackDocs, e: Int = prfExpansionTerms,
+      k: Int = bm25K): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qt = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("token"))
+    val fb = rankTopK(bm25Scores(idx, qt), f).select(col("query_id"), col("doc_id"))
+    val cand = idx.postings
+      .join(broadcast(fb), "doc_id")
+      .join(broadcast(qt), Seq("query_id", "token"), "left_anti")
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum(col("tf")).as("tfsum"))
+    val expw = idx.df.join(broadcast(cand), "token")
+      .crossJoin(broadcast(idx.stats))
+      .filter(col("df") <= mltDfCapOf(col("n")))
+      .select(col("query_id"), col("token"),
+        expr(s"tfsum * (((2*n - 2*df + 1) * $bm25Grid) div (2*df + 1))").as("wgt"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("wgt").desc, col("token"))
+    val expt = expw.withColumn("r", row_number().over(we))
+      .filter(col("r") <= e).select(col("query_id"), col("token"))
+    val qt2 = qt.unionByName(expt).distinct()
+    rankTopK(bm25Scores(idx, qt2), k)
   }
 
   // --------------------------------------------------------------------------
@@ -498,6 +566,70 @@ object Search {
          |SELECT query_doc, doc_id, score_q, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $mltK""".stripMargin) { (s, d) =>
       relatedDocs(storedIndex(s, d))
+    },
+
+    // Rocchio pseudo-relevance-feedback expansion: two BM25 passes with
+    // the unrolled feedback/expansion stages between them, over the stored
+    // index bundle.
+    Op.sql("search_prf_expansion",
+      s"""WITH $indexCtes,
+         |qt AS (SELECT * FROM (VALUES $queryValues) AS t(query_id, token)),
+         |parts1 AS (
+         |  SELECT q.query_id, f.doc_id,
+         |         (2*st.n - 2*d.df + 1) * 20 * f.tf * st.adl AS num,
+         |         (2*d.df + 1) * (8 * f.tf * st.adl + 3 * st.adl + 9 * l.len) AS den
+         |  FROM qt q
+         |  JOIN tf f ON f.token = q.token
+         |  JOIN dfr d ON d.token = q.token
+         |  JOIN dl l ON l.doc_id = f.doc_id
+         |  CROSS JOIN st),
+         |sc1 AS (
+         |  SELECT query_id, doc_id,
+         |         SUM((num // den) * $bm25Grid + ((num % den) * $bm25Grid) // den) AS score_q
+         |  FROM parts1 GROUP BY 1, 2),
+         |fb AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY score_q DESC, doc_id) AS r
+         |    FROM sc1) WHERE r <= $prfFeedbackDocs),
+         |cand AS (
+         |  SELECT fb.query_id, f.token, CAST(SUM(f.tf) AS BIGINT) AS tfsum
+         |  FROM fb JOIN tf f ON f.doc_id = fb.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM qt q
+         |                    WHERE q.query_id = fb.query_id AND q.token = f.token)
+         |  GROUP BY 1, 2),
+         |expw AS (
+         |  SELECT c.query_id, c.token,
+         |         c.tfsum * (((2*st.n - 2*d.df + 1) * $bm25Grid) // (2*d.df + 1)) AS wgt
+         |  FROM cand c JOIN dfr d ON d.token = c.token CROSS JOIN st
+         |  WHERE d.df <= (4 * st.n) // 5),
+         |expt AS (
+         |  SELECT query_id, token FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY wgt DESC, token) AS r
+         |    FROM expw) WHERE r <= $prfExpansionTerms),
+         |qt2 AS (SELECT query_id, token FROM qt
+         |        UNION SELECT query_id, token FROM expt),
+         |parts2 AS (
+         |  SELECT q.query_id, f.doc_id,
+         |         (2*st.n - 2*d.df + 1) * 20 * f.tf * st.adl AS num,
+         |         (2*d.df + 1) * (8 * f.tf * st.adl + 3 * st.adl + 9 * l.len) AS den
+         |  FROM qt2 q
+         |  JOIN tf f ON f.token = q.token
+         |  JOIN dfr d ON d.token = q.token
+         |  JOIN dl l ON l.doc_id = f.doc_id
+         |  CROSS JOIN st),
+         |sc2 AS (
+         |  SELECT query_id, doc_id,
+         |         SUM((num // den) * $bm25Grid + ((num % den) * $bm25Grid) // den) AS score_q
+         |  FROM parts2 GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |       CAST(score_q AS BIGINT) AS score_q,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank
+         |FROM sc2
+         |QUALIFY rank <= $bm25K""".stripMargin) { (s, d) =>
+      prfTopK(storedIndex(s, d))
     },
 
     // Exact phrase search over the stored positional index.
