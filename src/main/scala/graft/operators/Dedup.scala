@@ -150,6 +150,47 @@ object Dedup {
     docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
 
   // --------------------------------------------------------------------------
+  // Passage-grain exact dedup
+  // --------------------------------------------------------------------------
+
+  /** Words per passage for [[passageStats]]. */
+  val passageLen = 16
+
+  /** Passage-grain duplicate audit — the sub-document dedup pass (the
+    * C4/RefinedWeb recipe): each document is cut into consecutive
+    * [[passageLen]]-word chunks (last chunk ragged), a passage is a
+    * duplicate iff its md5 appears in ≥ 2 DISTINCT documents, and every
+    * doc reports its passage count, duplicated-passage count, and the
+    * duplicated fraction on the ppm grid — the per-doc signal a curation
+    * pipeline thresholds on ("drop docs that are mostly boilerplate
+    * shared with other docs", which doc-grain exact dedup cannot see).
+    *
+    * Plan: one tokenize+slice pass (all codegen'd `slice`/`array_join`),
+    * then a hash-grain aggregate for the distinct-doc count and one join
+    * back by the 128-bit digest — the shuffle keys are passage hashes,
+    * never passage text, and nothing is quadratic in doc length or corpus
+    * size. At 100 TB this is two narrow shuffles at passage grain.
+    */
+  def passageStats(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), expr(s"(size(ws) - 1) div $passageLen"))).as("ci"),
+        col("ws"))
+      .select(col("doc_id"),
+        md5(array_join(
+          slice(col("ws"), col("ci") * passageLen + 1, lit(passageLen)), " ")).as("h"))
+    val dupDocs = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(dupDocs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        expr("(n_dup_passages * 1000000) div n_passages").as("dup_ppm"))
+  }
+
+  // --------------------------------------------------------------------------
   // MinHash + LSH
   // --------------------------------------------------------------------------
 
@@ -767,6 +808,26 @@ object Dedup {
     Op.sql("dedup_exact_survivors",
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text") { (s, d) =>
       exactSurvivors(Tables.documents(s, d))
+    },
+
+    Op.sql("dedup_passages",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ch AS (SELECT doc_id,
+         |              unnest(generate_series(0, (len(ws)-1)//$passageLen)) AS ci, ws
+         |       FROM w),
+         |p AS (SELECT doc_id,
+         |             md5(array_to_string(
+         |               ws[ci*$passageLen+1 : ci*$passageLen+$passageLen], ' ')) AS h
+         |      FROM ch),
+         |dd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY h),
+         |per AS (SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+         |               CAST(SUM(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |                 AS n_dup_passages
+         |        FROM p JOIN dd USING (h) GROUP BY 1)
+         |SELECT doc_id, n_passages, n_dup_passages,
+         |       (n_dup_passages * 1000000) // n_passages AS dup_ppm
+         |FROM per""".stripMargin) { (s, d) =>
+      passageStats(Tables.documents(s, d))
     },
 
     Op.sql("dedup_minhash_pairs",

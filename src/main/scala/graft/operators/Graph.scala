@@ -404,6 +404,54 @@ object Graph {
         expr("(common * 1000000) div (da + db - common)").as("jaccard_ppm"))
   }
 
+  /** Hub cap for [[linkPrediction]] wedge centers: a center with more
+    * neighbors than this contributes no wedges. Principled, not a fudge —
+    * each of a hub's wedges scores only `1/deg ≤ 1/cap` ppm (negligible by
+    * construction), while its wedge COUNT is deg² (the one quadratic term
+    * in the plan). Dropping hubs removes the blowup and only perturbs
+    * scores below the 1/cap floor; the cap is part of the op's contract
+    * and the oracle applies it identically.
+    */
+  val raHubCap = 64L
+
+  /** Candidate pairs returned by [[linkPrediction]]. */
+  val raTopN = 50
+
+  /** Link prediction over the strong (w ≥ [[componentsMinW]]) co-purchase
+    * subgraph via the RESOURCE-ALLOCATION index: for each non-adjacent
+    * pair (a, b), `ra = Σ_{w ∈ N(a)∩N(b)} 1/deg(w)` — the classic
+    * "recommend products that share well-connected common neighbors"
+    * score, on the exact ppm grid (`1000000 div deg`, summed as BIGINT, so
+    * ranking is partitioning-invariant).
+    *
+    * Plan: wedges are generated FROM THE CENTER — the symmetric edge list
+    * self-joins on the center node, so each unordered neighbor pair
+    * appears once via a < b — with centers degree-capped at [[raHubCap]]
+    * BEFORE the join (the quadratic term is bounded by cap² per center,
+    * never deg(hub)²); a (a, b) hash aggregate sums the scores; adjacency
+    * is removed by a left_anti against the edge list; the global top-N is
+    * TakeOrderedAndProject, never an unpartitioned window.
+    */
+  def linkPrediction(edges: DataFrame, minW: Long = componentsMinW,
+      cap: Long = raHubCap, topN: Int = raTopN): DataFrame = {
+    val e = edges.filter(col("w") >= minW).select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+    val cen = e.select(col("src").as("c"), col("dst").as("x"))
+      .join(deg.filter(col("dg") <= cap).select(col("n").as("c"), col("dg")), "c")
+    val wedges = cen.select(col("c"), col("x").as("a"), col("dg"))
+      .join(cen.select(col("c"), col("x").as("b")), "c")
+      .filter(col("a") < col("b"))
+    val scores = wedges.groupBy(col("a"), col("b"))
+      .agg(sum(expr("1000000 div dg")).as("ra_ppm"),
+        count(lit(1)).as("n_common"))
+    scores
+      .join(e.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
+      .select(col("a").as("src"), col("b").as("dst"), col("n_common"), col("ra_ppm"))
+      .orderBy(col("ra_ppm").desc, col("src"), col("dst"))
+      .limit(topN)
+  }
+
   /** Weighted degree centrality — the one-pass sanity baseline beside
     * [[pageRank]]: out-strength, distinct-neighbor count, and the node's
     * share of total edge weight on the same integer grid.
@@ -706,6 +754,28 @@ object Graph {
          |FROM dcs d LEFT JOIN win w ON w.community = d.community
          |CROSS JOIN m""".stripMargin) { (s, d) =>
       modularityOf(storedEdges(s, d), storedCommunities(s, d))
+    },
+
+    // Resource-allocation link prediction: top non-adjacent pairs by
+    // Σ 1/deg(common neighbor) on the ppm grid, hub-capped wedge centers.
+    Op.sql("graph_link_prediction",
+      s"""WITH $edgesCtes,
+         |se AS (SELECT src, dst FROM e WHERE w >= $componentsMinW),
+         |sdeg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS dg FROM se GROUP BY 1),
+         |cen AS (SELECT se.src AS c, se.dst AS x, d.dg
+         |        FROM se JOIN sdeg d ON d.n = se.src WHERE d.dg <= $raHubCap),
+         |wed AS (SELECT a.c, a.x AS a, b.x AS b, a.dg
+         |        FROM cen a JOIN cen b ON a.c = b.c AND a.x < b.x),
+         |sc AS (SELECT a, b, CAST(SUM(1000000 // dg) AS BIGINT) AS ra_ppm,
+         |              CAST(COUNT(*) AS BIGINT) AS n_common
+         |       FROM wed GROUP BY 1, 2),
+         |nonadj AS (SELECT sc.* FROM sc
+         |           WHERE NOT EXISTS (SELECT 1 FROM se
+         |                             WHERE se.src = sc.a AND se.dst = sc.b))
+         |SELECT a AS src, b AS dst, n_common, ra_ppm
+         |FROM nonadj ORDER BY ra_ppm DESC, src, dst LIMIT $raTopN""".stripMargin) {
+      (s, d) =>
+      linkPrediction(storedEdges(s, d))
     },
 
     // Hop-limited multi-source BFS from the seed products.
