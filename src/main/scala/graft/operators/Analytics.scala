@@ -139,6 +139,45 @@ object Analytics {
         expr("(repeat_users * 1000000) div active_users").as("repeat_ppm"))
   }
 
+  /** Month-over-month activity-tier migration matrix: per month, users are
+    * tiered by order count (`one` = 1, `few` = 2-3, `many` ≥ 4) and every
+    * consecutive month pair contributes one (from_tier → to_tier) cell per
+    * user — with `none` as the explicit absent state, so churn (tier →
+    * none) and activation (none → tier) land in the same matrix as the
+    * retained diagonal. This is the segment-migration readout a lifecycle
+    * team tracks release-over-release; the monthly RFM op scores ONE
+    * month, this scores the FLOW between months.
+    *
+    * Plan: the order stream collapses to (user, month) grain immediately;
+    * the transition join is a self full-outer-join of that tiny frame on
+    * (user, month) with one side shifted a month back, so the absent
+    * states fall out of the join nulls — no dense user×month spine is
+    * ever materialized. Boundary months (before the first / after the
+    * last) are excluded via the broadcast 1-row month-bounds frame.
+    * Everything after the first aggregate is at user-month grain, ≪ the
+    * fact table at any scale.
+    */
+  def segmentTransitions(orders: DataFrame): DataFrame = {
+    val um = orders
+      .groupBy(col("user_id"),
+        to_date(date_trunc("month", col("created_at"))).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("m"),
+        when(col("n") === 1, "one").when(col("n") <= 3, "few")
+          .otherwise("many").as("tier"))
+    val bounds = um.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    val a = um.select(col("user_id"), col("m"), col("tier").as("from_tier"))
+    val b = um.select(col("user_id"), add_months(col("m"), -1).as("m"),
+      col("tier").as("to_tier"))
+    a.join(b, Seq("user_id", "m"), "full_outer")
+      .crossJoin(broadcast(bounds))
+      .filter(col("m") >= col("mn") && col("m") <= add_months(col("mx"), -1))
+      .groupBy(col("m").as("month_from"),
+        coalesce(col("from_tier"), lit("none")).as("from_tier"),
+        coalesce(col("to_tier"), lit("none")).as("to_tier"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Tukey-fence outlier detection per category: exact Q1/Q3 via the same
     * integer-rank order statistics as [[priceQuantiles]], fences at
     * `q1 − 1.5·IQR / q3 + 1.5·IQR`, and the per-category count of items
@@ -678,6 +717,33 @@ object Analytics {
          |FROM um JOIN f USING (user_id)
          |GROUP BY um.m""".stripMargin) { (s, d) =>
       repeatPurchaseRate(Tables.ordersDomain(s, d))
+    },
+
+    // Month-over-month tier migration matrix with explicit churn/activation.
+    Op.sql("analytics_segment_transitions",
+      s"""${Tables.domainCtes},
+         |om AS (SELECT user_id, CAST(date_trunc('month', created_at) AS DATE) AS m,
+         |              CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM orders_v GROUP BY 1, 2),
+         |um AS (SELECT user_id, m,
+         |              CASE WHEN n = 1 THEN 'one'
+         |                   WHEN n <= 3 THEN 'few' ELSE 'many' END AS tier
+         |       FROM om),
+         |bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM um),
+         |a AS (SELECT user_id, m, tier AS from_tier FROM um),
+         |b AS (SELECT user_id, CAST(m - INTERVAL 1 MONTH AS DATE) AS m,
+         |             tier AS to_tier FROM um),
+         |t AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+         |             COALESCE(a.m, b.m) AS m, a.from_tier, b.to_tier
+         |      FROM a FULL OUTER JOIN b ON b.user_id = a.user_id AND b.m = a.m)
+         |SELECT t.m AS month_from,
+         |       COALESCE(from_tier, 'none') AS from_tier,
+         |       COALESCE(to_tier, 'none') AS to_tier,
+         |       CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM t CROSS JOIN bounds
+         |WHERE t.m >= bounds.mn AND t.m <= CAST(bounds.mx - INTERVAL 1 MONTH AS DATE)
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      segmentTransitions(Tables.ordersDomain(s, d))
     },
 
     // Tukey-fence price outliers per category (exact ranks + IEEE fences).

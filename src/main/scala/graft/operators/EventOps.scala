@@ -394,6 +394,48 @@ object EventOps {
       .withColumn("mae_milli", expr("(sum_abs_err * 1000) div n_eval"))
   }
 
+  /** EWMA window (days) for [[forecastEwma]] — weights 2^(w−i)/(2^w−1). */
+  val ewmaWindowDays = 8
+
+  /** Truncated exponentially-weighted forecast evaluation: predict each
+    * day's per-type event count with the α = 1/2 exponential moving
+    * average of the previous [[ewmaWindowDays]] days,
+    *   f(d) = (Σ_{i=1..w} c(d−i) · 2^(w−i)) div (2^w − 1),
+    * and report the per-type absolute-error profile — the smoothing
+    * counterpart to [[forecastNaive]]'s seasonal baseline (naive wins on
+    * strong weekly seasonality, EWMA wins on level shifts; a forecasting
+    * stack reports both). The halving weights sum to 2^w − 1, so the
+    * normalized forecast is ONE exact integer division of an exact
+    * BIGINT-weighted sum — bit-deterministic under any partitioning, no
+    * recursive state.
+    *
+    * Scale shape: the stream collapses to (type, day) grain first; each
+    * daily count then fans out to the w future days it informs (a
+    * broadcast-range explode of a TINY frame — w rows per (type, day),
+    * never per event) and one hash aggregate per (type, day) builds the
+    * weighted sum. Only days with the full w-day history are scored (the
+    * holdout rule, mirroring the naive baseline's lag-present rule).
+    */
+  def forecastEwma(events: DataFrame): DataFrame = {
+    val w = ewmaWindowDays
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val contrib = daily
+      .withColumn("i", explode(sequence(lit(1), lit(w))))
+      .select(col("event_type"), expr("date_add(day, i)").as("day"),
+        expr(s"c * shiftleft(1L, $w - i)").as("wc"))
+    val fc = contrib.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("wc")).as("wsum"))
+      .filter(col("n_obs") === w)
+      .select(col("event_type"), col("day"),
+        expr(s"wsum div ${(1L << w) - 1}").as("f"))
+    daily.join(fc, Seq("event_type", "day"))
+      .select(col("event_type"), abs(col("c") - col("f")).as("abs_err"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("abs_err")).as("sum_abs_err"))
+      .withColumn("mae_milli", expr("(sum_abs_err * 1000) div n_eval"))
+  }
+
   /** Hash-split A/B readout: users are assigned a variant by the parity of
     * the portable 60-bit hash of their id — the deterministic, sticky,
     * engine-portable bucketing every experimentation system needs (the same
@@ -1146,6 +1188,30 @@ object EventOps {
          |       CAST((SUM(abs_err) * 1000) // COUNT(*) AS BIGINT) AS mae_milli
          |FROM sc GROUP BY event_type""".stripMargin) { (s, d) =>
       forecastNaive(Tables.events(s, d))
+    },
+
+    // Truncated EWMA forecast baseline: halving weights over the previous
+    // 8 days, one exact integer division per forecast.
+    Op.sql("events_forecast_ewma", {
+      val w = ewmaWindowDays
+      s"""WITH $eventsCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |                 CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM ev GROUP BY 1, 2),
+         |off AS (SELECT unnest(generate_series(1, $w)) AS i),
+         |contrib AS (SELECT d.event_type, d.day + CAST(o.i AS INTEGER) AS day,
+         |                   d.c * (1::BIGINT << ($w - o.i)) AS wc
+         |            FROM daily d CROSS JOIN off o),
+         |fc AS (SELECT event_type, day, SUM(wc) // ${(1L << w) - 1} AS f
+         |       FROM contrib GROUP BY 1, 2 HAVING COUNT(*) = $w),
+         |sc AS (SELECT d.event_type, ABS(d.c - fc.f) AS abs_err
+         |       FROM daily d JOIN fc USING (event_type, day))
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+         |       CAST((SUM(abs_err) * 1000) // COUNT(*) AS BIGINT) AS mae_milli
+         |FROM sc GROUP BY event_type""".stripMargin
+    }) { (s, d) =>
+      forecastEwma(Tables.events(s, d))
     },
 
     // Robust (median/MAD) daily anomaly screen on exact integer grids.
