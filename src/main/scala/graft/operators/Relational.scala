@@ -219,6 +219,60 @@ object Relational {
       .filter(col("day_rank") <= k)
   }
 
+  /** Simulated file count for [[pruningStats]]. */
+  val pruneFiles = 64
+
+  /** Probe product ids for [[pruningStats]] (fixed, like the query sets). */
+  val pruneProbes: Seq[Long] = (1L to 1901L by 100)
+
+  /** Data-skipping effectiveness scorecard: how many of [[pruneFiles]]
+    * equal-row files a point query on `product_id` must READ under two
+    * write layouts — single-column supplier sort (the "sorted by the
+    * wrong column" baseline: every file spans the full product range) vs
+    * the Z-order interleave of (product, supplier). Files are simulated by
+    * exact global rank (`file = (rank−1)·F div N`), each file keeps its
+    * (min, max) product stats — precisely what parquet row-group pruning
+    * consults — and a probe touches a file iff min ≤ probe ≤ max. This
+    * turns [[graft.sources.Layout]]'s clustering claim into a measured,
+    * oracle-checked number (the Delta OPTIMIZE ZORDER effectiveness
+    * readout).
+    *
+    * Scale shape: ranks come from [[Analytics.withGlobalRowNumber]] (range
+    * shuffle + partitioned window + broadcast offsets — no single-task
+    * sort); file stats are a 2·F-row aggregate; probes are a broadcast
+    * 40-row frame joined to the file-stats frame. The fact table streams
+    * twice (once per layout), nothing else is proportional to it.
+    */
+  def pruningStats(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_suppkey"), col("l_partkey").as("product_id"),
+      zorderKey(col("l_partkey"), 16, col("l_suppkey"), 16).as("z"))
+    def fileStats(layout: String, sort: Seq[org.apache.spark.sql.Column]) = {
+      val (ranked, n) = Analytics.withGlobalRowNumber(base, "rn", sort)
+      ranked.select(lit(layout).as("layout"),
+        expr(s"((rn - 1) * $pruneFiles) div ${n}L").as("file_id"),
+        col("product_id"))
+        .groupBy(col("layout"), col("file_id"))
+        .agg(min(col("product_id")).as("lo"), max(col("product_id")).as("hi"))
+    }
+    val files = fileStats("supplier",
+      Seq(col("l_suppkey"), col("l_orderkey"), col("l_linenumber")))
+      .unionByName(fileStats("zorder",
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+    val pl = Seq("supplier", "zorder")
+      .flatMap(l => pruneProbes.map(p => (l, p)))
+      .toDF("layout", "probe_id")
+    broadcast(pl)
+      .join(files,
+        pl("layout") === files("layout") &&
+          col("probe_id") >= col("lo") && col("probe_id") <= col("hi"),
+        "left")
+      .groupBy(pl("layout").as("layout"), col("probe_id"))
+      .agg(count(col("file_id")).as("files_touched"))
+  }
+
   def ops: Seq[Op] = Seq(
     // The domain views themselves are the P1/P2 projection layer.
     Op.sql("proj_products", s"${Tables.domainCtes} SELECT * FROM products")(Tables.products),
@@ -364,6 +418,38 @@ object Relational {
         col("l_suppkey").as("supplier_id"),
         graft.functions.GraftExpressions
           .hilbert(col("l_partkey"), col("l_suppkey")).as("h"))
+    },
+
+    // Data-skipping scorecard: files touched per product point query under
+    // supplier-sort vs Z-order simulated layouts (min/max stats pruning).
+    Op.sql("layout_pruning_stats",
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey AS product_id,
+         |         ${zorderKeySql("l_partkey", 16, "l_suppkey", 16)} AS z
+         |  FROM lineitem),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         |r AS (
+         |  SELECT product_id, 'supplier' AS layout,
+         |         ROW_NUMBER() OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) AS rn
+         |  FROM base
+         |  UNION ALL
+         |  SELECT product_id, 'zorder' AS layout,
+         |         ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn
+         |  FROM base),
+         |files AS (
+         |  SELECT layout, ((rn - 1) * $pruneFiles) // nn.n AS file_id,
+         |         MIN(product_id) AS lo, MAX(product_id) AS hi
+         |  FROM r CROSS JOIN nn GROUP BY 1, 2),
+         |probes AS (SELECT CAST(unnest(generate_series(1, 1901, 100)) AS BIGINT)
+         |             AS probe_id),
+         |pl AS (SELECT l.layout, p.probe_id
+         |       FROM (SELECT DISTINCT layout FROM files) l CROSS JOIN probes p)
+         |SELECT pl.layout, pl.probe_id,
+         |       CAST(COUNT(f.file_id) AS BIGINT) AS files_touched
+         |FROM pl LEFT JOIN files f
+         |  ON f.layout = pl.layout AND pl.probe_id >= f.lo AND pl.probe_id <= f.hi
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      pruningStats(Tables.lineitem(s, d))
     },
 
     Op.sql("sample_weighted_priority",
