@@ -287,4 +287,25 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(au - u).toDouble / u <= 0.15, s"users off at $d: $au vs $u")
     }
   }
+
+  test("segment transitions: retained, churned, and activated users all land") {
+    import spark.implicits._
+    // u1: 1 order Jan → 4 orders Feb (one→many); u2: 2 orders Jan, absent
+    // Feb (few→none); u3: absent Jan, 1 order Feb (none→one). Bounds clip
+    // the matrix to the Jan→Feb pair only.
+    val orders = (Seq((1L, 1L, "1995-01-05")) ++
+      (1 to 4).map(i => ((10 + i).toLong, 1L, s"1995-02-0$i")) ++
+      Seq((20L, 2L, "1995-01-10"), (21L, 2L, "1995-01-20"),
+        (30L, 3L, "1995-02-15")))
+      .toDF("order_id", "user_id", "created_at")
+      .withColumn("created_at", col("created_at").cast("date"))
+    val m = Analytics.segmentTransitions(orders).collect()
+      .map(r => (r.getAs[java.sql.Date]("month_from").toString,
+        r.getAs[String]("from_tier"), r.getAs[String]("to_tier")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(m == Map(
+      ("1995-01-01", "one", "many") -> 1L,
+      ("1995-01-01", "few", "none") -> 1L,
+      ("1995-01-01", "none", "one") -> 1L), s"got $m")
+  }
 }

@@ -559,4 +559,24 @@ class DedupSpec extends AnyFunSuite {
       .sortBy(_.getAs[Long]("sel_round")).map(r => Option(r.getAs[java.lang.Long]("dist_q")))
     assert(dists.head.isEmpty && dists.tail.forall(_.isDefined))
   }
+
+  test("passage dedup: cross-doc chunks flag, within-doc repeats don't") {
+    def words(tag: String) = (0 until Dedup.passageLen).map(i => s"$tag$i").mkString(" ")
+    val (a, b, c, e) = (words("a"), words("b"), words("c"), words("e"))
+    val docs = Seq(
+      (1L, s"$a $b"),   // shares passage a with doc 2
+      (2L, s"$a $c"),
+      (3L, "lonely short tail"), // single ragged passage, unique
+      (4L, s"$e $e")    // the same passage twice WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_passages"), x.getAs[Long]("n_dup_passages"),
+          x.getAs[Long]("dup_ppm"))).toMap
+    assert(r(1L) == ((2L, 1L, 500000L)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((2L, 1L, 500000L)))
+    assert(r(3L) == ((1L, 0L, 0L)), "ragged singleton passage is not a dup")
+    assert(r(4L) == ((2L, 0L, 0L)),
+      "a passage repeated only within one doc must not count as duplicated")
+  }
 }

@@ -362,6 +362,30 @@ class EventSpec extends AnyFunSuite {
       == (("A", 1L, 3L, 3000L)))
   }
 
+  test("forecast ewma: constant series is predicted exactly; full-window rule") {
+    // type A: 1 event/day on days 1..9. Day 9 is the only day with the full
+    // 8-day history; its forecast is (Σ 2^(8-i))//255 = 1 → error 0.
+    val const = (1 to 9).map(d =>
+      (d.toLong, ts(f"2024-01-$d%02d 10:00:00"), 1L, "A", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.forecastEwma(const).collect()
+    assert(r.length == 1)
+    assert((r.head.getAs[Long]("n_eval"), r.head.getAs[Long]("sum_abs_err"),
+      r.head.getAs[Long]("mae_milli")) == ((1L, 0L, 0L)), s"got ${r.head}")
+    // a day-9 spike of 5 against the flat history: forecast stays 1, err 4;
+    // day 10 (history has the spike, c(10)=1): forecast
+    // (5·2^7 + Σ_{i=2..8} 2^(8-i))//255 = (640+127)//255 = 3 → err 2
+    val spike = ((1 to 8).map(d =>
+      (d.toLong, ts(f"2024-01-$d%02d 10:00:00"), 1L, "A", 1.0, "")) ++
+      (1 to 5).map(i => ((20 + i).toLong, ts(s"2024-01-09 10:00:0$i"), 1L, "A", 1.0, "")) ++
+      Seq((30L, ts("2024-01-10 10:00:00"), 1L, "A", 1.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = EventOps.forecastEwma(spike).collect()
+    assert(s.length == 1)
+    assert((s.head.getAs[Long]("n_eval"), s.head.getAs[Long]("sum_abs_err"),
+      s.head.getAs[Long]("mae_milli")) == ((2L, 6L, 3000L)), s"got ${s.head}")
+  }
+
   test("incremental stickiness equals the full recompute on any event split") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0, ""),

@@ -233,6 +233,27 @@ class GraphSpec extends AnyFunSuite {
     assert(converged.isEmpty, "a path has no 2-core — round 3 must empty it")
   }
 
+  test("link prediction: wedge scores 1/deg(center), adjacency excluded, hubs capped") {
+    def sym(es: Seq[(Long, Long)]) =
+      es.flatMap { case (a, b) => Seq((a, b, 2L), (b, a, 2L)) }.toDF("src", "dst", "w")
+    // path 1—2—3: the one non-adjacent pair (1,3) scores 1/deg(2) = 500000 ppm
+    val p = Graph.linkPrediction(sym(Seq((1L, 2L), (2L, 3L)))).collect()
+    assert(p.length == 1)
+    assert(p.head.getAs[Long]("src") == 1L && p.head.getAs[Long]("dst") == 3L
+      && p.head.getAs[Long]("n_common") == 1L
+      && p.head.getAs[Long]("ra_ppm") == 500000L, s"got ${p.head}")
+    // triangle: every pair adjacent — nothing left to predict
+    assert(Graph.linkPrediction(sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))).collect().isEmpty)
+    // hub one past the cap: its wedges (the only wedges) must not be generated
+    val over = sym((2L to 67L).map(l => (1L, l)))
+    assert(Graph.linkPrediction(over).collect().isEmpty,
+      "a center above raHubCap must contribute no candidate pairs")
+    // hub exactly at the cap: C(64,2) candidates, all scoring 1000000/64
+    val at = Graph.linkPrediction(sym((2L to 65L).map(l => (1L, l)))).collect()
+    assert(at.length == Graph.raTopN)
+    assert(at.forall(_.getAs[Long]("ra_ppm") == 1000000L / 64), "uniform 1/64 scores")
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>

@@ -109,4 +109,22 @@ class LayoutSpec extends AnyFunSuite {
       (0L, 0L) -> 0L, (1L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 1L) -> 3L,
       (2L, 0L) -> 8L, (0L, 2L) -> 4L, (3L, 3L) -> 15L))
   }
+
+  test("pruning stats: Z-order beats the wrong-column sort on files touched") {
+    val r = graft.operators.Relational
+      .pruningStats(graft.sources.Tables.lineitem(spark, TestSession.sf))
+      .collect()
+      .map(x => (x.getAs[String]("layout"), x.getAs[Long]("probe_id")) ->
+        x.getAs[Long]("files_touched")).toMap
+    val probes = r.keys.map(_._2).toSeq.distinct
+    val sup = probes.map(p => r(("supplier", p))).sum
+    val zo = probes.map(p => r(("zorder", p))).sum
+    assert(zo < sup,
+      s"Z-order must touch fewer files than the supplier sort: $zo vs $sup")
+    // probes beyond the fixture's product range touch nothing under either
+    // layout; in-range probes always touch at least one file
+    r.foreach { case ((l, p), t) =>
+      assert(t >= 0 && t <= graft.operators.Relational.pruneFiles, s"($l,$p)=$t")
+    }
+  }
 }
