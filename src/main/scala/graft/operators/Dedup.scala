@@ -190,6 +190,40 @@ object Dedup {
         expr("(n_dup_passages * 1000000) div n_passages").as("dup_ppm"))
   }
 
+  /** The passage-dedup REWRITE: every duplicated passage survives only in
+    * its first-writer document (lowest doc_id), and each document is
+    * reassembled from its surviving passages in original order — the
+    * curation transform [[passageStats]] audits (RefinedWeb-style
+    * sub-document boilerplate removal). Documents whose every passage is
+    * owned elsewhere drop out entirely, which is the intended behavior for
+    * all-boilerplate docs.
+    *
+    * Plan: same chunk pass as the audit; ownership is a hash-grain
+    * `min(doc_id)` aggregate; the rebuild is one doc-grain aggregate whose
+    * in-group passage order comes from `array_sort` over (position,
+    * passage) structs — no windows, no text-keyed shuffles (passages ride
+    * exactly twice: into the ownership join and into the rebuild).
+    */
+  def passageClean(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), expr(s"(size(ws) - 1) div $passageLen"))).as("ci"),
+        col("ws"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("ws"), col("ci") * passageLen + 1, lit(passageLen)), " ")
+          .as("passage"))
+      .withColumn("h", md5(col("passage")))
+    val owner = chunks.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    chunks.join(owner, "h")
+      .filter(col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("ci"), col("passage")))),
+            x => x.getField("passage")), " ").as("clean_text"))
+  }
+
   // --------------------------------------------------------------------------
   // MinHash + LSH
   // --------------------------------------------------------------------------
@@ -828,6 +862,26 @@ object Dedup {
          |       (n_dup_passages * 1000000) // n_passages AS dup_ppm
          |FROM per""".stripMargin) { (s, d) =>
       passageStats(Tables.documents(s, d))
+    },
+
+    Op.sql("dedup_passages_clean",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ch AS (SELECT doc_id,
+         |              unnest(generate_series(0, (len(ws)-1)//$passageLen)) AS ci, ws
+         |       FROM w),
+         |p AS (SELECT doc_id, ci,
+         |             array_to_string(
+         |               ws[ci*$passageLen+1 : ci*$passageLen+$passageLen], ' ') AS passage
+         |      FROM ch),
+         |own AS (SELECT md5(passage) AS h, MIN(doc_id) AS first_doc
+         |        FROM p GROUP BY 1),
+         |kept AS (SELECT p.doc_id, p.ci, p.passage
+         |         FROM p JOIN own ON own.h = md5(p.passage)
+         |         WHERE p.doc_id = own.first_doc)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       string_agg(passage, ' ' ORDER BY ci) AS clean_text
+         |FROM kept GROUP BY doc_id""".stripMargin) { (s, d) =>
+      passageClean(Tables.documents(s, d))
     },
 
     Op.sql("dedup_minhash_pairs",

@@ -579,4 +579,20 @@ class DedupSpec extends AnyFunSuite {
     assert(r(4L) == ((2L, 0L, 0L)),
       "a passage repeated only within one doc must not count as duplicated")
   }
+
+  test("passage clean: first writer keeps, order preserved, empty docs drop") {
+    def words(tag: String) = (0 until Dedup.passageLen).map(i => s"$tag$i").mkString(" ")
+    val (a, b, c) = (words("a"), words("b"), words("c"))
+    val docs = Seq(
+      (1L, s"$a $b"),   // owns a and b
+      (2L, s"$c $a"),   // keeps c (position preserved), loses a to doc 1
+      (3L, s"$a $b")    // a verbatim copy of doc 1 — nothing survives
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageClean(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_kept"), x.getAs[String]("clean_text"))).toMap
+    assert(r.keySet == Set(1L, 2L), "the all-boilerplate doc 3 must drop out")
+    assert(r(1L) == ((2L, s"$a $b")), "first writer keeps everything verbatim")
+    assert(r(2L) == ((1L, c)), s"doc 2 keeps only its own passage: ${r(2L)}")
+  }
 }
