@@ -216,7 +216,81 @@ object Quality {
         date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("h60"))
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h60)").as("xor_sig"))
 
+  /** Declarative data-quality rule engine: a fixed battery of per-table
+    * business rules evaluated in ONE aggregate pass per table — every rule
+    * is a `sum(when(pred))` branch inside the same hash aggregate, then
+    * `stack` melts the 1-row result to (rule, n_violations) long form — so
+    * adding a rule never adds a scan (the validate-task generalization:
+    * the reference hard-codes its checks as separate passes,
+    * validate_task.py:14-317; a 100 TB audit can afford exactly one pass
+    * per fact table). Zero-violation rules are REPORTED at zero — an
+    * audit that silently drops clean rules can't prove it ran them.
+    */
+  def ruleViolations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("v1"),
+      sum(when(col("l_discount") >= 0.08, 1L).otherwise(0L)).as("v2"),
+      sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "O", 1L)
+        .otherwise(0L)).as("v3"))
+      .selectExpr(
+        """stack(3,
+          |  'item_quantity_out_of_range', v1,
+          |  'item_discount_ge_8pct', v2,
+          |  'item_returned_still_open', v3) AS (rule, n_violations)""".stripMargin,
+        "n AS n_rows")
+    val ord = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v1"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("v2"),
+      sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v3"))
+      .selectExpr(
+        """stack(3,
+          |  'order_nonpositive_total', v1,
+          |  'order_unknown_status', v2,
+          |  'order_pre_epoch_date', v3) AS (rule, n_violations)""".stripMargin,
+        "n AS n_rows")
+    li.unionByName(ord)
+      .withColumn("violation_ppm", expr("(n_violations * 1000000) div n_rows"))
+  }
+
   def ops: Seq[Op] = Seq(
+    // One-pass-per-table declarative rule battery, zero rules reported.
+    Op.sql("quality_rule_violations",
+      """WITH li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(SUM(CASE WHEN l_discount >= 0.08 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v2,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS v1,
+        |         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |         CAST(SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+        |                            < TIMESTAMP '1992-01-01'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM orders),
+        |long AS (
+        |  SELECT 'item_quantity_out_of_range' AS rule, v1 AS n_violations, n AS n_rows FROM li
+        |  UNION ALL SELECT 'item_discount_ge_8pct', v2, n FROM li
+        |  UNION ALL SELECT 'item_returned_still_open', v3, n FROM li
+        |  UNION ALL SELECT 'order_nonpositive_total', v1, n FROM ord
+        |  UNION ALL SELECT 'order_unknown_status', v2, n FROM ord
+        |  UNION ALL SELECT 'order_pre_epoch_date', v3, n FROM ord)
+        |SELECT rule, n_violations, n_rows,
+        |       (n_violations * 1000000) // n_rows AS violation_ppm
+        |FROM long""".stripMargin) { (s, d) =>
+      ruleViolations(Tables.lineitem(s, d), Tables.orders(s, d))
+    },
+
     // Order-independent content signature of the orders table.
     Op.sql("quality_rows_checksum",
       """WITH h AS (
