@@ -184,4 +184,23 @@ class QualitySpec extends AnyFunSuite {
     assert(changed._1 == base._1 && changed._2 != base._2,
       "a one-column change must flip the xor signature")
   }
+
+  test("rule battery: every rule fires on its violation, clean rows don't") {
+    import org.apache.spark.sql.functions.col
+    val li = Seq(
+      (60.0, 0.09, "R", "O"), // violates all three item rules
+      (10.0, 0.00, "N", "F")  // clean
+    ).toDF("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+    val ord = Seq(
+      (-5.0, "X", "1990-01-01"), // violates all three order rules
+      (10.0, "F", "1995-01-01")  // clean
+    ).toDF("o_totalprice", "o_orderstatus", "o_orderdate")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val r = Quality.ruleViolations(li, ord).collect()
+      .map(x => x.getAs[String]("rule") ->
+        (x.getAs[Long]("n_violations"), x.getAs[Long]("n_rows"),
+          x.getAs[Long]("violation_ppm"))).toMap
+    assert(r.size == 6, "all six rules must report, including clean ones")
+    assert(r.values.forall(_ == ((1L, 2L, 500000L))), s"got $r")
+  }
 }

@@ -201,4 +201,27 @@ class SearchSpec extends AnyFunSuite {
       .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
     assert(ranked == Seq(0L, 2L))
   }
+
+  test("PRF expansion: feedback vocabulary recalls docs plain BM25 cannot") {
+    import spark.implicits._
+    // q-docs 1-3 share the feedback term c (rare, heavy) and x (also in
+    // doc 4); doc 4 has no query term, doc 5 nothing relevant. Plain BM25
+    // can only surface 1-3; the expanded pass reaches 4 through x/c.
+    val docs = Seq(
+      (1L, "q x x x x c c pad1"),
+      (2L, "q x x x x c c pad2"),
+      (3L, "q x x x x c c pad3"),
+      (4L, "x pad4 pad4 pad4 pad4"),
+      (5L, "pad5 pad6 pad5 pad6 pad5")).toDF("doc_id", "text")
+    val idx = Search.buildIndex(docs)
+    val q = Seq((1L, "q"))
+    val plain = Search.bm25TopKFromIndex(idx, q).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val prf = Search.prfTopK(idx, q).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(plain == Set(1L, 2L, 3L), s"plain BM25 reaches only q-docs: $plain")
+    assert(prf.contains(4L), s"expansion must recall doc 4 via its x term: $prf")
+    assert(!prf.contains(5L), "untouched vocabulary stays unreachable")
+    assert(Set(1L, 2L, 3L).subsetOf(prf), "feedback docs stay in the result")
+  }
 }
