@@ -452,6 +452,32 @@ object Graph {
       .limit(topN)
   }
 
+  /** Local clustering coefficient per node on the ppm grid:
+    * `cc = 2·triangles(n) / (deg(n)·(deg(n)−1))` — how close each node's
+    * neighborhood is to a clique, the standard local-cohesion score that
+    * separates "products bought with many UNRELATED things" (hub, cc→0)
+    * from "products inside a tight bundle" (clique member, cc→1e6).
+    * Nodes of degree < 2 have no defined coefficient and are excluded
+    * (their wedge count is zero, not their cohesion).
+    *
+    * Plan: derives entirely from [[orientedTriangles]] (the skew-proof
+    * enumeration) + the node-grain degree aggregate — one corner-credit
+    * aggregate, one node-grain join, integer division only.
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val tri = orientedTriangles(edges)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("product_id"))
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degrees(edges).filter(col("dg") >= 2)
+      .select(col("n").as("product_id"), col("dg"))
+      .join(tri, Seq("product_id"), "left")
+      .select(col("product_id"), col("dg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_ppm",
+        expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+  }
+
   /** Weighted degree centrality — the one-pass sanity baseline beside
     * [[pageRank]]: out-strength, distinct-neighbor count, and the node's
     * share of total edge weight on the same integer grid.
@@ -822,6 +848,34 @@ object Graph {
          |FROM (SELECT unnest([n1, n2, n3]) AS product_id FROM tri)
          |GROUP BY product_id""".stripMargin) { (s, d) =>
       triangleCounts(storedEdges(s, d))
+    },
+
+    // Local clustering coefficient: 2·tri/(deg·(deg−1)) ppm per node.
+    Op.sql("graph_clustering_coeff",
+      s"""WITH $edgesCtes,
+         |eu AS (SELECT src AS s, dst AS d FROM e WHERE src < dst),
+         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS dg
+         |        FROM (SELECT s AS n FROM eu UNION ALL SELECT d FROM eu) GROUP BY n),
+         |oe AS (
+         |  SELECT CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND x.s < x.d)
+         |              THEN x.s ELSE x.d END AS u,
+         |         CASE WHEN ds.dg < dd.dg OR (ds.dg = dd.dg AND x.s < x.d)
+         |              THEN x.d ELSE x.s END AS v
+         |  FROM eu x JOIN deg ds ON ds.n = x.s JOIN deg dd ON dd.n = x.d),
+         |tri AS (
+         |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+         |  FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.v < e2.v
+         |  JOIN eu e3 ON e3.s = e1.v AND e3.d = e2.v),
+         |tc AS (SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT unnest([n1, n2, n3]) AS product_id FROM tri)
+         |       GROUP BY product_id)
+         |SELECT deg.n AS product_id, deg.dg AS degree,
+         |       COALESCE(tc.n_triangles, 0) AS n_triangles,
+         |       (2 * COALESCE(tc.n_triangles, 0) * 1000000)
+         |         // (deg.dg * (deg.dg - 1)) AS cc_ppm
+         |FROM deg LEFT JOIN tc ON tc.product_id = deg.n
+         |WHERE deg.dg >= 2""".stripMargin) { (s, d) =>
+      clusteringCoeff(storedEdges(s, d))
     },
 
     // Neighborhood-Jaccard tie strength per undirected edge.

@@ -254,6 +254,26 @@ class GraphSpec extends AnyFunSuite {
     assert(at.forall(_.getAs[Long]("ra_ppm") == 1000000L / 64), "uniform 1/64 scores")
   }
 
+  test("clustering coefficient: clique 1e6, star hub 0, path middles excluded-edge") {
+    def sym(es: Seq[(Long, Long)]) =
+      es.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")
+    // K4: every node deg 3, 3 triangles each → cc = 2·3/(3·2) = 1
+    val k4 = sym(for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+    val cc4 = Graph.clusteringCoeff(k4).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("cc_ppm")).toMap
+    assert(cc4.size == 4 && cc4.values.forall(_ == 1000000L), s"got $cc4")
+    // star: hub deg 4 with no closed wedge → 0; leaves deg 1 excluded
+    val ccS = Graph.clusteringCoeff(star).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("cc_ppm")).toMap
+    assert(ccS == Map(1L -> 0L), s"got $ccS")
+    // triangle + pendant: node 1 has deg 3 but only the one triangle
+    // through 2-3 → cc = 2·1/(3·2) = 333333 ppm
+    val tp = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    val ccT = Graph.clusteringCoeff(tp).collect()
+      .map(r => r.getAs[Long]("product_id") -> r.getAs[Long]("cc_ppm")).toMap
+    assert(ccT == Map(1L -> 333333L, 2L -> 1000000L, 3L -> 1000000L), s"got $ccT")
+  }
+
   test("degree centrality: shares sum to the grid up to per-node truncation") {
     val d = Graph.degreeCentrality(star)
     val r = d.collect().map(x =>
