@@ -171,15 +171,22 @@ object Dedup {
     * never passage text, and nothing is quadratic in doc length or corpus
     * size. At 100 TB this is two narrow shuffles at passage grain.
     */
-  def passageStats(docs: DataFrame): DataFrame = {
-    val chunks = docs
+  /** The shared chunk pass: one row per (doc, passage index) with the
+    * passage text and its md5 — all codegen (`slice`/`array_join`/`md5`).
+    */
+  private def passageChunks(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(sequence(lit(0), expr(s"(size(ws) - 1) div $passageLen"))).as("ci"),
         col("ws"))
-      .select(col("doc_id"),
-        md5(array_join(
-          slice(col("ws"), col("ci") * passageLen + 1, lit(passageLen)), " ")).as("h"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("ws"), col("ci") * passageLen + 1, lit(passageLen)), " ")
+          .as("passage"))
+      .withColumn("h", md5(col("passage")))
+
+  def passageStats(docs: DataFrame): DataFrame = {
+    val chunks = passageChunks(docs).select(col("doc_id"), col("h"))
     val dupDocs = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
     chunks.join(dupDocs, "h")
@@ -205,15 +212,7 @@ object Dedup {
     * exactly twice: into the ownership join and into the rebuild).
     */
   def passageClean(docs: DataFrame): DataFrame = {
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), expr(s"(size(ws) - 1) div $passageLen"))).as("ci"),
-        col("ws"))
-      .select(col("doc_id"), col("ci"),
-        array_join(slice(col("ws"), col("ci") * passageLen + 1, lit(passageLen)), " ")
-          .as("passage"))
-      .withColumn("h", md5(col("passage")))
+    val chunks = passageChunks(docs)
     val owner = chunks.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     chunks.join(owner, "h")
       .filter(col("doc_id") === col("first_doc"))
@@ -222,6 +221,44 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("ci"), col("passage")))),
             x => x.getField("passage")), " ").as("clean_text"))
+  }
+
+  /** The stored passage-hash index: one row per distinct passage digest
+    * with the count of distinct documents containing it. Doc-disjoint
+    * batches merge this index by ADDITION (the search-df argument: a doc
+    * can only be counted by the batch that owns it), so history is hashed
+    * once, ever.
+    */
+  def passageHashIndex(docs: DataFrame): DataFrame =
+    passageChunks(docs).select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+
+  /** [[passageStats]] for an ARRIVING batch against stored history — the
+    * production shape: score only the new documents, never re-chunk the
+    * corpus. A new doc's passage is a duplicate iff it exists anywhere in
+    * history (`stored n_docs ≥ 1`) OR in ≥ 2 distinct new docs; with
+    * doc-disjoint batches that is EXACTLY the full recompute's
+    * `total nd ≥ 2` test (total = stored + new, and the passage's own doc
+    * always contributes 1 to new) — so the registered op shares the full
+    * audit's oracle restricted to the batch.
+    *
+    * Plan: the batch is chunked once; one hash-grain aggregate over the
+    * batch; one digest-keyed left join against the stored index (at
+    * 100 TB: batch-sized probe side against the bucketed index, history
+    * never re-read beyond the join).
+    */
+  def passageStatsIncremental(stored: DataFrame, newDocs: DataFrame): DataFrame = {
+    val ch = passageChunks(newDocs).select(col("doc_id"), col("h"))
+    val newNd = ch.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("new_nd"))
+    ch.join(newNd, "h")
+      .join(stored.select(col("h"), col("n_docs")), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("n_docs"), lit(0L)) >= 1 || col("new_nd") >= 2, 1L)
+          .otherwise(0L).as("d"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"), sum(col("d")).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        expr("(n_dup_passages * 1000000) div n_passages").as("dup_ppm"))
   }
 
   // --------------------------------------------------------------------------
@@ -862,6 +899,30 @@ object Dedup {
          |       (n_dup_passages * 1000000) // n_passages AS dup_ppm
          |FROM per""".stripMargin) { (s, d) =>
       passageStats(Tables.documents(s, d))
+    },
+
+    // Arriving batch audited against stored passage history — shares the
+    // full audit's oracle restricted to the batch (doc-disjoint exactness).
+    Op.sql("dedup_passages_incremental",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ch AS (SELECT doc_id,
+         |              unnest(generate_series(0, (len(ws)-1)//$passageLen)) AS ci, ws
+         |       FROM w),
+         |p AS (SELECT doc_id,
+         |             md5(array_to_string(
+         |               ws[ci*$passageLen+1 : ci*$passageLen+$passageLen], ' ')) AS h
+         |      FROM ch),
+         |dd AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY h),
+         |per AS (SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+         |               CAST(SUM(CASE WHEN dd.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |                 AS n_dup_passages
+         |        FROM p JOIN dd USING (h) GROUP BY 1)
+         |SELECT doc_id, n_passages, n_dup_passages,
+         |       (n_dup_passages * 1000000) // n_passages AS dup_ppm
+         |FROM per WHERE doc_id % 10 >= 8""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stored = passageHashIndex(docs.filter(col("doc_id") % 10 < 8))
+      passageStatsIncremental(stored, docs.filter(col("doc_id") % 10 >= 8))
     },
 
     Op.sql("dedup_passages_clean",

@@ -580,6 +580,25 @@ class DedupSpec extends AnyFunSuite {
       "a passage repeated only within one doc must not count as duplicated")
   }
 
+  test("passage incremental: batch audit equals the full recompute on any split") {
+    def words(tag: String) = (0 until Dedup.passageLen).map(i => s"$tag$i").mkString(" ")
+    val (a, b, c, e) = (words("a"), words("b"), words("c"), words("e"))
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$c $a"), (3L, "lone tail"),
+      (8L, s"$a $e"),  // new: passage a dups against HISTORY only
+      (9L, s"$e $c")   // new: e dups against doc 8 (in-batch), c vs history
+    ).toDF("doc_id", "text")
+    val full = Dedup.passageStats(docs).filter($"doc_id" >= 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inc = Dedup.passageStatsIncremental(
+      Dedup.passageHashIndex(docs.filter($"doc_id" < 8)),
+      docs.filter($"doc_id" >= 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc == full, s"incremental $inc must equal full-restricted $full")
+    assert(inc == Set((8L, 2L, 2L, 1000000L), (9L, 2L, 2L, 1000000L)),
+      "history dup, in-batch dup, and both-sides dup all flag")
+  }
+
   test("passage clean: first writer keeps, order preserved, empty docs drop") {
     def words(tag: String) = (0 until Dedup.passageLen).map(i => s"$tag$i").mkString(" ")
     val (a, b, c) = (words("a"), words("b"), words("c"))
