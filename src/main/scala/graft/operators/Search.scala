@@ -359,6 +359,48 @@ object Search {
   }
 
   // --------------------------------------------------------------------------
+  // Hard-negative mining: lexically close, semantically far
+  // --------------------------------------------------------------------------
+
+  /** Lexical candidate depth for [[hardNegatives]]. */
+  val hnLexK = 20
+
+  /** Dense positives excluded per query doc. */
+  val hnDenseK = 10
+
+  /** Negatives returned per query doc. */
+  val hnK = 5
+
+  /** Hard-negative mining for embedding training: per query document, the
+    * top lexically-similar documents ([[relatedDocs]], depth [[hnLexK]])
+    * that are NOT among its [[hnDenseK]] exact dense cosine neighbors —
+    * precisely the "shares vocabulary but means something else" pairs a
+    * contrastive trainer needs (random negatives are trivially easy;
+    * in-batch negatives are uncontrolled — lexical-but-not-semantic is
+    * the curriculum). Ranked by lexical score, so the hardest negatives
+    * come first.
+    *
+    * Plan: the lexical side is the df-capped champion-pruned related-docs
+    * plan; the dense side broadcasts the |queries| vectors into one
+    * corpus scan; the exclusion is a (query, doc)-keyed left_anti of two
+    * top-k lists (both ≤ |queries|·k rows). Nothing new touches the
+    * corpus beyond those two existing passes.
+    */
+  def hardNegatives(idx: Bm25Index, embs: DataFrame,
+      queryDocs: Seq[Long] = mltQueryDocs): DataFrame = {
+    val lex = relatedDocs(idx, queryDocs, hnLexK)
+      .select(col("query_doc"), col("doc_id"), col("score_q"))
+    val dense = Similarity
+      .bruteForceTopK(embs, col("vec_id").isin(queryDocs: _*), hnDenseK)
+      .select(col("query_id").as("query_doc"), col("neighbor_id").as("doc_id"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    lex.join(dense, Seq("query_doc", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= hnK)
+  }
+
+  // --------------------------------------------------------------------------
   // Persisted index store (build-once, content-stamped — the FactStore/
   // SketchStore/edge-store convention): postings + df + stats land as three
   // parquet artifacts, and every registered query reads THOSE, so the plan
@@ -630,6 +672,56 @@ object Search {
          |FROM sc2
          |QUALIFY rank <= $bm25K""".stripMargin) { (s, d) =>
       prfTopK(storedIndex(s, d))
+    },
+
+    // Hard negatives: top lexical neighbors that are NOT dense neighbors,
+    // ranked hardest-first — the contrastive-training curriculum miner.
+    Op.sql("search_hard_negatives",
+      s"""WITH $indexCtes,
+         |qp AS (SELECT doc_id AS query_doc, token, tf AS qtf
+         |       FROM tf WHERE doc_id IN (${mltQueryDocs.mkString(", ")})),
+         |wq AS (
+         |  SELECT qp.token, qp.query_doc, qp.qtf,
+         |         ((2*st.n - 2*d.df + 1) * $bm25Grid) // (2*d.df + 1) AS idf_q
+         |  FROM qp JOIN dfr d ON d.token = qp.token CROSS JOIN st
+         |  WHERE d.df <= (4 * st.n) // 5),
+         |lsc AS (
+         |  SELECT wq.query_doc, f.doc_id,
+         |         CAST(SUM(LEAST(f.tf, wq.qtf) * wq.idf_q) AS BIGINT) AS score_q
+         |  FROM wq JOIN tf f ON f.token = wq.token
+         |  WHERE f.doc_id <> wq.query_doc
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_doc, doc_id, score_q FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+         |                                 ORDER BY score_q DESC, doc_id) AS r
+         |    FROM lsc) WHERE r <= $hnLexK),
+         |ev AS (
+         |  SELECT vec_id, embedding,
+         |         ${graft.functions.GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |dsc AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM ev q JOIN ev v ON v.vec_id <> q.vec_id
+         |  WHERE q.vec_id IN (${mltQueryDocs.mkString(", ")})),
+         |denser AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM dsc) WHERE rank <= $hnDenseK),
+         |neg AS (
+         |  SELECT l.* FROM lexr l
+         |  WHERE NOT EXISTS (SELECT 1 FROM denser d
+         |                    WHERE d.query_id = l.query_doc
+         |                      AND d.neighbor_id = l.doc_id))
+         |SELECT query_doc, doc_id, score_q,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+         |                               ORDER BY score_q DESC, doc_id) AS INTEGER)
+         |         AS neg_rank
+         |FROM neg
+         |QUALIFY neg_rank <= $hnK""".stripMargin) { (s, d) =>
+      hardNegatives(storedIndex(s, d), Tables.embeddings(s, d))
     },
 
     // Exact phrase search over the stored positional index.

@@ -798,6 +798,48 @@ object Similarity {
       .reduce(_.unionAll(_))
   }
 
+  /** Truncation widths evaluated by [[truncatedRecall]]. */
+  val truncDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** Matryoshka-style dimension-truncation evaluation: exact cosine top-k
+    * computed with only the FIRST m dimensions of each embedding, scored
+    * as recall@k against the full-dimension exact neighbors — the
+    * measurement behind "can we search the first 16 dims and rerank",
+    * which at 100 TB is a 4-8× scan-bandwidth lever on top of SQ8 (the
+    * truncated scan reads m/64 of the vector bytes; the composed
+    * trunc→full rerank is the same two-stage shape as [[sq8RerankTopK]]).
+    * One row per width: hits, expected, recall ppm — exact integers.
+    *
+    * Plan: one brute-force pass per width over `slice`d vectors (queries
+    * broadcast, corpus never shuffles — the [[bruteForceTopK]] shape);
+    * rank lists meet the full-dim list at a pair-grain join; widths with
+    * zero hits still report via the broadcast width frame.
+    */
+  def truncatedRecall(embs: DataFrame, dims: Seq[Int] = truncDims,
+      k: Int = defaultK): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val qp = col("vec_id") < 5
+    val full = bruteForceTopK(embs, qp, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val expected = full.agg(count(lit(1)).as("n_expected"))
+    val truncated = dims.map { m =>
+      bruteForceTopK(
+        embs.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding")),
+        qp, k)
+        .select(lit(m.toLong).as("dims"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = truncated.join(full, Seq("query_id", "neighbor_id"))
+      .groupBy(col("dims")).agg(count(lit(1)).as("hits"))
+    broadcast(dims.map(_.toLong).toDF("dims"))
+      .join(hits, Seq("dims"), "left")
+      .crossJoin(broadcast(expected))
+      .select(col("dims"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_expected"),
+        expr("(coalesce(hits, 0) * 1000000) div n_expected").as("recall_ppm"))
+  }
+
   /** Oracle twin of [[annRecallReport]]: each method's existing full oracle
     * embedded as a nested-WITH derived CTE, recall = pair-grain join counts.
     */
@@ -1399,6 +1441,44 @@ object Similarity {
 
     // Recall@k of each ANN method vs brute force — the index-evaluation
     // harness, one row per method, exact integers on the ppm grid.
+    // Matryoshka truncation evaluation: recall@k of first-m-dims exact
+    // search vs the full-dimension exact neighbors.
+    Op.sql("sim_truncated_recall", {
+      def bfCte(tag: String, embExpr: String) =
+        s"""ev$tag AS (
+           |  SELECT vec_id, $embExpr AS embedding,
+           |         ${GraftExpressions.qdotSql(embExpr, embExpr)} AS n2
+           |  FROM embeddings),
+           |sc$tag AS (
+           |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           |         ${Dedup.cosQSql("q", "v")} AS cos
+           |  FROM ev$tag q JOIN ev$tag v ON v.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 5),
+           |r$tag AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |                                 ORDER BY cos DESC, neighbor_id) AS rank
+           |    FROM sc$tag) WHERE rank <= $defaultK)""".stripMargin
+      val perDim = truncDims.map(m => bfCte(s"$m", s"embedding[1:$m]")).mkString(",\n")
+      val union = truncDims
+        .map(m => s"SELECT CAST($m AS BIGINT) AS dims, query_id, neighbor_id FROM r$m")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bfCte("f", "embedding")},
+         |$perDim,
+         |tr AS (
+         |  $union),
+         |hits AS (
+         |  SELECT t.dims, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM tr t JOIN rf USING (query_id, neighbor_id) GROUP BY 1),
+         |expc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_expected FROM rf),
+         |dimsv AS (SELECT CAST(unnest([${truncDims.mkString(", ")}]) AS BIGINT) AS dims)
+         |SELECT d.dims, COALESCE(h.hits, 0) AS hits, e.n_expected,
+         |       (COALESCE(h.hits, 0) * 1000000) // e.n_expected AS recall_ppm
+         |FROM dimsv d LEFT JOIN hits h USING (dims) CROSS JOIN expc e""".stripMargin
+    }) { (s, d) =>
+      truncatedRecall(Tables.embeddings(s, d))
+    },
+
     Op.sql("sim_ann_recall_report", annRecallOracle) { (s, d) =>
       annRecallReport(Tables.embeddings(s, d))
     },

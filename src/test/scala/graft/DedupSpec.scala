@@ -560,6 +560,14 @@ class DedupSpec extends AnyFunSuite {
     assert(dists.head.isEmpty && dists.tail.forall(_.isDefined))
   }
 
+  test("truncated recall: monotone in width, full width perfect") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val r = Similarity.truncatedRecall(embs, dims = Seq(8, 32, 64)).collect()
+      .map(x => x.getAs[Long]("dims") -> x.getAs[Long]("recall_ppm")).toMap
+    assert(r(8L) <= r(32L), s"more dims can only help: $r")
+    assert(r(64L) == 1000000L, s"the full 64-dim slice must be exact: $r")
+  }
+
   test("passage dedup: cross-doc chunks flag, within-doc repeats don't") {
     def words(tag: String) = (0 until Dedup.passageLen).map(i => s"$tag$i").mkString(" ")
     val (a, b, c, e) = (words("a"), words("b"), words("c"), words("e"))

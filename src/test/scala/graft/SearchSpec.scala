@@ -202,6 +202,28 @@ class SearchSpec extends AnyFunSuite {
     assert(ranked == Seq(0L, 2L))
   }
 
+  test("hard negatives: lexical candidates minus dense neighbors, hardest first") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val hn = Search.hardNegatives(Search.buildIndex(docs), embs).collect()
+    assert(hn.nonEmpty, "fixture corpus must yield negatives")
+    val pairs = hn.map(r => (r.getAs[Long]("query_doc"), r.getAs[Long]("doc_id"))).toSet
+    val dense = graft.operators.Similarity
+      .bruteForceTopK(embs, col("vec_id").isin(Search.mltQueryDocs: _*), Search.hnDenseK)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(pairs.intersect(dense).isEmpty,
+      "a dense (semantic) neighbor must never be served as a negative")
+    // ranks are contiguous from 1 and ordered by descending lexical score
+    hn.groupBy(_.getAs[Long]("query_doc")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("neg_rank"))
+      assert(sorted.map(_.getAs[Int]("neg_rank")).toSeq == (1 to rs.length),
+        s"ranks must be contiguous for query $q")
+      val scores = sorted.map(_.getAs[Long]("score_q")).toSeq
+      assert(scores == scores.sortBy(-_), s"hardest (highest lexical) first for $q")
+    }
+  }
+
   test("PRF expansion: feedback vocabulary recalls docs plain BM25 cannot") {
     import spark.implicits._
     // q-docs 1-3 share the feedback term c (rare, heavy) and x (also in
