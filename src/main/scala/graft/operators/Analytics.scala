@@ -178,6 +178,37 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-product demand trend: the exact least-squares slope of daily
+    * units over the day index, in milli-units/day —
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * with x = days since the fixed 1992-01-01 epoch and y = units sold
+    * that day. Every S-term is an exact BIGINT, so the single flooring
+    * division is the only rounding and the ranking of "trending up vs
+    * bleeding out" products is partitioning-invariant. Products observed
+    * on < 2 distinct days have no slope and are excluded (den = 0).
+    *
+    * Scale shape: the fact stream collapses to (product, day) grain
+    * map-side, then ONE product-grain aggregate computes all five S-terms
+    * — no window, no self-join, nothing proportional to days×products.
+    * The x-range is the calendar, which does NOT grow with data volume,
+    * so the BIGINT headroom (n·Σxy ≲ 1e12 per product at a 30-year span)
+    * holds at any corpus size.
+    */
+  def trendSlope(items: DataFrame): DataFrame = {
+    val daily = items
+      .groupBy(col("product_id"),
+        datediff(to_date(col("created_at")), lit("1992-01-01").cast(DateType))
+          .cast(LongType).as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(expr("n * sxx - sx * sx") =!= 0)
+      .select(col("product_id"), col("n").as("n_days"),
+        expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+          .as("slope_milli"))
+  }
+
   /** Tukey-fence outlier detection per category: exact Q1/Q3 via the same
     * integer-rank order statistics as [[priceQuantiles]], fences at
     * `q1 − 1.5·IQR / q3 + 1.5·IQR`, and the per-category count of items
@@ -744,6 +775,26 @@ object Analytics {
          |WHERE t.m >= bounds.mn AND t.m <= CAST(bounds.mx - INTERVAL 1 MONTH AS DATE)
          |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       segmentTransitions(Tables.ordersDomain(s, d))
+    },
+
+    // Exact least-squares demand slope per product (milli-units/day).
+    Op.sql("analytics_trend_slope",
+      s"""${Tables.domainCtes},
+         |daily AS (
+         |  SELECT product_id,
+         |         CAST(DATE_DIFF('day', DATE '1992-01-01',
+         |                        CAST(created_at AS DATE)) AS BIGINT) AS x,
+         |         CAST(COUNT(*) AS BIGINT) AS y
+         |  FROM order_items GROUP BY 1, 2),
+         |s AS (
+         |  SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  FROM daily GROUP BY 1)
+         |SELECT product_id, n AS n_days,
+         |       (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_milli
+         |FROM s WHERE n * sxx - sx * sx <> 0""".stripMargin) { (s, d) =>
+      trendSlope(Tables.orderItems(s, d))
     },
 
     // Tukey-fence price outliers per category (exact ranks + IEEE fences).

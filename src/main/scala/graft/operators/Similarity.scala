@@ -798,6 +798,23 @@ object Similarity {
       .reduce(_.unionAll(_))
   }
 
+  /** IVF index-health report: one row of cell-population statistics —
+    * non-empty cell count, vector total, min/max cell size, and the skew
+    * ratio `max_cell / (n_vectors / n_cells)` on the ppm grid (balanced
+    * index = 1e6). THE operational audit for an inverted-file index: a
+    * hot cell bounds worst-case probe latency and recall both, and at
+    * 100 TB it is the signal to retrain the coarse quantizer or split the
+    * cell. One cell-grain aggregate + a 1-row rollup; integer division
+    * only.
+    */
+  def ivfCellStats(embs: DataFrame): DataFrame =
+    ivfAssign(embs).groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_nonempty"), sum(col("sz")).as("n_vectors"),
+        min(col("sz")).as("min_cell"), max(col("sz")).as("max_cell"))
+      .select(lit(ivfCells.toLong).as("n_cells"), col("n_nonempty"),
+        col("n_vectors"), col("min_cell"), col("max_cell"),
+        expr(s"(max_cell * ${ivfCells}L * 1000000) div n_vectors").as("skew_ppm"))
+
   /** Truncation widths evaluated by [[truncatedRecall]]. */
   val truncDims: Seq[Int] = Seq(8, 16, 32)
 
@@ -1441,6 +1458,21 @@ object Similarity {
 
     // Recall@k of each ANN method vs brute force — the index-evaluation
     // harness, one row per method, exact integers on the ppm grid.
+    // IVF index health: cell-population stats + skew ratio (balanced = 1e6).
+    Op.sql("sim_ivf_cell_stats",
+      s"""WITH $ivfAssignedCte,
+         |sz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS sz
+         |       FROM assigned GROUP BY 1)
+         |SELECT CAST($ivfCells AS BIGINT) AS n_cells,
+         |       CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+         |       CAST(SUM(sz) AS BIGINT) AS n_vectors,
+         |       CAST(MIN(sz) AS BIGINT) AS min_cell,
+         |       CAST(MAX(sz) AS BIGINT) AS max_cell,
+         |       (MAX(sz) * $ivfCells * 1000000) // SUM(sz) AS skew_ppm
+         |FROM sz""".stripMargin) { (s, d) =>
+      ivfCellStats(Tables.embeddings(s, d))
+    },
+
     // Matryoshka truncation evaluation: recall@k of first-m-dims exact
     // search vs the full-dimension exact neighbors.
     Op.sql("sim_truncated_recall", {

@@ -288,6 +288,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("trend slope: exact least squares, constant flat, singletons excluded") {
+    import spark.implicits._
+    // product 1: 2/4/6 units on consecutive days → slope exactly 2/day;
+    // product 2: 3 units on each of two days → slope 0; product 3: one day
+    val rows =
+      Seq.fill(2)((1L, "1992-01-01")) ++ Seq.fill(4)((1L, "1992-01-02")) ++
+        Seq.fill(6)((1L, "1992-01-03")) ++
+        Seq.fill(3)((2L, "1992-01-01")) ++ Seq.fill(3)((2L, "1992-01-05")) ++
+        Seq((3L, "1992-02-01"))
+    val items = rows.toDF("product_id", "created_at")
+      .withColumn("created_at", col("created_at").cast("date"))
+    val r = Analytics.trendSlope(items).collect()
+      .map(x => x.getAs[Long]("product_id") ->
+        (x.getAs[Long]("n_days"), x.getAs[Long]("slope_milli"))).toMap
+    assert(r == Map(1L -> ((3L, 2000L)), 2L -> ((2L, 0L))), s"got $r")
+  }
+
   test("segment transitions: retained, churned, and activated users all land") {
     import spark.implicits._
     // u1: 1 order Jan → 4 orders Feb (one→many); u2: 2 orders Jan, absent

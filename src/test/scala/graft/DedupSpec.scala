@@ -560,6 +560,17 @@ class DedupSpec extends AnyFunSuite {
     assert(dists.head.isEmpty && dists.tail.forall(_.isDefined))
   }
 
+  test("ivf cell stats: totals reconcile and skew is bounded below by balance") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val r = Similarity.ivfCellStats(embs).collect().head
+    assert(r.getAs[Long]("n_vectors") == embs.count())
+    assert(r.getAs[Long]("n_nonempty") <= r.getAs[Long]("n_cells"))
+    assert(r.getAs[Long]("min_cell") >= 1L)
+    assert(r.getAs[Long]("max_cell") >= r.getAs[Long]("min_cell"))
+    // max ≥ n_vectors/n_cells always, so the ppm skew ratio floors at 1e6
+    assert(r.getAs[Long]("skew_ppm") >= 1000000L, s"got $r")
+  }
+
   test("truncated recall: monotone in width, full width perfect") {
     val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
     val r = Similarity.truncatedRecall(embs, dims = Seq(8, 32, 64)).collect()
