@@ -178,6 +178,35 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-product availability audit: gap statistics over the product's
+    * sale-day sequence — the longest and mean run of consecutive days with
+    * ZERO sales between two observed sale days (the stockout/delisting
+    * proxy a demand pipeline screens before trusting a trend: a product
+    * with a 40-day hole isn't "low demand", it was unavailable). Gap =
+    * `day − lag(day) − 1`, exact integers; products with < 2 sale days
+    * have no gap and are excluded.
+    *
+    * Scale shape: the fact stream collapses to (product, day) grain
+    * map-side; the lag is a product-partitioned window over that tiny
+    * frame (bounded by the calendar, not the data volume); one
+    * product-grain aggregate finishes. Mean is reported in milli-days.
+    */
+  def saleGaps(items: DataFrame): DataFrame = {
+    val daily = items
+      .select(col("product_id"), to_date(col("created_at")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("product_id")).orderBy(col("day"))
+    daily
+      .withColumn("gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast(LongType) - 1L)
+      .filter(col("gap").isNotNull)
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap_days"),
+        sum(col("gap")).as("total_gap_days"))
+      .withColumn("mean_gap_milli",
+        expr("(total_gap_days * 1000) div n_gaps"))
+  }
+
   /** Per-product demand trend: the exact least-squares slope of daily
     * units over the day index, in milli-units/day —
     *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
@@ -775,6 +804,25 @@ object Analytics {
          |WHERE t.m >= bounds.mn AND t.m <= CAST(bounds.mx - INTERVAL 1 MONTH AS DATE)
          |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       segmentTransitions(Tables.ordersDomain(s, d))
+    },
+
+    // Sale-gap audit per product: longest/mean zero-sale run in days.
+    Op.sql("analytics_sale_gaps",
+      s"""${Tables.domainCtes},
+         |daily AS (SELECT DISTINCT product_id, CAST(created_at AS DATE) AS day
+         |          FROM order_items),
+         |g AS (
+         |  SELECT product_id,
+         |         CAST(DATE_DIFF('day', LAG(day) OVER (PARTITION BY product_id
+         |                                              ORDER BY day), day)
+         |              AS BIGINT) - 1 AS gap
+         |  FROM daily)
+         |SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |       CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+         |       CAST(SUM(gap) AS BIGINT) AS total_gap_days,
+         |       (SUM(gap) * 1000) // COUNT(*) AS mean_gap_milli
+         |FROM g WHERE gap IS NOT NULL GROUP BY product_id""".stripMargin) { (s, d) =>
+      saleGaps(Tables.orderItems(s, d))
     },
 
     // Exact least-squares demand slope per product (milli-units/day).

@@ -288,6 +288,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sale gaps: exact run lengths, singleton days excluded") {
+    import spark.implicits._
+    // product 1 sells on days 1, 2, 5, 10 → gaps 0, 2, 4 (n=3, max=4,
+    // total=6, mean 2000 milli); product 2 has one day → no gap rows
+    val items = Seq((1L, "1992-01-01"), (1L, "1992-01-02"), (1L, "1992-01-05"),
+      (1L, "1992-01-10"), (2L, "1992-01-01"))
+      .toDF("product_id", "created_at")
+      .withColumn("created_at", col("created_at").cast("date"))
+    val r = Analytics.saleGaps(items).collect()
+      .map(x => x.getAs[Long]("product_id") ->
+        (x.getAs[Long]("n_gaps"), x.getAs[Long]("max_gap_days"),
+          x.getAs[Long]("total_gap_days"), x.getAs[Long]("mean_gap_milli"))).toMap
+    assert(r == Map(1L -> ((3L, 4L, 6L, 2000L))), s"got $r")
+  }
+
   test("trend slope: exact least squares, constant flat, singletons excluded") {
     import spark.implicits._
     // product 1: 2/4/6 units on consecutive days → slope exactly 2/day;
