@@ -542,6 +542,42 @@ object EventOps {
         sum(expr("1000000 div n")).as("credit_ppm"))
   }
 
+  /** Time-decay attribution: [[multitouchCredit]]'s linear split replaced
+    * by recency weighting — each touch in the 24 h window carries weight
+    * `2^(3 − Δ/6h)` (8/4/2/1 by 6-hour bucket, most-recent heaviest) and a
+    * purchase's unit of credit divides proportionally:
+    * `credit = w·1e6 div Σw`. The halving-bucket weights keep everything
+    * BIGINT (a float `exp(−λΔt)` would ULP-drift across engines) while
+    * preserving exactly the property marketers buy time-decay for: a touch
+    * minutes before purchase outweighs one from yesterday 8:1.
+    *
+    * Plan shape: identical to the linear op — user-equi-join with the
+    * range predicate riding it, per-purchase weight-sum window (bounded by
+    * touches-per-purchase), one (day, type) rollup. The Δ-seconds term is
+    * `unix_timestamp` truncation on both engines (DuckDB's
+    * `DATE_DIFF('second', …)` counts the same boundary crossings).
+    */
+  def decayCredit(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val t = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("event_id").as("tid"), col("user_id"), col("event_type"), col("ts"))
+    val attributed = p.join(t, Seq("user_id"))
+      .filter(col("ts") <= col("pts")
+        && col("ts") > col("pts") - expr(s"INTERVAL $touchWindowHours HOURS"))
+      .select(col("pid"), col("tid"), col("event_type"),
+        to_date(col("ts")).as("day"),
+        expr("shiftleft(1L, cast(3 - ((unix_timestamp(pts) - unix_timestamp(ts)) div 21600) as int))")
+          .as("w"))
+    val ws = Window.partitionBy(col("pid"))
+    attributed
+      .withColumn("wsum", sum(col("w")).over(ws))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("pid")).as("purchases"),
+        sum(expr("(w * 1000000) div wsum")).as("credit_ppm"))
+  }
+
   /** Max seconds between consecutive funnel stages for [[funnelWindowed]]. */
   val funnelWindowSec = 86400L
 
@@ -1250,6 +1286,26 @@ object EventOps {
     },
 
     // Linear multi-touch purchase attribution at (touch day, type) grain.
+    // Time-decay attribution: halving-bucket recency weights (8/4/2/1).
+    Op.sql("events_decay_credit",
+      s"""WITH $eventsCte,
+         |p AS (SELECT event_id AS pid, user_id, ts AS pts FROM ev
+         |      WHERE event_type = 'purchase'),
+         |t AS (SELECT event_id AS tid, user_id, event_type, ts FROM ev
+         |      WHERE event_type IN (${touchTypes.map("'" + _ + "'").mkString(", ")})),
+         |a AS (SELECT p.pid, t.tid, t.event_type, CAST(t.ts AS DATE) AS day,
+         |             (1::BIGINT << CAST(3 - (DATE_DIFF('second', t.ts, p.pts) // 21600)
+         |                                AS INTEGER)) AS w
+         |      FROM p JOIN t ON t.user_id = p.user_id
+         |        AND t.ts <= p.pts AND t.ts > p.pts - INTERVAL $touchWindowHours HOUR),
+         |n AS (SELECT pid, CAST(SUM(w) AS BIGINT) AS wsum FROM a GROUP BY 1)
+         |SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS touches,
+         |       CAST(COUNT(DISTINCT a.pid) AS BIGINT) AS purchases,
+         |       CAST(SUM((a.w * 1000000) // n.wsum) AS BIGINT) AS credit_ppm
+         |FROM a JOIN n ON n.pid = a.pid GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      decayCredit(Tables.events(s, d))
+    },
+
     Op.sql("events_multitouch_credit",
       s"""WITH $eventsCte,
          |p AS (SELECT event_id AS pid, user_id, ts AS pts FROM ev

@@ -362,6 +362,22 @@ class EventSpec extends AnyFunSuite {
       == (("A", 1L, 3L, 3000L)))
   }
 
+  test("decay credit: recent touch outweighs stale 8:1, out-of-window drops") {
+    // purchase at 12:00; view 30 min before (bucket 0, w=8), click 7 h
+    // before (bucket 1, w=4), view 25 h before (outside the 24 h window).
+    // wsum = 12 → credits 666666 / 333333 ppm.
+    val ev = Seq(
+      (1L, ts("2024-01-02 12:00:00"), 1L, "purchase", 9.0, ""),
+      (2L, ts("2024-01-02 11:30:00"), 1L, "view", 1.0, ""),
+      (3L, ts("2024-01-02 05:00:00"), 1L, "click", 1.0, ""),
+      (4L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.decayCredit(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("touches"), x.getAs[Long]("credit_ppm"))).toMap
+    assert(r == Map("view" -> ((1L, 666666L)), "click" -> ((1L, 333333L))), s"got $r")
+  }
+
   test("forecast ewma: constant series is predicted exactly; full-window rule") {
     // type A: 1 event/day on days 1..9. Day 9 is the only day with the full
     // 8-day history; its forecast is (Σ 2^(8-i))//255 = 1 → error 0.
