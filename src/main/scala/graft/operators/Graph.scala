@@ -404,6 +404,56 @@ object Graph {
         expr("(common * 1000000) div (da + db - common)").as("jaccard_ppm"))
   }
 
+  /** Walk length (steps) for [[randomWalks]]. */
+  val walkLen = 3
+
+  /** Walks started per seed node. */
+  val walksPerSeed = 2
+
+  /** Deterministic pseudo-random walk sampling — the node2vec/DeepWalk
+    * corpus generator, made engine-portable: at step s, walk (seed, wid)
+    * at node c moves to the neighbor n minimizing
+    * `md5(seed|wid|s|c|n)` — a hash-derived uniform choice that is a PURE
+    * FUNCTION of the walk identity and position, so every engine, every
+    * partitioning, and every rerun samples the IDENTICAL walk corpus
+    * (true RNG walks can never be oracle-checked or reproduced for
+    * training-data lineage). Output: one row per (seed, wid, step, node)
+    * visit.
+    *
+    * Scale shape: walk state is (seeds × walks) rows — broadcast into the
+    * edge scan each step, the BFS/PageRank contract; per-step cost is one
+    * broadcast join + a (seed, wid)-partitioned argmin window over the
+    * candidate fan-out (bounded by Σ deg(current nodes)). Walks that
+    * reach a sink simply end (inner join drops them) — impossible here on
+    * the symmetric co-purchase graph but the defined semantics for
+    * directed inputs.
+    */
+  def randomWalks(edges: DataFrame, seedPred: Column = col("node") < 8,
+      steps: Int = walkLen, walks: Int = walksPerSeed): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = e.select(col("src").as("node")).distinct().filter(seedPred)
+      .select(col("node").as("seed"),
+        explode(sequence(lit(0), lit(walks - 1))).as("wid"))
+      .select(col("seed"), col("wid"), lit(0).as("step"), col("seed").as("node"))
+    var paths = state
+    for (s <- 1 to steps) {
+      val byWalk = Window.partitionBy(col("seed"), col("wid"))
+        .orderBy(col("hv"), col("cand"))
+      state = e.join(broadcast(state.select(col("seed"), col("wid"), col("node"))),
+          col("src") === col("node"))
+        .select(col("seed"), col("wid"), col("dst").as("cand"),
+          md5(concat_ws("|", col("seed"), col("wid"), lit(s), col("node"),
+            col("dst"))).as("hv"))
+        .withColumn("rn", row_number().over(byWalk))
+        .filter(col("rn") === 1)
+        .select(col("seed"), col("wid"), lit(s).as("step"), col("cand").as("node"))
+        .localCheckpoint()
+      paths = paths.unionByName(state)
+    }
+    paths
+  }
+
   /** Hub cap for [[linkPrediction]] wedge centers: a center with more
     * neighbors than this contributes no wedges. Principled, not a fudge —
     * each of a hub's wedges scores only `1/deg ≤ 1/cap` ppm (negligible by
@@ -780,6 +830,35 @@ object Graph {
          |FROM dcs d LEFT JOIN win w ON w.community = d.community
          |CROSS JOIN m""".stripMargin) { (s, d) =>
       modularityOf(storedEdges(s, d), storedCommunities(s, d))
+    },
+
+    // Deterministic hash-driven random-walk corpus (node2vec precursor).
+    Op.sql("graph_random_walks", {
+      def h(s: Int) =
+        s"md5(CAST(p.seed AS VARCHAR) || '|' || CAST(p.wid AS VARCHAR) || '|' || " +
+          s"'$s' || '|' || CAST(p.node AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR))"
+      val stepCtes = (1 to walkLen).map { s =>
+        s"""w$s AS (
+           |  SELECT seed, wid, $s AS step, cand AS node FROM (
+           |    SELECT seed, wid, cand,
+           |           ROW_NUMBER() OVER (PARTITION BY seed, wid
+           |                              ORDER BY hv, cand) AS rn
+           |    FROM (SELECT p.seed, p.wid, e.dst AS cand, ${h(s)} AS hv
+           |          FROM w${s - 1} p JOIN e ON e.src = p.node))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to walkLen)
+        .map(s => s"SELECT seed, wid, step, node FROM w$s")
+        .mkString("\nUNION ALL ")
+      s"""WITH $edgesCtes,
+         |sv AS (SELECT DISTINCT src AS seed FROM e WHERE src < 8),
+         |w0 AS (SELECT seed, wid, 0 AS step, seed AS node
+         |       FROM sv CROSS JOIN (SELECT unnest(generate_series(0, ${walksPerSeed - 1}))
+         |                           AS wid)),
+         |$stepCtes
+         |$union""".stripMargin
+    }) { (s, d) =>
+      randomWalks(storedEdges(s, d))
     },
 
     // Resource-allocation link prediction: top non-adjacent pairs by

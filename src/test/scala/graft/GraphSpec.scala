@@ -254,6 +254,30 @@ class GraphSpec extends AnyFunSuite {
     assert(at.forall(_.getAs[Long]("ra_ppm") == 1000000L / 64), "uniform 1/64 scores")
   }
 
+  test("random walks: hops follow edges, leaves bounce to hub, rerun-identical") {
+    val w = Graph.randomWalks(star).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Int]("wid"),
+        r.getAs[Int]("step"), r.getAs[Long]("node")))
+    // 5 seeds × 2 walks × 4 positions, no early deaths on a connected graph
+    assert(w.length == 5 * Graph.walksPerSeed * (Graph.walkLen + 1), s"${w.length}")
+    val byWalk = w.groupBy(t => (t._1, t._2)).view.mapValues(
+      _.sortBy(_._3).map(_._4).toSeq).toMap
+    byWalk.foreach { case ((seed, _), path) =>
+      assert(path.head == seed, "walks start at their seed")
+      // on a star every hop alternates hub/leaf: from a leaf the ONLY
+      // neighbor is the hub; from the hub, some leaf
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(a == 1L ^ b == 1L, s"non-edge hop $a→$b in $path")
+      }
+    }
+    // the hash-driven choice is a pure function of walk identity: a
+    // different partitioning must sample the identical corpus
+    val re = Graph.randomWalks(star.repartition(7)).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Int]("wid"),
+        r.getAs[Int]("step"), r.getAs[Long]("node"))).toSet
+    assert(re == w.toSet, "walk corpus must be partitioning-invariant")
+  }
+
   test("clustering coefficient: clique 1e6, star hub 0, path middles excluded-edge") {
     def sym(es: Seq[(Long, Long)]) =
       es.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")
