@@ -454,6 +454,57 @@ object Graph {
     paths
   }
 
+  /** Skip-gram context window (steps) for [[walkSkipgrams]]. */
+  val skipgramWindow = 2
+
+  /** Skip-gram (center, context) pair counts from the [[randomWalks]]
+    * corpus — the word2vec-style extraction a graph-embedding trainer
+    * consumes: every ordered pair of visits within [[skipgramWindow]]
+    * steps of each other on the same walk, aggregated to pair grain. The
+    * join key is the walk identity (seed, wid), so the self-join fan-out
+    * is bounded by walk length², never by graph size.
+    */
+  def walkSkipgrams(edges: DataFrame): DataFrame = {
+    val w = randomWalks(edges)
+      .select(col("seed"), col("wid"), col("step"), col("node"))
+      .localCheckpoint()
+    val a = w.select(col("seed"), col("wid"), col("step"), col("node").as("center"))
+    val b = w.select(col("seed"), col("wid"), col("step").as("cstep"),
+      col("node").as("context"))
+    a.join(b, Seq("seed", "wid"))
+      .filter(col("cstep") =!= col("step")
+        && abs(col("cstep") - col("step")) <= skipgramWindow)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Shared walk-oracle CTE chain `w0..w{walkLen}` (after `e`). */
+  private lazy val walksCtes: String = {
+    def h(s: Int) =
+      s"md5(CAST(p.seed AS VARCHAR) || '|' || CAST(p.wid AS VARCHAR) || '|' || " +
+        s"'$s' || '|' || CAST(p.node AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR))"
+    val stepCtes = (1 to walkLen).map { s =>
+      s"""w$s AS (
+         |  SELECT seed, wid, $s AS step, cand AS node FROM (
+         |    SELECT seed, wid, cand,
+         |           ROW_NUMBER() OVER (PARTITION BY seed, wid
+         |                              ORDER BY hv, cand) AS rn
+         |    FROM (SELECT p.seed, p.wid, e.dst AS cand, ${h(s)} AS hv
+         |          FROM w${s - 1} p JOIN e ON e.src = p.node))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""sv AS (SELECT DISTINCT src AS seed FROM e WHERE src < 8),
+       |w0 AS (SELECT seed, wid, 0 AS step, seed AS node
+       |       FROM sv CROSS JOIN (SELECT unnest(generate_series(0, ${walksPerSeed - 1}))
+       |                           AS wid)),
+       |$stepCtes""".stripMargin
+  }
+
+  /** UNION ALL of the walk-step CTEs. */
+  private lazy val walksUnion: String = (0 to walkLen)
+    .map(s => s"SELECT seed, wid, step, node FROM w$s")
+    .mkString("\nUNION ALL ")
+
   /** Hub cap for [[linkPrediction]] wedge centers: a center with more
     * neighbors than this contributes no wedges. Principled, not a fudge —
     * each of a hub's wedges scores only `1/deg ≤ 1/cap` ppm (negligible by
@@ -833,32 +884,27 @@ object Graph {
     },
 
     // Deterministic hash-driven random-walk corpus (node2vec precursor).
-    Op.sql("graph_random_walks", {
-      def h(s: Int) =
-        s"md5(CAST(p.seed AS VARCHAR) || '|' || CAST(p.wid AS VARCHAR) || '|' || " +
-          s"'$s' || '|' || CAST(p.node AS VARCHAR) || '|' || CAST(e.dst AS VARCHAR))"
-      val stepCtes = (1 to walkLen).map { s =>
-        s"""w$s AS (
-           |  SELECT seed, wid, $s AS step, cand AS node FROM (
-           |    SELECT seed, wid, cand,
-           |           ROW_NUMBER() OVER (PARTITION BY seed, wid
-           |                              ORDER BY hv, cand) AS rn
-           |    FROM (SELECT p.seed, p.wid, e.dst AS cand, ${h(s)} AS hv
-           |          FROM w${s - 1} p JOIN e ON e.src = p.node))
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 to walkLen)
-        .map(s => s"SELECT seed, wid, step, node FROM w$s")
-        .mkString("\nUNION ALL ")
+    Op.sql("graph_random_walks",
       s"""WITH $edgesCtes,
-         |sv AS (SELECT DISTINCT src AS seed FROM e WHERE src < 8),
-         |w0 AS (SELECT seed, wid, 0 AS step, seed AS node
-         |       FROM sv CROSS JOIN (SELECT unnest(generate_series(0, ${walksPerSeed - 1}))
-         |                           AS wid)),
-         |$stepCtes
-         |$union""".stripMargin
-    }) { (s, d) =>
+         |$walksCtes
+         |$walksUnion""".stripMargin) { (s, d) =>
       randomWalks(storedEdges(s, d))
+    },
+
+    // Skip-gram training pairs from the walk corpus — the word2vec-style
+    // (center, context) extraction a graph-embedding trainer consumes.
+    Op.sql("graph_walk_skipgrams",
+      s"""WITH $edgesCtes,
+         |$walksCtes,
+         |wu AS (
+         |$walksUnion),
+         |pairs AS (
+         |  SELECT a.node AS center, b.node AS context
+         |  FROM wu a JOIN wu b ON b.seed = a.seed AND b.wid = a.wid
+         |    AND b.step <> a.step AND ABS(b.step - a.step) <= $skipgramWindow)
+         |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM pairs GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      walkSkipgrams(storedEdges(s, d))
     },
 
     // Resource-allocation link prediction: top non-adjacent pairs by

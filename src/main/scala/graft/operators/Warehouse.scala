@@ -272,6 +272,33 @@ object Warehouse {
     // stored sorted/partitioned on valid_from this prunes at the file level,
     // so a 100 TB history answers a point-in-time read from the slice of
     // versions open at T.
+    // Fact × SCD2 dimension at EVENT time: each order joins the priority
+    // version valid on its order date — the star-schema temporal join
+    // ("revenue by the segment the customer was in WHEN they ordered",
+    // which a current-version join silently misstates). Key-equi-join on
+    // user_id with the validity range as a riding filter — never a range
+    // cross product; per-user version counts bound the fan-out.
+    Op.sql("warehouse_dim_asof_join",
+      s"""WITH $scd2PriorityCtes
+         |SELECT h.priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       ${dsumSql("o.o_totalprice")} AS revenue
+         |FROM orders o JOIN hist h ON h.user_id = o.o_custkey
+         |  AND h.valid_from <= o.o_orderdate
+         |  AND (h.valid_to IS NULL OR h.valid_to > o.o_orderdate)
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val hist = scd2(priorityLog(s, d), "user_id", "priority", "ts", "oid")
+      Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate").as("ots"),
+          col("o_totalprice"))
+        .join(hist.select(col("user_id"), col("priority"), col("valid_from"),
+          col("valid_to")), Seq("user_id"))
+        .filter(col("valid_from") <= col("ots")
+          && (col("valid_to").isNull || col("valid_to") > col("ots")))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+
     Op.sql("warehouse_scd2_asof",
       s"""WITH $scd2PriorityCtes
          |SELECT user_id, version, priority, valid_from, n_obs, valid_to,

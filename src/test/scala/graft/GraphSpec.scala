@@ -278,6 +278,19 @@ class GraphSpec extends AnyFunSuite {
     assert(re == w.toSet, "walk corpus must be partitioning-invariant")
   }
 
+  test("skipgrams: pair mass = walks x window pairs, matrix symmetric") {
+    val sg = Graph.walkSkipgrams(star).collect()
+      .map(r => (r.getAs[Long]("center"), r.getAs[Long]("context")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // a length-4 walk yields 10 ordered pairs within window 2; no walk
+    // dies early on a connected graph → 5 seeds × 2 walks × 10
+    assert(sg.values.sum == 5 * Graph.walksPerSeed * 10, s"mass ${sg.values.sum}")
+    sg.foreach { case ((c, x), n) =>
+      assert(sg.getOrElse((x, c), 0L) == n,
+        s"ordered-pair extraction must be symmetric: ($c,$x)")
+    }
+  }
+
   test("clustering coefficient: clique 1e6, star hub 0, path middles excluded-edge") {
     def sym(es: Seq[(Long, Long)]) =
       es.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")

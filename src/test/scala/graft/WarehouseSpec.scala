@@ -118,4 +118,18 @@ class WarehouseSpec extends AnyFunSuite {
     // the continued run really merged: key 1 version 1 holds 3 observations
     assert(merged.exists(r => r._1 == 1L && r._2 == 1 && r._5 == 3L))
   }
+
+  test("dim as-of join: the fact table partitions exactly across versions") {
+    // every order must land on EXACTLY one dimension version (the one
+    // valid at its order date) — n_orders across priorities is a
+    // partition of the fact table, and revenue mass is conserved
+    val out = graft.SparkEntry.queries("warehouse_dim_asof_join")(
+      spark, TestSession.sf).collect()
+    val orders = Tables.orders(spark, TestSession.sf)
+    assert(out.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    val total = orders.agg(
+      sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(out.map(_.getAs[Double]("revenue")).sum - total) < 1e-6)
+  }
 }
