@@ -454,6 +454,39 @@ object Graph {
     paths
   }
 
+  /** Pair-counting Rand index between two node partitions on the ppm grid
+    * — "do LPA's dense communities and the strong connected components
+    * carve the graph the same way?" — the clustering-agreement audit that
+    * needs NO logarithms (NMI does; the repo-wide exactness rule bans it):
+    *   RI = (T − b1 − b2 + 2a) / T
+    * with a = Σ_ij C(n_ij,2), b_k the per-partition pair sums, T = C(N,2)
+    * — every term an exact BIGINT from cluster-size aggregates, never a
+    * pair enumeration. RI = 1e6 ⟺ identical partitions.
+    *
+    * Scale: four aggregates over the node-grain label join; the ×1e6 grid
+    * bounds N at ~4.3M nodes before BIGINT overflow — past that, compute
+    * the index on a node sample (the standard practice for partition
+    * comparison at web scale), which this op's shape supports unchanged.
+    */
+  def partitionAgreement(labelsA: DataFrame, labelsB: DataFrame): DataFrame = {
+    val j = labelsA.join(labelsB, "product_id")
+      .select(col("community").as("ca"), col("component_id").as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairSum(out: String, keys: Column*) =
+      j.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("(n * (n - 1)) div 2")).as(out))
+    val a = pairSum("a", col("ca"), col("cb"))
+    val b1 = pairSum("b1", col("ca"))
+    val b2 = pairSum("b2", col("cb"))
+    val t = j.agg(count(lit(1)).as("nn"))
+      .select(col("nn"), expr("(nn * (nn - 1)) div 2").as("t"))
+    t.crossJoin(broadcast(a)).crossJoin(broadcast(b1)).crossJoin(broadcast(b2))
+      .select(col("nn").as("n_nodes"), col("a").as("both_pairs"),
+        col("b1").as("a_pairs"), col("b2").as("b_pairs"),
+        col("t").as("total_pairs"),
+        expr("((t - b1 - b2 + 2*a) * 1000000) div t").as("rand_ppm"))
+  }
+
   /** Skip-gram context window (steps) for [[walkSkipgrams]]. */
   val skipgramWindow = 2
 
@@ -1034,6 +1067,40 @@ object Graph {
          |       COALESCE(lab.component_id, o.src) AS component_id
          |FROM outw o LEFT JOIN lab ON lab.node = o.src""".stripMargin) { (s, d) =>
       components(storedEdges(s, d))
+    },
+
+    // Rand-index agreement between LPA communities and strong components.
+    Op.sql("graph_partition_agreement",
+      s"""WITH RECURSIVE $edgesCtes,
+         |$lpaCtes,
+         |comm AS (SELECT node, lab AS ca FROM l$lpaIters),
+         |sse AS (SELECT src, dst FROM e WHERE w >= $componentsMinW AND src < dst),
+         |sedges AS (SELECT src AS a, dst AS b FROM sse
+         |           UNION ALL SELECT dst, src FROM sse),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM sedges
+         |  UNION
+         |  SELECT reach.node, se2.b FROM reach JOIN sedges se2 ON se2.a = reach.r),
+         |clab AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node),
+         |compo AS (SELECT o.src AS node, COALESCE(clab.component_id, o.src) AS cb
+         |          FROM outw o LEFT JOIN clab ON clab.node = o.src),
+         |j AS (SELECT c1.ca, c2.cb FROM comm c1 JOIN compo c2 ON c2.node = c1.node),
+         |pa AS (SELECT CAST(SUM((n*(n-1))//2) AS BIGINT) AS a
+         |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY ca, cb)),
+         |pb1 AS (SELECT CAST(SUM((n*(n-1))//2) AS BIGINT) AS b1
+         |        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY ca)),
+         |pb2 AS (SELECT CAST(SUM((n*(n-1))//2) AS BIGINT) AS b2
+         |        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY cb)),
+         |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         |              CAST((COUNT(*)*(COUNT(*)-1))//2 AS BIGINT) AS t FROM j)
+         |SELECT pt.nn AS n_nodes, pa.a AS both_pairs, pb1.b1 AS a_pairs,
+         |       pb2.b2 AS b_pairs, pt.t AS total_pairs,
+         |       ((pt.t - pb1.b1 - pb2.b2 + 2*pa.a) * 1000000) // pt.t AS rand_ppm
+         |FROM pt CROSS JOIN pa CROSS JOIN pb1 CROSS JOIN pb2""".stripMargin) {
+      (s, d) =>
+      partitionAgreement(
+        storedCommunities(s, d),
+        components(storedEdges(s, d)))
     },
 
     // k-core membership after 3 unrolled peel rounds on the strong subgraph.

@@ -278,6 +278,21 @@ class GraphSpec extends AnyFunSuite {
     assert(re == w.toSet, "walk corpus must be partitioning-invariant")
   }
 
+  test("partition agreement: identical = 1e6, crossed pairs score 2/6") {
+    val a = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("product_id", "community")
+    val same = a.withColumnRenamed("community", "component_id")
+    val ri = Graph.partitionAgreement(a, same).collect().head
+    assert(ri.getAs[Long]("rand_ppm") == 1000000L, s"identical must be 1e6: $ri")
+    // crossed: A={12|34}, B={13|24} → a=0, b1=b2=2, T=6 → RI=2/6
+    val crossed = Seq((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L))
+      .toDF("product_id", "component_id")
+    val rc = Graph.partitionAgreement(a, crossed).collect().head
+    assert((rc.getAs[Long]("both_pairs"), rc.getAs[Long]("a_pairs"),
+      rc.getAs[Long]("b_pairs"), rc.getAs[Long]("rand_ppm"))
+      == ((0L, 2L, 2L, 333333L)), s"got $rc")
+  }
+
   test("skipgrams: pair mass = walks x window pairs, matrix symmetric") {
     val sg = Graph.walkSkipgrams(star).collect()
       .map(r => (r.getAs[Long]("center"), r.getAs[Long]("context")) ->
