@@ -234,6 +234,42 @@ object TextOps {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
       |  GROUP BY doc_id, token)""".stripMargin
 
+  /** Docs per bucket for [[vocabGrowth]]. */
+  val vocabGrowthBucket = 25L
+
+  /** Type-growth curve (Heaps' law, measured on 5-gram types): new
+    * distinct word-5-gram TYPES introduced per [[vocabGrowthBucket]]-doc
+    * slab of the corpus in doc_id order, with the cumulative type count —
+    * the corpus-diversity readout a curation pipeline watches (a
+    * flattening curve means new data re-treads old phrasing: diminishing
+    * returns; a near-linear curve means the mix still adds novelty).
+    * 5-gram types rather than unigrams because a training corpus
+    * saturates its word vocabulary almost immediately while phrase-level
+    * novelty keeps discriminating. Each type is credited to its LOWEST
+    * doc_id (the [[ngramNovelty]] convention), so the curve is exact and
+    * insertion-order-stable.
+    *
+    * Plan: one gram-grain `min(doc_id)` aggregate (on 60-bit gram hashes,
+    * never gram text), a bucket-grain rollup, and a cumulative window
+    * over the bucket axis — whose cardinality is |corpus|/bucket, so the
+    * unpartitioned running-sum window is over a frame that cannot be
+    * large by construction.
+    */
+  def vocabGrowth(docs: DataFrame, bucket: Long = vocabGrowthBucket): DataFrame = {
+    val ws = split(col("text"), " ")
+    val firstSeen = docs.filter(size(ws) >= contamN)
+      .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
+      .select(col("doc_id"), hash60(col("gram")).as("gh"))
+      .groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    val perBucket = firstSeen
+      .groupBy(expr(s"first_doc div $bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.withColumn("cum_types", sum(col("new_types")).over(w))
+  }
+
   /** Corpus vocabulary: top-k tokens by document frequency (ties broken by
     * token), with total term frequency. Two hash-aggregates over the term
     * grain; the final top-k is a 1-partition sort of |vocab| rows, never of
@@ -1077,6 +1113,25 @@ object TextOps {
          |          ${hash60Sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS skey
          |        FROM documents))""".stripMargin) { (s, d) =>
       globalShuffle(Tables.documents(s, d))
+    },
+
+    // Heaps'-law 5-gram type growth: new types per 25-doc slab + cumsum.
+    Op.sql("text_vocab_growth",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |fs AS (
+         |  SELECT ${hash60Sql("gram")} AS gh, MIN(doc_id) AS first_doc
+         |  FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |        FROM ws WHERE len(ws) >= $contamN)
+         |  GROUP BY 1),
+         |pb AS (SELECT first_doc // $vocabGrowthBucket AS bucket,
+         |              CAST(COUNT(*) AS BIGINT) AS new_types
+         |       FROM fs GROUP BY 1)
+         |SELECT bucket, new_types,
+         |       CAST(SUM(new_types) OVER (ORDER BY bucket
+         |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |         AS cum_types
+         |FROM pb""".stripMargin) { (s, d) =>
+      vocabGrowth(Tables.documents(s, d))
     },
 
     Op.sql("text_vocab",

@@ -412,4 +412,17 @@ class TextOpsSpec extends AnyFunSuite {
         (r.getAs[Long]("tvd_ppm"), r.getAs[Long]("n_buckets"))).toMap
     assert(out == Map("A" -> ((500000L, 2L)), "B" -> ((500000L, 2L))), s"got $out")
   }
+
+  test("vocab growth: verbatim copies add no types, cumsum runs exactly") {
+    import spark.implicits._
+    val a = (0 until 10).map(i => s"w$i").mkString(" ") // 6 distinct 5-grams
+    val b = (0 until 10).map(i => s"v$i").mkString(" ")
+    // doc 0 introduces a's grams (bucket 0); doc 25 is a verbatim copy of
+    // doc 0 (adds nothing); doc 26 introduces b's grams (bucket 1)
+    val docs = Seq((0L, a), (25L, a), (26L, b)).toDF("doc_id", "text")
+    val r = TextOps.vocabGrowth(docs).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("new_types"), x.getAs[Long]("cum_types"))).toMap
+    assert(r == Map(0L -> ((6L, 6L)), 1L -> ((6L, 12L))), s"got $r")
+  }
 }
