@@ -466,6 +466,29 @@ object Analytics {
     * re-aggregations of 4-decimal leaves, so decile totals are
     * order-independent.
     */
+  /** Revenue Gini coefficient — the single-number concentration summary
+    * beside [[revenuePareto]]'s decile curve:
+    *   G = (2·Σ rank·y − (n+1)·Σy) / (n·Σy)
+    * over per-product revenue truncated to whole currency units (BIGINT;
+    * the truncation is the same IEEE double→long cast on both engines).
+    * Ranks are ascending exact globals from [[withGlobalRowNumber]]; the
+    * numerator and denominator are exact BIGINTs (< 2^53, so the one
+    * final IEEE division is bit-identical cross-engine — the price-fence
+    * precedent). G = 0 ⟺ uniform; → 1 as one product takes everything.
+    */
+  def revenueGini(orderItems: DataFrame): DataFrame = {
+    val perProduct = orderItems.groupBy(col("product_id"))
+      .agg(dsum(col("sale_price")).as("rev"))
+      .select(col("product_id"), expr("CAST(FLOOR(rev) AS BIGINT)").as("y"))
+    val (ranked, n) = withGlobalRowNumber(perProduct, "rn",
+      Seq(col("y"), col("product_id")))
+    ranked
+      .agg(sum(expr("rn * y")).as("sry"), sum(col("y")).as("sy"))
+      .select(lit(n).as("n_products"), col("sy").as("total_units"),
+        (expr(s"CAST(2*sry - (${n}L + 1) * sy AS DOUBLE)") /
+          expr(s"CAST(${n}L * sy AS DOUBLE)")).as("gini"))
+  }
+
   def revenuePareto(orderItems: DataFrame): DataFrame = {
     val perProduct = orderItems.groupBy(col("product_id"))
       .agg(dsum(col("sale_price")).as("rev"))
@@ -804,6 +827,22 @@ object Analytics {
          |WHERE t.m >= bounds.mn AND t.m <= CAST(bounds.mx - INTERVAL 1 MONTH AS DATE)
          |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
       segmentTransitions(Tables.ordersDomain(s, d))
+    },
+
+    // Revenue Gini: single-number concentration beside the Pareto curve.
+    Op.sql("analytics_revenue_gini",
+      s"""${Tables.domainCtes},
+         |pp AS (SELECT product_id, CAST(FLOOR(${dsumSql("sale_price")}) AS BIGINT) AS y
+         |       FROM order_items GROUP BY product_id),
+         |r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y, product_id) AS rn FROM pp),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(rn * y) AS BIGINT) AS sry,
+         |             CAST(SUM(y) AS BIGINT) AS sy
+         |      FROM r)
+         |SELECT n AS n_products, sy AS total_units,
+         |       CAST(2*sry - (n + 1)*sy AS DOUBLE) / CAST(n*sy AS DOUBLE) AS gini
+         |FROM s""".stripMargin) { (s, d) =>
+      revenueGini(Tables.orderItems(s, d))
     },
 
     // Sale-gap audit per product: longest/mean zero-sale run in days.

@@ -91,6 +91,58 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy("from_type")).cast(DoubleType))
   }
 
+  /** Power-iteration rounds for [[markovStationary]]. */
+  val stationaryRounds = 4
+
+  /** π grid: 10⁹ steps of probability mass. */
+  val piGrid = 1000000000L
+
+  /** Stationary distribution of the session-transition chain: where does
+    * the average journey CONCENTRATE — the single-vector summary of the
+    * [[typeTransitions]] matrix (a state with high π is where sessions
+    * spend their time; the funnel op measures progression, this measures
+    * equilibrium). [[stationaryRounds]] synchronous power-iteration rounds
+    * on exact integer grids: per-row transition probabilities on the ppm
+    * grid, π on the 10⁹ grid, every update `Σ (π·p) div 1e6` — the
+    * PageRank recurrence applied to the behavioral chain, equally
+    * partitioning-invariant. The observed chain is SUB-stochastic (each
+    * user's last event has no successor; truncated rows lose ≤ |states|
+    * ppm per row), so total π mass decays slightly per round — reported
+    * as-is rather than renormalized, keeping every number exact.
+    *
+    * Scale shape: ONE user-keyed shuffle builds the transition counts
+    * (the typeTransitions plan); everything after is at state-pair grain
+    * (|event types|² rows), broadcast through the rounds.
+    */
+  def markovStationary(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rs", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        expr("(n * 1000000) div rs").as("p_ppm"))
+      .localCheckpoint()
+    val states = t.select(col("from_type").as("event_type"))
+      .unionByName(t.select(col("to_type").as("event_type")))
+      .distinct().localCheckpoint()
+    val k = states.count()
+    var pi = states.withColumn("pi_q", lit(piGrid / k))
+    for (_ <- 1 to stationaryRounds) {
+      val moved = t
+        .join(broadcast(pi.withColumnRenamed("event_type", "from_type")), "from_type")
+        .groupBy(col("to_type").as("event_type"))
+        .agg(sum(expr("(pi_q * p_ppm) div 1000000")).as("m"))
+      pi = states.join(moved, Seq("event_type"), "left")
+        .select(col("event_type"), coalesce(col("m"), lit(0L)).as("pi_q"))
+        .localCheckpoint()
+    }
+    pi
+  }
+
   /** Dwell times per transition: for each consecutive (from → to) event
     * pair within a user's timeline, the count and min/avg/max gap in whole
     * seconds — [[typeTransitions]] with the clock attached (how long users
@@ -838,6 +890,38 @@ object EventOps {
          |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
          |FROM t""".stripMargin) { (s, d) =>
       typeTransitions(Tables.events(s, d))
+    },
+
+    // Stationary distribution of the transition chain (4 unrolled rounds).
+    Op.sql("events_markov_stationary", {
+      val rounds = (1 to stationaryRounds).map { r =>
+        val prev = s"p${r - 1}"
+        s"""m$r AS (
+           |  SELECT tp.to_type AS s, SUM((p.pi * tp.p) // 1000000) AS m
+           |  FROM tp JOIN $prev p ON p.s = tp.from_type GROUP BY 1),
+           |p$r AS (
+           |  SELECT st.s, COALESCE(m$r.m, 0) AS pi
+           |  FROM st LEFT JOIN m$r ON m$r.s = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $eventsCte,
+         |nx AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_type
+         |  FROM ev),
+         |t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM nx
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tp AS (SELECT from_type, to_type,
+         |              (n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS p
+         |       FROM t),
+         |st AS (SELECT from_type AS s FROM t UNION SELECT to_type FROM t),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st),
+         |p0 AS (SELECT s, $piGrid // ns.k AS pi FROM st CROSS JOIN ns),
+         |$rounds
+         |SELECT s AS event_type, CAST(pi AS BIGINT) AS pi_q
+         |FROM p$stationaryRounds""".stripMargin
+    }) { (s, d) =>
+      markovStationary(Tables.events(s, d))
     },
 
     Op.sql("events_dwell_times",

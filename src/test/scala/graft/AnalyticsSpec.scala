@@ -288,6 +288,20 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue gini: uniform is 0, winner-takes-all is (n-1)/n") {
+    import spark.implicits._
+    def items(rev: Seq[Double]) = rev.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r) }
+      .toDF("product_id", "sale_price")
+    val uni = Analytics.revenueGini(items(Seq(10.0, 10.0, 10.0, 10.0)))
+      .collect().head
+    assert(uni.getAs[Double]("gini") == 0.0, s"uniform: $uni")
+    // three floor-to-zero products + one taking everything → G = 3/4
+    val take = Analytics.revenueGini(items(Seq(0.4, 0.4, 0.4, 100.0)))
+      .collect().head
+    assert(take.getAs[Double]("gini") == 0.75, s"winner-takes-all: $take")
+  }
+
   test("sale gaps: exact run lengths, singleton days excluded") {
     import spark.implicits._
     // product 1 sells on days 1, 2, 5, 10 → gaps 0, 2, 4 (n=3, max=4,

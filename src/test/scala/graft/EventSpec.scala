@@ -362,6 +362,20 @@ class EventSpec extends AnyFunSuite {
       == (("A", 1L, 3L, 3000L)))
   }
 
+  test("markov stationary: sub-stochastic mass halves through an even split") {
+    // one user, events A A B: transitions A→A and A→B, each p = 1/2; B has
+    // no successor (sub-stochastic). Each round total mass halves:
+    // (5e8, 5e8) → (2.5e8, 2.5e8) → … → (3.125e7, 3.125e7) after 4 rounds.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 1.0, ""),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "A", 1.0, ""),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "B", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pi = EventOps.markovStationary(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("pi_q")).toMap
+    assert(pi == Map("A" -> 31250000L, "B" -> 31250000L), s"got $pi")
+  }
+
   test("decay credit: recent touch outweighs stale 8:1, out-of-window drops") {
     // purchase at 12:00; view 30 min before (bucket 0, w=8), click 7 h
     // before (bucket 1, w=4), view 25 h before (outside the 24 h window).
