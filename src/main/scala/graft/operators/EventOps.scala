@@ -114,7 +114,12 @@ object EventOps {
     * (the typeTransitions plan); everything after is at state-pair grain
     * (|event types|² rows), broadcast through the rounds.
     */
-  def markovStationary(events: DataFrame): DataFrame = {
+  /** The transition matrix on the ppm grid + the state universe — the
+    * shared kernel of [[markovStationary]] and [[conversionPropensity]].
+    * One user-keyed shuffle; both outputs are state-grain and
+    * localCheckpoint'd for the iteration that follows.
+    */
+  private def transitionsPpm(events: DataFrame): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val t = events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -129,6 +134,11 @@ object EventOps {
     val states = t.select(col("from_type").as("event_type"))
       .unionByName(t.select(col("to_type").as("event_type")))
       .distinct().localCheckpoint()
+    (t, states)
+  }
+
+  def markovStationary(events: DataFrame): DataFrame = {
+    val (t, states) = transitionsPpm(events)
     val k = states.count()
     var pi = states.withColumn("pi_q", lit(piGrid / k))
     for (_ <- 1 to stationaryRounds) {
@@ -141,6 +151,43 @@ object EventOps {
         .localCheckpoint()
     }
     pi
+  }
+
+  /** Rounds (max steps) for [[conversionPropensity]]. */
+  val propensityRounds = 4
+
+  /** Conversion propensity by state: the probability (ppm) that a session
+    * currently at state i reaches `purchase` within [[propensityRounds]]
+    * transitions — first-hit value iteration with the target held
+    * absorbing at 1e6:
+    *   v_r(i) = Σ_j p(i→j) · u(j),   u(j) = 1e6 if j = target else v_{r−1}(j)
+    * — the "how close is each state to money" readout that turns the
+    * transition matrix into a decision surface (stationary says where
+    * sessions SIT, this says where they're GOING). Σ_j p ≤ 1e6 and u ≤
+    * 1e6 keep every update inside the grid — exact BIGINT throughout.
+    *
+    * Same plan skeleton as [[markovStationary]]: one user-keyed shuffle
+    * builds the matrix, then state-grain broadcast rounds.
+    */
+  def conversionPropensity(events: DataFrame, target: String = "purchase",
+      rounds: Int = propensityRounds): DataFrame = {
+    val (t, states) = transitionsPpm(events)
+    var v = states.withColumn("v_q",
+      when(col("event_type") === target, lit(1000000L)).otherwise(lit(0L)))
+    for (_ <- 1 to rounds) {
+      val u = v.select(col("event_type").as("to_type"),
+        when(col("event_type") === target, lit(1000000L)).otherwise(col("v_q"))
+          .as("u_q"))
+      val moved = t.join(broadcast(u), "to_type")
+        .groupBy(col("from_type").as("event_type"))
+        .agg(sum(expr("(p_ppm * u_q) div 1000000")).as("m"))
+      v = states.join(moved, Seq("event_type"), "left")
+        .select(col("event_type"),
+          when(col("event_type") === target, lit(1000000L))
+            .otherwise(coalesce(col("m"), lit(0L))).as("v_q"))
+        .localCheckpoint()
+    }
+    v
   }
 
   /** Dwell times per transition: for each consecutive (from → to) event
@@ -922,6 +969,44 @@ object EventOps {
          |FROM p$stationaryRounds""".stripMargin
     }) { (s, d) =>
       markovStationary(Tables.events(s, d))
+    },
+
+    // First-hit conversion propensity per state (target absorbing at 1e6).
+    Op.sql("events_conversion_propensity", {
+      val rounds = (1 to propensityRounds).map { r =>
+        val prev = s"v${r - 1}"
+        s"""u$r AS (
+           |  SELECT s AS to_type,
+           |         CASE WHEN s = 'purchase' THEN 1000000 ELSE v END AS u
+           |  FROM $prev),
+           |mm$r AS (
+           |  SELECT tp.from_type AS s, SUM((tp.p * u$r.u) // 1000000) AS m
+           |  FROM tp JOIN u$r ON u$r.to_type = tp.to_type GROUP BY 1),
+           |v$r AS (
+           |  SELECT st.s,
+           |         CASE WHEN st.s = 'purchase' THEN 1000000
+           |              ELSE COALESCE(mm$r.m, 0) END AS v
+           |  FROM st LEFT JOIN mm$r ON mm$r.s = st.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $eventsCte,
+         |nx AS (
+         |  SELECT event_type AS from_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS to_type
+         |  FROM ev),
+         |t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM nx
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tp AS (SELECT from_type, to_type,
+         |              (n * 1000000) // SUM(n) OVER (PARTITION BY from_type) AS p
+         |       FROM t),
+         |st AS (SELECT from_type AS s FROM t UNION SELECT to_type FROM t),
+         |v0 AS (SELECT s, CASE WHEN s = 'purchase' THEN 1000000 ELSE 0 END AS v
+         |       FROM st),
+         |$rounds
+         |SELECT s AS event_type, CAST(v AS BIGINT) AS v_q
+         |FROM v$propensityRounds""".stripMargin
+    }) { (s, d) =>
+      conversionPropensity(Tables.events(s, d))
     },
 
     Op.sql("events_dwell_times",

@@ -376,6 +376,19 @@ class EventSpec extends AnyFunSuite {
     assert(pi == Map("A" -> 31250000L, "B" -> 31250000L), s"got $pi")
   }
 
+  test("conversion propensity: geometric first-hit accumulation to 15/16") {
+    // A → {A: 1/2, purchase: 1/2}: within 4 steps P(hit) = 1 − (1/2)^4
+    // = 937500 ppm; the target itself stays absorbing at 1e6.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A", 1.0, ""),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "A", 1.0, ""),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "purchase", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val v = EventOps.conversionPropensity(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("v_q")).toMap
+    assert(v == Map("A" -> 937500L, "purchase" -> 1000000L), s"got $v")
+  }
+
   test("decay credit: recent touch outweighs stale 8:1, out-of-window drops") {
     // purchase at 12:00; view 30 min before (bucket 0, w=8), click 7 h
     // before (bucket 1, w=4), view 25 h before (outside the 24 h window).
