@@ -400,6 +400,43 @@ object Search {
       .filter(col("neg_rank") <= hnK)
   }
 
+  /** Relevant depth: dense neighbors treated as ground truth per query. */
+  val mrrRelevantK = 3
+
+  /** Mean-reciprocal-rank evaluation of the LEXICAL ranker against DENSE
+    * ground truth: per query doc, the exact cosine top-[[mrrRelevantK]]
+    * neighbors are "relevant", the [[relatedDocs]] top-[[mltK]] list is
+    * the ranking under evaluation, and the score is `1e6 div rank` of
+    * the first relevant hit (0 when the lexical list misses all of them)
+    * — the cross-modal agreement audit for a hybrid retrieval stack (a
+    * falling MRR here is the signal to retune RRF weights or retrain
+    * embeddings). Reciprocal rank rather than nDCG because 1/r is exact
+    * on the integer grid while log₂ discounts are not (the repo-wide
+    * rule).
+    *
+    * Plan: two existing bounded plans (champion-pruned lexical, one
+    * broadcast dense pass) meet at a |queries|·k pair join; zero-hit
+    * queries survive via the broadcast query-doc frame.
+    */
+  def mrrEval(idx: Bm25Index, embs: DataFrame,
+      queryDocs: Seq[Long] = mltQueryDocs): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val lex = relatedDocs(idx, queryDocs, mltK)
+      .select(col("query_doc"), col("doc_id"), col("rank"))
+    val rel = Similarity
+      .bruteForceTopK(embs, col("vec_id").isin(queryDocs: _*), mrrRelevantK)
+      .select(col("query_id").as("query_doc"), col("neighbor_id").as("doc_id"))
+    val first = lex.join(rel, Seq("query_doc", "doc_id"))
+      .groupBy(col("query_doc"))
+      .agg(min(col("rank")).as("first_rel_rank"))
+    broadcast(queryDocs.toDF("query_doc"))
+      .join(first, Seq("query_doc"), "left")
+      .select(col("query_doc"),
+        coalesce(col("first_rel_rank"), lit(0)).as("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("rr_ppm"))
+  }
+
   // --------------------------------------------------------------------------
   // Persisted index store (build-once, content-stamped — the FactStore/
   // SketchStore/edge-store convention): postings + df + stats land as three
@@ -722,6 +759,55 @@ object Search {
          |FROM neg
          |QUALIFY neg_rank <= $hnK""".stripMargin) { (s, d) =>
       hardNegatives(storedIndex(s, d), Tables.embeddings(s, d))
+    },
+
+    // MRR of the lexical ranker against dense ground truth (1/r exact).
+    Op.sql("search_mrr_eval",
+      s"""WITH $indexCtes,
+         |qp AS (SELECT doc_id AS query_doc, token, tf AS qtf
+         |       FROM tf WHERE doc_id IN (${mltQueryDocs.mkString(", ")})),
+         |wq AS (
+         |  SELECT qp.token, qp.query_doc, qp.qtf,
+         |         ((2*st.n - 2*d.df + 1) * $bm25Grid) // (2*d.df + 1) AS idf_q
+         |  FROM qp JOIN dfr d ON d.token = qp.token CROSS JOIN st
+         |  WHERE d.df <= (4 * st.n) // 5),
+         |lsc AS (
+         |  SELECT wq.query_doc, f.doc_id,
+         |         CAST(SUM(LEAST(f.tf, wq.qtf) * wq.idf_q) AS BIGINT) AS score_q
+         |  FROM wq JOIN tf f ON f.token = wq.token
+         |  WHERE f.doc_id <> wq.query_doc
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT query_doc, doc_id, rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+         |                                 ORDER BY score_q DESC, doc_id) AS rank
+         |    FROM lsc) WHERE rank <= $mltK),
+         |ev AS (
+         |  SELECT vec_id, embedding,
+         |         ${graft.functions.GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |  FROM embeddings),
+         |dsc AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM ev q JOIN ev v ON v.vec_id <> q.vec_id
+         |  WHERE q.vec_id IN (${mltQueryDocs.mkString(", ")})),
+         |denser AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM dsc) WHERE rank <= $mrrRelevantK),
+         |fr AS (
+         |  SELECT l.query_doc, MIN(l.rank) AS frr
+         |  FROM lexr l JOIN denser d
+         |    ON d.query_id = l.query_doc AND d.neighbor_id = l.doc_id
+         |  GROUP BY 1),
+         |qd AS (SELECT CAST(unnest([${mltQueryDocs.mkString(", ")}]) AS BIGINT)
+         |         AS query_doc)
+         |SELECT qd.query_doc,
+         |       CAST(COALESCE(fr.frr, 0) AS INTEGER) AS first_rel_rank,
+         |       CAST(COALESCE(1000000 // fr.frr, 0) AS BIGINT) AS rr_ppm
+         |FROM qd LEFT JOIN fr USING (query_doc)""".stripMargin) { (s, d) =>
+      mrrEval(storedIndex(s, d), Tables.embeddings(s, d))
     },
 
     // Exact phrase search over the stored positional index.

@@ -224,6 +224,30 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("MRR eval: agreement scores 1/rank, disagreement scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d f"), // the only lexical neighbor of doc 0
+      (2L, "z y x w v"), (3L, "z y x w u"), (4L, "z y x w t"))
+      .toDF("doc_id", "text")
+    def vec(x: Double) = (x +: Seq.fill(7)(0.0)).map(_.toFloat)
+    val idx = Search.buildIndex(docs)
+    // dense top-3 of 0 = {1, …} → first relevant at lexical rank 1
+    val agree = Seq((0L, vec(1.0)), (1L, vec(0.9)), (2L, vec(-1.0)),
+      (3L, vec(-0.9)), (4L, vec(-0.8))).toDF("vec_id", "embedding")
+    val a = Search.mrrEval(idx, agree, Seq(0L)).collect().head
+    assert((a.getAs[Int]("first_rel_rank"), a.getAs[Long]("rr_ppm"))
+      == ((1, 1000000L)), s"got $a")
+    // dense top-3 of 0 = {2, 3, 4}, none lexically reachable (no shared
+    // token) → zero reciprocal rank, query still reported
+    val disagree = Seq((0L, vec(1.0)), (1L, vec(-1.0)), (2L, vec(0.9)),
+      (3L, vec(0.8)), (4L, vec(0.7))).toDF("vec_id", "embedding")
+    val d = Search.mrrEval(idx, disagree, Seq(0L)).collect().head
+    assert((d.getAs[Int]("first_rel_rank"), d.getAs[Long]("rr_ppm")) == ((0, 0L)),
+      s"got $d")
+  }
+
   test("PRF expansion: feedback vocabulary recalls docs plain BM25 cannot") {
     import spark.implicits._
     // q-docs 1-3 share the feedback term c (rare, heavy) and x (also in
