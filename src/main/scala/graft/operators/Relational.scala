@@ -104,6 +104,52 @@ object Relational {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Token budget for [[qualityBudgetSample]]. */
+  val qualityBudget = 1200L
+
+  /** Quality-ordered token-budget fill — the distillation sampler: take
+    * documents in DESCENDING composite-quality order (ties by doc_id)
+    * until the global token budget fills; a doc enters only if the
+    * running total through it stays within budget. This is "give me the
+    * best N tokens", the curation step between scoring and training that
+    * the hash-ordered [[tokenBudgetSample]] (fair mixture) deliberately
+    * does not express.
+    *
+    * Scale shape: the same distributed-prefix-sum recipe — range-partition
+    * by (quality desc, doc_id) so partition order IS quality order, local
+    * cumsum per partition, broadcast per-partition offsets (a parts-sized
+    * driver artifact) — no global window, no single-task sort. Membership
+    * is a pure function of content, so the sample is rerun- and
+    * partitioning-invariant (DeterminismSpec covers it like every op).
+    */
+  def qualityBudgetSample(docs: DataFrame, budget: Long = qualityBudget): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(TextOps.qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+    val local = toks
+      .repartitionByRange(parts, col("quality").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcs", sum(col("n_tokens")).over(w))
+      .localCheckpoint()
+    val runTotals = local.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = runTotals.keys.toSeq.sorted.map { pid =>
+      val o = (pid, acc); acc += runTotals(pid); o
+    }
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    local
+      .withColumn("cum_tokens", element_at(offMap, col("_pid")) + col("_lcs"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** L1 made deterministic: top-N categories by exact decimal revenue.
     * (The reference's `show(5)` is an arbitrary-order sample; a defined ordering
     * is the useful capability.)
@@ -296,6 +342,22 @@ object Relational {
          |SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= $tokenBudget""".stripMargin) { (s, d) =>
       tokenBudgetSample(Tables.documents(s, d))
+    },
+
+    // Distillation sampler: best-quality docs until the token budget fills.
+    Op.sql("sample_quality_budget",
+      s"""WITH q AS (${TextOps.qualityCteSql}),
+         |tk AS (SELECT doc_id,
+         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |c AS (
+         |  SELECT t.doc_id, q.quality, t.n_tokens,
+         |         SUM(t.n_tokens) OVER (ORDER BY q.quality DESC, t.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM tk t JOIN q USING (doc_id))
+         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= $qualityBudget""".stripMargin) { (s, d) =>
+      qualityBudgetSample(Tables.documents(s, d))
     },
 
     // Salted skew join, oracle-checked against the PLAIN join's SQL — the

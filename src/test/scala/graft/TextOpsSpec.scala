@@ -413,6 +413,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Map("A" -> ((500000L, 2L)), "B" -> ((500000L, 2L))), s"got $out")
   }
 
+  test("quality budget: kept set is the exact greedy prefix of quality order") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val kept = graft.operators.Relational.qualityBudgetSample(docs).collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getAs[Long]("cum_tokens") <=
+      graft.operators.Relational.qualityBudget), "budget is a hard ceiling")
+    // the kept docs are a contiguous prefix of (quality desc, doc_id)
+    val order = graft.operators.TextOps.qualityScore(docs)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .select(col("doc_id"), col("quality"), col("n")).collect()
+      .sortBy(r => (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val prefix = order.takeWhile(r => keptIds(r.getAs[Long]("doc_id")))
+    assert(prefix.length == keptIds.size, "kept docs must form a greedy prefix")
+    // maximality: the next doc in order would overflow the budget
+    val used = prefix.map(_.getAs[Long]("n")).sum
+    val next = order.drop(prefix.length).headOption
+    next.foreach { r =>
+      assert(used + r.getAs[Long]("n") > graft.operators.Relational.qualityBudget,
+        "the first excluded doc must not have fit")
+    }
+  }
+
   test("vocab growth: verbatim copies add no types, cumsum runs exactly") {
     import spark.implicits._
     val a = (0 until 10).map(i => s"w$i").mkString(" ") // 6 distinct 5-grams
