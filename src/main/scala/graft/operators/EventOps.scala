@@ -677,6 +677,46 @@ object EventOps {
         sum(expr("(w * 1000000) div wsum")).as("credit_ppm"))
   }
 
+  /** [[funnel]] split by the [[abLift]] experiment arm: stage user-counts
+    * and stage-over-stage conversion PER VARIANT — the readout that says
+    * whether a treatment moved conversion AT a stage rather than just in
+    * aggregate (an A/B lift on purchases can hide "more clicks, worse
+    * click→purchase"). Arms come from the same sticky hash60-parity
+    * assignment, so the two ops always agree on who is in which arm.
+    *
+    * Plan: the funnel's staged joins unchanged (monotone-shrinking
+    * user-grain frames); each stage frame collapses to a 2-row variant
+    * count; the conversion ratio is a window over the 6-row result.
+    */
+  def funnelByVariant(events: DataFrame,
+      stages: Seq[String] = funnelStages): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val firstByStage = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) {
+      case (prev, stage) =>
+        events.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+          .filter(col("ts") > col("prev_t"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val counts = stages.zip(firstByStage).zipWithIndex.map {
+      case ((stage, reached), i) =>
+        reached
+          .select((graft.functions.Portable.hash60(col("user_id").cast(StringType)) % 2)
+            .as("variant"))
+          .groupBy(col("variant")).agg(count(lit(1)).as("users"))
+          .select(lit(i + 1L).as("stage_idx"), lit(stage).as("stage"),
+            col("variant"), col("users"))
+    }.reduce(_ unionByName _)
+    counts.withColumn("conv_from_prev",
+      col("users").cast(DoubleType) /
+        lag(col("users"), 1).over(
+          Window.partitionBy(col("variant")).orderBy(col("stage_idx"))))
+  }
+
   /** Max seconds between consecutive funnel stages for [[funnelWindowed]]. */
   val funnelWindowSec = 86400L
 
@@ -1327,6 +1367,41 @@ object EventOps {
     },
 
     // Hash-split A/B readout: per variant, users / purchases / exact spend.
+    // Funnel split by experiment arm: per-variant stage conversion.
+    Op.sql("events_funnel_by_variant",
+      s"""WITH $eventsCte,
+         |s1 AS (SELECT user_id, MIN(ts) AS t FROM ev
+         |       WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+         |counts AS (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+         |         CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+         |           % 2 AS variant,
+         |         CAST(COUNT(*) AS BIGINT) AS users
+         |  FROM s1 GROUP BY 3
+         |  UNION ALL
+         |  SELECT 2, 'click',
+         |         CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+         |           % 2,
+         |         COUNT(*)
+         |  FROM s2 GROUP BY 3
+         |  UNION ALL
+         |  SELECT 3, 'purchase',
+         |         CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+         |           % 2,
+         |         COUNT(*)
+         |  FROM s3 GROUP BY 3)
+         |SELECT stage_idx, stage, variant, users,
+         |       CAST(users AS DOUBLE)
+         |         / lag(users) OVER (PARTITION BY variant ORDER BY stage_idx)
+         |         AS conv_from_prev
+         |FROM counts""".stripMargin) { (s, d) =>
+      funnelByVariant(Tables.events(s, d))
+    },
+
     Op.sql("events_ab_lift",
       s"""WITH $eventsCte,
          |u AS (

@@ -612,6 +612,16 @@ object Graph {
         expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
   }
 
+  /** Degree distribution: nodes per distinct-neighbor count — the
+    * power-law shape check that governs every skew decision in this
+    * module (hub caps, degree orientation, broadcast bounds): a heavy
+    * tail here is WHY triangles orient and RA-index caps its wedge
+    * centers. Two hash aggregates, output bounded by max degree.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy(col("dg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
   /** Weighted degree centrality — the one-pass sanity baseline beside
     * [[pageRank]]: out-strength, distinct-neighbor count, and the node's
     * share of total edge weight on the same integer grid.
@@ -1067,6 +1077,15 @@ object Graph {
          |       COALESCE(lab.component_id, o.src) AS component_id
          |FROM outw o LEFT JOIN lab ON lab.node = o.src""".stripMargin) { (s, d) =>
       components(storedEdges(s, d))
+    },
+
+    // Degree distribution: the power-law shape check behind the skew levers.
+    Op.sql("graph_degree_distribution",
+      s"""WITH $edgesCtes,
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY src)
+         |SELECT dg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
+      degreeDistribution(storedEdges(s, d))
     },
 
     // Rand-index agreement between LPA communities and strong components.

@@ -376,6 +376,16 @@ class EventSpec extends AnyFunSuite {
     assert(pi == Map("A" -> 31250000L, "B" -> 31250000L), s"got $pi")
   }
 
+  test("funnel by variant: arm counts partition the unsplit funnel exactly") {
+    val ev = graft.sources.Tables.events(spark, TestSession.sf)
+    val whole = EventOps.funnel(ev).collect()
+      .map(r => r.getAs[Long]("stage_idx") -> r.getAs[Long]("users")).toMap
+    val split = EventOps.funnelByVariant(ev).collect()
+      .groupBy(_.getAs[Long]("stage_idx")).view
+      .mapValues(_.map(_.getAs[Long]("users")).sum).toMap
+    assert(split == whole, s"split $split must partition whole $whole")
+  }
+
   test("conversion propensity: geometric first-hit accumulation to 15/16") {
     // A → {A: 1/2, purchase: 1/2}: within 4 steps P(hit) = 1 − (1/2)^4
     // = 937500 ppm; the target itself stays absorbing at 1e6.

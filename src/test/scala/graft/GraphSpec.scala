@@ -278,6 +278,12 @@ class GraphSpec extends AnyFunSuite {
     assert(re == w.toSet, "walk corpus must be partitioning-invariant")
   }
 
+  test("degree distribution: star = one hub at 4, four leaves at 1") {
+    val d = Graph.degreeDistribution(star).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
+    assert(d == Map(4L -> 1L, 1L -> 4L), s"got $d")
+  }
+
   test("partition agreement: identical = 1e6, crossed pairs score 2/6") {
     val a = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
       .toDF("product_id", "community")
