@@ -845,6 +845,20 @@ object Analytics {
       revenueGini(Tables.orderItems(s, d))
     },
 
+    // Basket-size histogram: orders per item count — the carrier of every
+    // per-order cost model (and the distribution the co-purchase cap
+    // truncates; its tail justifies basketMaxItems).
+    Op.sql("analytics_order_size_hist",
+      s"""${Tables.domainCtes},
+         |os AS (SELECT order_id, CAST(COUNT(*) AS BIGINT) AS n_items
+         |       FROM order_items GROUP BY 1)
+         |SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+         |FROM os GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.orderItems(s, d)
+        .groupBy(col("order_id")).agg(count(lit(1)).as("n_items"))
+        .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
+    },
+
     // Sale-gap audit per product: longest/mean zero-sale run in days.
     Op.sql("analytics_sale_gaps",
       s"""${Tables.domainCtes},

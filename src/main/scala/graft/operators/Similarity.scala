@@ -815,6 +815,24 @@ object Similarity {
         col("n_vectors"), col("min_cell"), col("max_cell"),
         expr(s"(max_cell * ${ivfCells}L * 1000000) div n_vectors").as("skew_ppm"))
 
+  /** Embedding-corpus health: one row of quantized-norm statistics —
+    * vector count, ZERO-norm count (a zero vector has no cosine direction
+    * and silently poisons every similarity op: the first thing to audit
+    * on a new embedding delivery), and min/avg/max n2 on the exact
+    * integer grid (a collapsed norm range suggests un-normalized or
+    * truncated exports). One codegen pass, one 1-row aggregate.
+    */
+  def normStats(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    embs.select(GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
+        sum(col("n2")).as("sum_n2"))
+      .withColumn("avg_n2", expr("sum_n2 div n_vectors"))
+      .drop("sum_n2")
+  }
+
   /** Truncation widths evaluated by [[truncatedRecall]]. */
   val truncDims: Seq[Int] = Seq(8, 16, 32)
 
@@ -1458,6 +1476,20 @@ object Similarity {
 
     // Recall@k of each ANN method vs brute force — the index-evaluation
     // harness, one row per method, exact integers on the ppm grid.
+    // Embedding delivery audit: zero-norm count + quantized norm range.
+    Op.sql("sim_norm_stats",
+      s"""WITH nn AS (
+         |  SELECT ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |  FROM embeddings)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |       CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |       CAST(MIN(n2) AS BIGINT) AS min_n2,
+         |       CAST(MAX(n2) AS BIGINT) AS max_n2,
+         |       CAST(SUM(n2) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_n2
+         |FROM nn""".stripMargin) { (s, d) =>
+      normStats(Tables.embeddings(s, d))
+    },
+
     // IVF index health: cell-population stats + skew ratio (balanced = 1e6).
     Op.sql("sim_ivf_cell_stats",
       s"""WITH $ivfAssignedCte,
