@@ -119,8 +119,11 @@ class LayoutSpec extends AnyFunSuite {
     val probes = r.keys.map(_._2).toSeq.distinct
     val sup = probes.map(p => r(("supplier", p))).sum
     val zo = probes.map(p => r(("zorder", p))).sum
+    val hil = probes.map(p => r(("hilbert", p))).sum
     assert(zo < sup,
       s"Z-order must touch fewer files than the supplier sort: $zo vs $sup")
+    assert(hil < sup,
+      s"Hilbert must also beat the wrong-column sort: $hil vs $sup")
     // probes beyond the fixture's product range touch nothing under either
     // layout; in-range probes always touch at least one file
     r.foreach { case ((l, p), t) =>
