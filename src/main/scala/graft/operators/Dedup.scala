@@ -134,6 +134,28 @@ object Dedup {
         sum(when(col("jaccard") === 1.0, 1L).otherwise(0L)).as("n_exact"))
   }
 
+  /** One-row corpus dedup summary — the number a curation report LEADS
+    * with before any per-doc table: total docs, distinct texts, the exact
+    * duplicate fraction (ppm), and the count/fraction of docs involved in
+    * at least one verified MinHash near-dup pair. Composes the existing
+    * exact aggregate and the banded near-dup plan; both collapse to
+    * 1-row frames joined by a broadcast cross.
+    */
+  def corpusSummary(docs: DataFrame): DataFrame = {
+    val exact = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_distinct_texts"))
+    val near = minhashPairs(docs)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .agg(count(lit(1)).as("n_near_docs"))
+    exact.crossJoin(broadcast(near))
+      .select(col("n_docs"), col("n_distinct_texts"),
+        expr("((n_docs - n_distinct_texts) * 1000000) div n_docs")
+          .as("exact_dup_ppm"),
+        col("n_near_docs"),
+        expr("(n_near_docs * 1000000) div n_docs").as("near_doc_ppm"))
+  }
+
   // --------------------------------------------------------------------------
   // Exact dedup
   // --------------------------------------------------------------------------
@@ -874,6 +896,25 @@ object Dedup {
       """SELECT md5(text) AS text_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin) { (s, d) =>
       exactGroups(Tables.documents(s, d))
+    },
+
+    // One-row corpus dedup headline: exact + near duplication fractions.
+    Op.sql("dedup_corpus_summary",
+      s"""WITH $minhashPairsCtes,
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_docs FROM (
+         |         SELECT DISTINCT doc_id FROM (
+         |           SELECT doc_a AS doc_id FROM mh_pairs
+         |           UNION ALL SELECT doc_b FROM mh_pairs))),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |              CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+         |       FROM documents)
+         |SELECT ex.n_docs, ex.n_distinct_texts,
+         |       ((ex.n_docs - ex.n_distinct_texts) * 1000000) // ex.n_docs
+         |         AS exact_dup_ppm,
+         |       nd.n_near_docs,
+         |       (nd.n_near_docs * 1000000) // ex.n_docs AS near_doc_ppm
+         |FROM ex CROSS JOIN nd""".stripMargin) { (s, d) =>
+      corpusSummary(Tables.documents(s, d))
     },
 
     Op.sql("dedup_exact_survivors",
