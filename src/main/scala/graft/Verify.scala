@@ -5,10 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: substring filter over query names (dev-only — the
-    // driver always passes exactly two)
+    // optional 3rd+ args: substring filters over query names, any-match
+    // (dev-only — the driver always passes exactly two args)
     val Array(sfDir, outDir) = args.take(2)
-    val nameFilter = args.lift(2)
+    val nameFilters = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,7 +33,8 @@ object Verify {
         s""""schema_diff":${diffs.map(Json.quote).mkString("[", ",", "]")}""")
         .mkString("{", ",", "}"))
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) =>
+        nameFilters.isEmpty || nameFilters.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

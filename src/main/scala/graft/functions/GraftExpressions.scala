@@ -58,7 +58,8 @@ object GraftExpressions {
     ("graft_sorted_run_stats", classOf[SortedRunStats],
       args => SortedRunStats(args(0))),
     ("graft_hilbert", classOf[HilbertKey],
-      args => HilbertKey(args(0), args(1))))
+      args => HilbertKey(args(0), args(1))),
+    ("graft_dhash64", classOf[DHash64], args => DHash64(args(0))))
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
@@ -92,6 +93,9 @@ object GraftExpressions {
 
   /** [distinct count, longest equal run] of a SORTED string array, one pass. */
   def sortedRunStats(a: Column): Column = call_function("graft_sorted_run_stats", a)
+
+  /** 64-bit perceptual dHash of a binary payload ([[graft.multimodal.Dhash]]). */
+  def dhash64(payload: Column): Column = call_function("graft_dhash64", payload)
 }
 
 /** `SparkSessionExtensions` hook so external users get the functions via
@@ -536,4 +540,31 @@ object HilbertKey {
   /** Bits per dimension (fixed — the key covers a 2^16 × 2^16 grid). */
   val Bits = 16
   val Mask: Long = (1L << Bits) - 1
+}
+
+/** 64-bit perceptual dHash over a binary payload — the image near-dup kernel
+  * ([[graft.multimodal.Dhash]] holds the arithmetic and the determinism
+  * contract). The heavy lifting (ImageIO probe + integer grid + bit pack) is
+  * one static call, so `doGenCode` stays a single-invoke statement inside
+  * whole-stage codegen — the decode cost is the work itself, not expression
+  * interpretation overhead.
+  */
+case class DHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dhash64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    graft.multimodal.Dhash.hash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.multimodal.Dhash.hash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
 }

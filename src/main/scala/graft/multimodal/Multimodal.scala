@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Op
+import graft.functions.GraftExpressions
 import graft.sources.Tables
 
 /** Multimodal column plumbing (north-star extension): image/audio/video as
@@ -137,8 +138,116 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------------
+  // Perceptual-hash image near-dup (pixel-content dedup)
+  // --------------------------------------------------------------------------
+
+  /** Hamming radius for [[mediaNearDups]]: the classic "same image, different
+    * encode" dHash threshold.
+    */
+  val nearDupHamming = 10
+
+  /** Band layout for the Hamming-space LSH: 4 substrings × 16 bits. Multi-
+    * index hashing (Norouzi et al., "Fast Search in Hamming Space with
+    * Multi-Index Hashing"): a pair within Hamming distance d shares at least
+    * one identical substring whenever d < bands (pigeonhole), so recall is
+    * EXACT for d ≤ 3 and high (and deterministic — the oracle replays the
+    * same bands) up to [[nearDupHamming]]. 16-bit substrings keep the bucket
+    * space at 65536 per band — the candidate count scales as Σ bucket², not
+    * as |corpus|², and a skewed bucket (e.g. flat-image hashes) is an AQE
+    * skew-join case, not a plan rewrite.
+    */
+  val dhashBands = 4
+
+  /** Per-payload 64-bit perceptual hash ([[graft.multimodal.Dhash]]): real
+    * pixel decode for image payloads, the deterministic byte-slice grid for
+    * everything else (the fixture's utf-8 payloads — which is what keeps
+    * this op oracle-checkable while the pixel path is spec-pinned on
+    * generated PNGs). One narrow codegen map over the scan; payloads never
+    * shuffle.
+    */
+  def mediaDhash(docs: DataFrame): DataFrame =
+    dhashOf(mediaFromDocuments(docs))
+
+  /** (doc_id, dhash) over any (doc_id, payload binary) frame. */
+  def dhashOf(media: DataFrame): DataFrame = {
+    GraftExpressions.register(media.sparkSession)
+    media.select(col("doc_id"), GraftExpressions.dhash64(col("payload")).as("dhash"))
+  }
+
+  /** Pixel-content near-duplicate pairs — the image-dedup capability byte
+    * digests cannot provide (a re-encode/brightness shift changes every byte
+    * but almost no dHash bit).
+    *
+    * Scale shape: exact-duplicate hashes collapse FIRST (one hash-aggregate
+    * on the 8-byte dhash — the [[graft.operators.Dedup.exactGroups]]
+    * convention), and each group's members attach to their canonical as
+    * hamming-0 STAR pairs (linear in group size, never the quadratic
+    * within-group clique). The surviving distinct hashes are banded
+    * ([[dhashBands]]) and cross-hash candidates come from a bucket
+    * equi-join, verified by one codegen `bit_count(xor)` per candidate.
+    * Output is (doc_a < doc_b, hamming ≤ threshold); a brightness-shifted
+    * re-encode lands in the star set (dHash is gradient-sign invariant —
+    * MultimodalSpec pins this on generated PNGs), a resized one in the
+    * banded set.
+    */
+  def mediaNearDups(docs: DataFrame, threshold: Int = nearDupHamming): DataFrame =
+    nearDupPairs(mediaFromDocuments(docs), threshold)
+
+  /** [[mediaNearDups]] over any (doc_id, payload binary) frame. */
+  def nearDupPairs(media: DataFrame, threshold: Int = nearDupHamming): DataFrame = {
+    val hashes = dhashOf(media).localCheckpoint() // consumed twice: reps + star
+    val reps = hashes.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
+    val star = hashes
+      .join(reps.withColumnRenamed("doc_id", "doc_a"), "dhash")
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"), lit(0L).as("hamming"))
+    val bands = reps.select(col("doc_id"), col("dhash"),
+      explode(array((0 until dhashBands).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L)).as("bv"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("dhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val left = bands.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("dhash").as("ha"))
+    val right = bands.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("dhash").as("hb"))
+    val near = left.join(right, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= threshold)
+    star.unionByName(near)
+  }
+
+  // --------------------------------------------------------------------------
   // Registered ops
   // --------------------------------------------------------------------------
+
+  /** DuckDB twin of the [[graft.multimodal.Dhash.stubGrid]] + bit-pack path
+    * over the fixture's ASCII payloads (`ord(char)` == byte): a `hashes`
+    * CTE of (doc_id, dhash BIGINT). HUGEINT bit accumulation, then the
+    * two's-complement fold to signed 64-bit that Scala's `Long` gives for
+    * free.
+    */
+  private val dhashCtes =
+    s"""d AS (SELECT doc_id, list_transform(string_split(text,''), x -> ord(x)) AS o
+       |      FROM documents),
+       |d2 AS (SELECT doc_id, o, len(o) AS n FROM d),
+       |grid AS (SELECT doc_id, list_transform(generate_series(0, 71), k ->
+       |           CASE WHEN n = 0 THEN 0
+       |                WHEN ((k+1)*n)//72 <= (k*n)//72 THEN o[LEAST((k*n)//72, n-1)+1]
+       |                ELSE CAST(list_sum(o[(k*n)//72+1:((k+1)*n)//72]) AS BIGINT)
+       |                     // (((k+1)*n)//72 - (k*n)//72) END) AS gr
+       |         FROM d2),
+       |hu AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 63), b ->
+       |          CASE WHEN gr[(b//8)*9 + (b%8) + 2] > gr[(b//8)*9 + (b%8) + 1]
+       |               THEN 1::HUGEINT << b ELSE 0::HUGEINT END)) AS hu FROM grid),
+       |hashes AS (SELECT doc_id,
+       |             CAST(hu - CASE WHEN hu >= 1::HUGEINT << 63
+       |                            THEN 1::HUGEINT << 64 ELSE 0::HUGEINT END
+       |                  AS BIGINT) AS dhash
+       |           FROM hu)""".stripMargin
 
   def ops: Seq[Op] = Seq(
     // Catalog view: binary payload metadata — oracle-checkable (byte lengths
@@ -187,7 +296,43 @@ object Multimodal {
     // expresses without per-byte recursion. Both are unit-tested instead
     // (known-payload fixtures, corrupt-header fallback). The checksum array
     // is serialized to a scalar md5 digest so the dump stays sortable.
-    Op.rowsOnly("media_features") { (s, d) =>
+    // Per-payload perceptual hash. The oracle replays the deterministic
+    // stub-grid path the fixture's non-image payloads take; the pixel path
+    // (real PNG decode → integer area-average → same bit pack) is pinned by
+    // MultimodalSpec on generated images, where DuckDB can't follow.
+    Op.sql("media_dhash",
+      s"""WITH $dhashCtes
+         |SELECT doc_id, dhash FROM hashes""".stripMargin) { (s, d) =>
+      mediaDhash(Tables.documents(s, d))
+    },
+
+    // Pixel-content near-dup pairs: collapse exact-duplicate hashes (star
+    // pairs at hamming 0), band the distinct hashes (4 × 16 bits),
+    // bucket-join, verify Hamming ≤ threshold. Both engines run the
+    // identical banding, so the (deliberately approximate above d = 3)
+    // candidate set is bit-reproducible.
+    Op.sql("media_near_dups",
+      s"""WITH $dhashCtes,
+         |reps AS (SELECT dhash, MIN(doc_id) AS doc_id FROM hashes GROUP BY dhash),
+         |star AS (SELECT r.doc_id AS doc_a, h.doc_id AS doc_b,
+         |                0::BIGINT AS hamming
+         |         FROM hashes h JOIN reps r USING (dhash)
+         |         WHERE h.doc_id <> r.doc_id),
+         |bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
+         |          FROM reps, generate_series(0, ${dhashBands - 1}) t(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.dhash AS ha, b.dhash AS hb
+         |         FROM bands a JOIN bands b
+         |           ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT * FROM star
+         |UNION ALL
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming""".stripMargin) {
+      (s, d) => mediaNearDups(Tables.documents(s, d))
+    },
+
+    Op.rowsOnly("media_features",
+      "entropy is order-dependent float \u03a3 \u2212p\u00b7log\u2082p and frame checksums are sequential per-byte rolling hashes — imperative state no SQL oracle expresses; both unit-tested, the decodable scalars are hash-matched as media_features_meta") { (s, d) =>
       extractFeatures(mediaDataset(s, d)).toDF()
         .withColumn("frames_digest",
           md5(concat_ws(",", transform(col("frame_checksums"), _.cast("string")))))

@@ -746,7 +746,8 @@ object Analytics {
     // correction); DuckDB's approx_count_distinct is a different HLL.
     // Identical inputs yield different estimates by construction, so the
     // only honest cross-engine claims are row count + the ≤15%-error spec.
-    Op.rowsOnly("analytics_daily_uniques_approx") { (s, d) =>
+    Op.rowsOnly("analytics_daily_uniques_approx",
+      "Spark HLL++ vs DuckDB HLL: different sketches, different estimates by construction; row count + \u226415% error bound are the checked claims") { (s, d) =>
       dailyUniquesApprox(Tables.ordersDomain(s, d))
     },
 
@@ -873,7 +874,8 @@ object Analytics {
          |SELECT product_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
          |       CAST(MAX(gap) AS BIGINT) AS max_gap_days,
          |       CAST(SUM(gap) AS BIGINT) AS total_gap_days,
-         |       (SUM(gap) * 1000) // COUNT(*) AS mean_gap_milli
+         |       CAST(SUM(gap) * 1000 AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |         AS mean_gap_milli
          |FROM g WHERE gap IS NOT NULL GROUP BY product_id""".stripMargin) { (s, d) =>
       saleGaps(Tables.orderItems(s, d))
     },
@@ -932,7 +934,8 @@ object Analytics {
     // algorithm and its accuracy parameter, with no DuckDB twin (DuckDB's
     // approx_quantile is t-digest). The exact-quantile op beside it IS the
     // bit-matched path; this one's ≤5% error bound is spec-tested.
-    Op.rowsOnly("analytics_price_quantiles_approx") { (s, d) =>
+    Op.rowsOnly("analytics_price_quantiles_approx",
+      "percentile_approx is Greenwald-Khanna; DuckDB approx_quantile is t-digest — survivors differ by algorithm; \u22645% error vs the exact twin is spec-tested") { (s, d) =>
       priceQuantilesApprox(Kpi.consolidatedOf(s, d))
     },
 
@@ -941,7 +944,8 @@ object Analytics {
     // are sketch-artifacts. The exact op is the oracle-checked path;
     // agreement with it is spec-tested (≥95% on near-unique dimensions;
     // tie-group span containment on the discrete frequency dimension).
-    Op.rowsOnly("analytics_rfm_segments_approx") { (s, d) =>
+    Op.rowsOnly("analytics_rfm_segments_approx",
+      "segment boundaries from Greenwald-Khanna sketch quantiles; boundary-adjacent assignments are sketch artifacts; agreement vs exact twin spec-tested") { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },
 
@@ -1006,7 +1010,8 @@ object Analytics {
 
     // Sketch estimates are approximate by design → rows-only; the error
     // bound vs exact intersections is spec-tested (AnalyticsSpec).
-    Op.rowsOnly("analytics_weekly_overlap_approx") { (s, d) =>
+    Op.rowsOnly("analytics_weekly_overlap_approx",
+      "HLL sketch union/intersection estimates are implementation-specific; error bound vs exact intersections spec-tested") { (s, d) =>
       weeklyOverlapApprox(Tables.events(s, d))
     },
 

@@ -143,7 +143,7 @@ object Dedup {
     */
   def corpusSummary(docs: DataFrame): DataFrame = {
     val exact = docs.agg(count(lit(1)).as("n_docs"),
-      countDistinct(col("text")).as("n_distinct_texts"))
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
     val near = minhashPairs(docs)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -167,9 +167,13 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_key"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Survivor set of exact dedup: the canonical doc_id per distinct text. */
+  /** Survivor set of exact dedup: the canonical doc_id per distinct text.
+    * Groups by the 128-bit digest so the shuffle key is 16 bytes, never the
+    * document text (collision-negligible; same contract as [[exactGroups]]).
+    */
   def exactSurvivors(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    docs.groupBy(md5(col("text")).as("text_key"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
 
   // --------------------------------------------------------------------------
   // Passage-grain exact dedup
@@ -906,7 +910,7 @@ object Dedup {
          |           SELECT doc_a AS doc_id FROM mh_pairs
          |           UNION ALL SELECT doc_b FROM mh_pairs))),
          |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |              CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+         |              CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
          |       FROM documents)
          |SELECT ex.n_docs, ex.n_distinct_texts,
          |       ((ex.n_docs - ex.n_distinct_texts) * 1000000) // ex.n_docs
@@ -918,7 +922,7 @@ object Dedup {
     },
 
     Op.sql("dedup_exact_survivors",
-      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text") { (s, d) =>
+      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)") { (s, d) =>
       exactSurvivors(Tables.documents(s, d))
     },
 

@@ -1190,7 +1190,8 @@ object EventOps {
     // reproduce the same HLL variant. The properties that ARE deterministic
     // — ≤15% error vs exact, incremental-equals-rebuild, partition pruning,
     // redelivery idempotence — are spec-tested (SketchStoreSpec).
-    Op.rowsOnly("events_range_uniques_sketch") { (s, d) =>
+    Op.rowsOnly("events_range_uniques_sketch",
+      "stored HLL++ binary registers: DuckDB can neither deserialize nor reproduce the variant; error/incremental/pruning claims spec-tested") { (s, d) =>
       graft.sources.SketchStore.uniquesBetween(s,
         graft.sources.SketchStore.ensureFixture(s, d), "2024-01-08", "2024-01-21")
     },

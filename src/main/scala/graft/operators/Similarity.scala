@@ -1500,7 +1500,8 @@ object Similarity {
          |       CAST(SUM(sz) AS BIGINT) AS n_vectors,
          |       CAST(MIN(sz) AS BIGINT) AS min_cell,
          |       CAST(MAX(sz) AS BIGINT) AS max_cell,
-         |       (MAX(sz) * $ivfCells * 1000000) // SUM(sz) AS skew_ppm
+         |       CAST(MAX(sz) * $ivfCells * 1000000 AS BIGINT)
+         |         // CAST(SUM(sz) AS BIGINT) AS skew_ppm
          |FROM sz""".stripMargin) { (s, d) =>
       ivfCellStats(Tables.embeddings(s, d))
     },

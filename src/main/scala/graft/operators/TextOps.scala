@@ -250,12 +250,19 @@ object TextOps {
     * insertion-order-stable.
     *
     * Plan: one gram-grain `min(doc_id)` aggregate (on 60-bit gram hashes,
-    * never gram text), a bucket-grain rollup, and a cumulative window
-    * over the bucket axis — whose cardinality is |corpus|/bucket, so the
-    * unpartitioned running-sum window is over a frame that cannot be
-    * large by construction.
+    * never gram text), a bucket-grain rollup, then the cumulative count
+    * via the engine's distributed-prefix-sum recipe (the
+    * [[graft.operators.Relational]] token-budget pattern): range-partition
+    * by bucket so partition order IS bucket order, cumsum locally per
+    * partition, broadcast the per-partition run offsets (a parts-sized
+    * driver artifact). The bucket frame is corpus-proportional
+    * (|corpus|/bucket rows), so an unpartitioned running-sum window here
+    * would be a genuine single-task bottleneck at 100 TB — this shape has
+    * no global window and no single-task sort.
     */
   def vocabGrowth(docs: DataFrame, bucket: Long = vocabGrowthBucket): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
     val ws = split(col("text"), " ")
     val firstSeen = docs.filter(size(ws) >= contamN)
       .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
@@ -264,10 +271,25 @@ object TextOps {
     val perBucket = firstSeen
       .groupBy(expr(s"first_doc div $bucket").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    perBucket.withColumn("cum_types", sum(col("new_types")).over(w))
+    val local = perBucket
+      .repartitionByRange(parts, col("bucket"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcs", sum(col("new_types")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .localCheckpoint()
+    val runTotals = local.groupBy(col("_pid")).agg(sum(col("new_types")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offsets = runTotals.keys.toSeq.sorted.map { pid =>
+      val o = (pid, acc); acc += runTotals(pid); o
+    }
+    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    local
+      .withColumn("cum_types", element_at(offMap, col("_pid")) + col("_lcs"))
+      .select(col("bucket"), col("new_types"), col("cum_types"))
   }
 
   /** Corpus vocabulary: top-k tokens by document frequency (ties broken by
@@ -1148,7 +1170,8 @@ object TextOps {
     // terms, and no SQL engine reproduces a specific merge schedule. The
     // deterministic claims — exactness below saturation, the N/(m+1)
     // undercount bound above — are spec-tested; text_vocab is the exact twin.
-    Op.rowsOnly("text_heavy_hitters_approx") { (s, d) =>
+    Op.rowsOnly("text_heavy_hitters_approx",
+      "Misra-Gries survivors above saturation depend on merge order — no SQL engine reproduces a merge schedule; saturation bounds spec-tested, text_vocab is the exact twin") { (s, d) =>
       heavyHittersApprox(Tables.documents(s, d))
     },
 
@@ -1291,7 +1314,8 @@ object TextOps {
     // artifact no oracle shares (DuckDB has no xxhash64-double-hash Bloom).
     // The deterministic claim — no false NEGATIVES, i.e. a superset of the
     // exact op's hits — is spec-tested; text_decontaminate is the exact twin.
-    Op.rowsOnly("text_decontaminate_bloom") { (s, d) =>
+    Op.rowsOnly("text_decontaminate_bloom",
+      "Bloom false-positive set is a bit-layout artifact no oracle shares; no-false-negatives vs the exact twin is spec-tested") { (s, d) =>
       decontaminateBloom(Tables.documents(s, d))
     },
 

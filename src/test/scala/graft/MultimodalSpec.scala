@@ -72,4 +72,94 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L) == ((20, 30)) && feats(2L) == ((7, 5)))
     assert(feats(3L) == Multimodal.decodeStub(txt))
   }
+
+  /** Deterministic test pattern at any resolution: vertical stripes + a mild
+    * vertical ramp, every value ≤ 200 so a +brightness shift never clamps.
+    * Drawn from NORMALIZED coordinates, so two sizes render "the same image".
+    */
+  private def patternBytes(w: Int, h: Int, bright: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val stripe = if ((x * 13 / w) % 2 == 0) 60 else 160
+      val v = math.min(255, stripe + y * 40 / h + bright)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  private def diagBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 97 / w) + (y * 151 / h) * 3) % 200
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("dHash: brightness-invariant on real pixels, stable under resize, far for different images") {
+    import graft.multimodal.Dhash
+    val base = Dhash.hash(patternBytes(90, 72))
+    // +25 brightness shifts every grid cell by exactly +25 (integer luma of
+    // an equal RGB shift), so every gradient SIGN — hence every bit — holds.
+    assert(Dhash.hash(patternBytes(90, 72, bright = 25)) == base)
+    // the same image rendered at half resolution: nearly all bits hold
+    val resized = Dhash.hash(patternBytes(45, 36))
+    assert(java.lang.Long.bitCount(base ^ resized) <= Multimodal.nearDupHamming)
+    // a genuinely different image is far away in Hamming space
+    val other = Dhash.hash(diagBytes(90, 72))
+    assert(java.lang.Long.bitCount(base ^ other) > 15)
+    // non-image payloads take the deterministic stub-grid path
+    val txt = "definitely not an image".getBytes("UTF-8")
+    assert(Dhash.hash(txt) == Dhash.fromGrid(Dhash.stubGrid(txt)))
+    assert(Dhash.hash(Array.emptyByteArray) == 0L)
+    // corrupt image header → stub fallback, no crash
+    val corrupt = patternBytes(20, 20).take(16)
+    assert(Dhash.hash(corrupt) == Dhash.fromGrid(Dhash.stubGrid(corrupt)))
+  }
+
+  /** The base pattern with a bright watermark patch over the top-left grid
+    * cell — the "same image plus a logo overlay" near-dup: flips only the
+    * bits whose cells the patch touches (≤ 3, inside the d < bands
+    * pigeonhole guarantee, so the banded join MUST surface the pair).
+    */
+  private def watermarkedBytes(w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(patternBytes(w, h)))
+    for (y <- 0 until h / 8; x <- 0 until w / 9) {
+      val v = math.min(255, (img.getRGB(x, y) & 0xff) + 60)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  test("media near-dup operator pairs brightness-shifted and watermarked re-encodes, not a different image") {
+    import spark.implicits._
+    import graft.multimodal.Dhash
+    // precondition for the pigeonhole-guaranteed banded pair
+    val hamWm = java.lang.Long.bitCount(
+      Dhash.hash(patternBytes(90, 72)) ^ Dhash.hash(watermarkedBytes(90, 72)))
+    assert(hamWm > 0 && hamWm < Multimodal.dhashBands)
+    val media = Seq(
+      (1L, patternBytes(90, 72)),              // base
+      (2L, patternBytes(90, 72, bright = 25)), // brightness-shifted → same hash
+      (3L, watermarkedBytes(90, 72)),          // logo overlay → banded near pair
+      (4L, diagBytes(90, 72)),                 // unrelated image
+      (5L, "same text payload".getBytes("UTF-8")),
+      (6L, "same text payload".getBytes("UTF-8")) // exact stub-hash dup
+    ).toDF("doc_id", "payload")
+    val pairs = Multimodal.nearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)            // star pair: identical dHash
+    assert(pairs((5L, 6L)) == 0L)            // star pair: identical payload
+    assert(pairs((1L, 3L)) == hamWm)         // banded + verified near pair
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }

@@ -33,4 +33,21 @@ class RegistrySpec extends AnyFunSuite {
   test("flagship entry analyzes and targets the smoke fixture") {
     assert(SparkEntry.entry(spark).schema.fieldNames.contains("daily_revenue"))
   }
+
+  test("every rows-only op states a non-empty bit-match blocker") {
+    val bad = SparkEntry.allOps
+      .filter(op => op.oracle.isEmpty && op.blocker.forall(_.trim.isEmpty))
+      .map(_.name)
+    assert(bad.isEmpty,
+      s"rows-only ops without a stated oracle blocker: ${bad.mkString(", ")}")
+    // and the list itself is pinned: a new rows-only op is a deliberate act
+    val rowsOnly = SparkEntry.allOps.filter(_.oracle.isEmpty).map(_.name).toSet
+    val expected = Set(
+      "analytics_daily_uniques_approx", "analytics_price_quantiles_approx",
+      "analytics_rfm_segments_approx", "analytics_weekly_overlap_approx",
+      "text_heavy_hitters_approx", "text_decontaminate_bloom",
+      "events_range_uniques_sketch", "media_features")
+    assert(rowsOnly == expected,
+      s"rows-only set changed: +${rowsOnly -- expected} -${expected -- rowsOnly}")
+  }
 }

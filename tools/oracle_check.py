@@ -27,6 +27,31 @@ def norm(v):
     return str(v)
 
 
+def type_key(cols, types):
+    """Normalized DuckDB result-column types, ordered by column name.
+
+    The driver's hash gate is type-sensitive: DuckDB HUGEINT (from an uncast
+    SUM(BIGINT)) vs Spark BIGINT hash-mismatches even when values are
+    identical, and str(v) normalization hides it locally.  So compare type
+    names too (via the relation API — DBAPI `description` collapses every
+    numeric to 'NUMBER').  Only normalizations the driver itself tolerates
+    are applied (timestamp tz-ness differs between Spark parquet and DuckDB
+    literals on ops that are driver-green today).
+    """
+    def canon(t):
+        t = str(t).upper()
+        if t.startswith("TIMESTAMP"):
+            return "TIMESTAMP"
+        # The int64-and-under family hashes identically in the driver (both
+        # engines surface plain Python ints); HUGEINT does NOT — it stays
+        # distinct so an uncast SUM(BIGINT) fails here like it fails there.
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+            return "INT"
+        return t
+    pairs = sorted(zip(cols, types), key=lambda p: p[0])
+    return [canon(t) for _, t in pairs]
+
+
 def frame_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
@@ -49,11 +74,13 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(
+            got = con.sql(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
-            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
-            want = con.execute(sql)
-            want_rows, want_cols = want.fetchall(), [d[0] for d in want.description]
+            got_rows, got_cols = got.fetchall(), list(got.columns)
+            gt = type_key(got.columns, got.types)
+            want = con.sql(sql)
+            want_rows, want_cols = want.fetchall(), list(want.columns)
+            wt = type_key(want.columns, want.types)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -62,6 +89,9 @@ def main(sf_dir, out_dir):
         wc, wr = frame_key(want_rows, want_cols)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+        elif gt != wt:
+            print(f"FAIL {name}: column types spark={gt} != oracle={wt}")
             n_fail += 1
         elif len(gr) != len(wr):
             print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
