@@ -151,8 +151,14 @@ object Bench {
           .split(" ")(0).toDouble
         if (l > loadMax) loadMax = l
       } catch { case _: Throwable => }
+    // Optional args: name-substring filters (any-match) — dev-only, for
+    // targeted scale-calibration runs; the driver always runs the full suite.
+    val nameFilters = args.toSeq
     def runSuite(): Seq[(String, Double, Boolean, Long, Long)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) =>
+          nameFilters.isEmpty || nameFilters.exists(name.contains) }
+        .map { case (name, fn) =>
         ListenerBridge.flush(spark.sparkContext)
         val (cpu0, gc0) = (listener.cpuNs.get(), listener.gcMs.get())
         val t0 = System.nanoTime()
@@ -243,7 +249,12 @@ object Bench {
     val failed = results.filterNot(_._3).map(r => Json.quote(r._1)).mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val warmup = warmupError.map(e => s""","warmup_error":${Json.quote(e)}""").getOrElse("")
-    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall"""
+    // Per-query seconds for the 20 heaviest queries, heaviest first — lives
+    // on BOTH lines so round-over-round per-query regressions stay
+    // diagnosable even when tail-capture truncates the full queries map.
+    val top20 = results.filter(_._3).sortBy(-_._2).take(20)
+      .map(r => s"${Json.quote(r._1)}:${r._2}").mkString("{", ",", "}")
+    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"top20_s":$top20"""
     val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
       .mkString("{", ",", "}")
     val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")
