@@ -193,6 +193,17 @@ object Multimodal {
   def mediaNearDups(docs: DataFrame, threshold: Int = nearDupHamming): DataFrame =
     nearDupPairs(mediaFromDocuments(docs), threshold)
 
+  /** 16-bit Hamming band rows of a (doc_id, dhash) frame — the multi-index
+    * key material for both the batch and incremental near-dup joins.
+    */
+  def dhashBandsOf(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("dhash"),
+      explode(array((0 until dhashBands).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L)).as("bv"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("dhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+
   /** [[mediaNearDups]] over any (doc_id, payload binary) frame. */
   def nearDupPairs(media: DataFrame, threshold: Int = nearDupHamming): DataFrame = {
     val hashes = dhashOf(media).localCheckpoint() // consumed twice: reps + star
@@ -201,12 +212,7 @@ object Multimodal {
       .join(reps.withColumnRenamed("doc_id", "doc_a"), "dhash")
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"), lit(0L).as("hamming"))
-    val bands = reps.select(col("doc_id"), col("dhash"),
-      explode(array((0 until dhashBands).map(i =>
-        struct(lit(i).as("band"),
-          shiftright(col("dhash"), 16 * i).bitwiseAND(lit(65535L)).as("bv"))): _*))
-        .as("b"))
-      .select(col("doc_id"), col("dhash"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val bands = dhashBandsOf(reps)
     val left = bands.select(col("band"), col("bv"),
       col("doc_id").as("doc_a"), col("dhash").as("ha"))
     val right = bands.select(col("band"), col("bv"),
@@ -218,6 +224,38 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= threshold)
     star.unionByName(near)
+  }
+
+  /** Incremental image near-dup: all Hamming-≤-threshold pairs touching at
+    * least one NEW media record, at DOC grain — new-vs-corpus via a band
+    * join against the STORED hash index, new-vs-new among the batch;
+    * corpus-vs-corpus is never touched and corpus payloads are never
+    * re-decoded. Per batch this costs O(|batch| decodes + band-bucket
+    * joins); the corpus contributes only its stored 8-byte hashes — the
+    * production loop at 100 TB: every image is decoded exactly once, ever
+    * (the [[graft.operators.Dedup.incrementalMinhashPairs]] convention,
+    * including its caller contract: `newMedia` ids are disjoint from the
+    * index, and the caller owns the index's caching).
+    */
+  def incrementalMediaPairs(newMedia: DataFrame, hashIndex: DataFrame,
+      threshold: Int = nearDupHamming): DataFrame = {
+    val newHashes = dhashOf(newMedia)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = dhashBandsOf(newHashes)
+    val nc = nb.as("a").join(dhashBandsOf(hashIndex).as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+    val nn = nb.as("a").join(nb.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+    nc.union(nn).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= threshold)
   }
 
   // --------------------------------------------------------------------------
@@ -329,6 +367,29 @@ object Multimodal {
          |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming""".stripMargin) {
       (s, d) => mediaNearDups(Tables.documents(s, d))
+    },
+
+    // The incremental path must find EXACTLY the doc-grain banded pair set
+    // restricted to pairs touching a "new" record (doc_id % 7 = 0 plays the
+    // incoming batch) — the oracle states that contract directly, like
+    // dedup_incremental_minhash.
+    Op.sql("media_near_dups_incremental",
+      s"""WITH $dhashCtes,
+         |bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
+         |          FROM hashes, generate_series(0, ${dhashBands - 1}) t(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.dhash AS ha, b.dhash AS hb
+         |         FROM bands a JOIN bands b
+         |           ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming
+         |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""".stripMargin) { (s, d) =>
+      val media = mediaFromDocuments(Tables.documents(s, d))
+      // this op COMPUTES the corpus hash index (no store in the fixture
+      // setup), so it owns the persist — per the caller contract
+      val idx = dhashOf(media.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      incrementalMediaPairs(media.filter(pmod(col("doc_id"), lit(7)) === 0), idx)
     },
 
     Op.rowsOnly("media_features",

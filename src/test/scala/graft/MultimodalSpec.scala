@@ -162,4 +162,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) == hamWm)         // banded + verified near pair
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("incremental media near-dup pairs a new re-encode against the stored hash index only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, patternBytes(90, 72)),  // base asset, already indexed
+      (4L, diagBytes(90, 72)),     // unrelated indexed asset
+      (5L, "old text payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val batch = Seq(
+      (10L, watermarkedBytes(90, 72)),              // re-encode of indexed 1
+      (11L, patternBytes(90, 72, bright = 25)),     // brightness copy of 1
+      (12L, "brand new unrelated".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val idx = Multimodal.dhashOf(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Multimodal.incrementalMediaPairs(batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 11L)) == 0L)                  // exact vs corpus
+    assert(pairs.contains((1L, 10L)) && pairs((1L, 10L)) > 0)  // near vs corpus
+    assert(pairs.contains((10L, 11L)))              // new-vs-new
+    assert(!pairs.keys.exists { case (a, b) => a == 12L || b == 12L || a == 4L })
+    idx.unpersist()
+  }
 }
