@@ -297,6 +297,59 @@ object StreamingOps {
       .start()
   }
 
+  /** The image-dedup loop as a streaming query — [[incrementalDedupLoop]]'s
+    * recipe applied to the perceptual-hash path: each micro-batch of
+    * arriving media records (doc_id, payload binary) is dHashed ONCE
+    * ([[graft.multimodal.Multimodal.dhashOf]] — the only pixel decode those
+    * payloads will ever get), near-dup-checked against the STORED 8-byte
+    * hash index ([[graft.multimodal.Multimodal.incrementalMediaPairs]]),
+    * and then appends its own hashes to the index. Exactly-once under
+    * foreachBatch's at-least-once replay via the same batchId-keyed
+    * subdir + _SUCCESS-marker commit protocol (index written LAST);
+    * streaming the whole corpus from an empty index reproduces the
+    * doc-grain banded pair set exactly (the spec's invariant).
+    */
+  def incrementalMediaDedupLoop(spark: SparkSession, mediaStreamDir: String,
+      indexDir: String, pairsDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val mediaSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val reader = spark.readStream.schema(mediaSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(mediaStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.multimodal.Multimodal
+        val s = batch.sparkSession
+        val idxRoot = new Path(indexDir)
+        val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val idxBatch = new Path(idxRoot, s"batch_id=$batchId")
+        if (!fs.exists(new Path(idxBatch, "_SUCCESS"))) {
+          val committed =
+            if (fs.exists(idxRoot))
+              fs.listStatus(idxRoot)
+                .filter(st => st.isDirectory &&
+                  fs.exists(new Path(st.getPath, "_SUCCESS")))
+                .map(_.getPath.toString).toSeq
+            else Seq.empty[String]
+          val index =
+            if (committed.nonEmpty) s.read.parquet(committed: _*)
+            else Multimodal.dhashOf(batch.limit(0).toDF()) // empty, right schema
+          Multimodal.incrementalMediaPairs(batch.toDF(), index)
+            .write.mode("overwrite")
+            .parquet(new Path(pairsDir, s"batch_id=$batchId").toString)
+          // written LAST: its _SUCCESS is what marks the whole batch committed
+          Multimodal.dhashOf(batch.toDF()).write.mode("overwrite").parquet(idxBatch.toString)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The BM25 index's incremental maintenance as a streaming query: each
     * micro-batch of arriving documents is hashed ONCE into its own
     * postings/df/stats bundle under a batchId-keyed subdir — doc-disjoint

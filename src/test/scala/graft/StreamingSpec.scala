@@ -131,6 +131,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayedPairs == batch)
   }
 
+  test("streaming media dedup over a growing hash index reproduces the doc-grain pair set") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, TestSession.sf))
+      .select(col("doc_id"), col("payload"))
+    val inDir = Files.createTempDirectory("graft-mdedup-in").toString
+    val base = Files.createTempDirectory("graft-mdedup-out").toString
+    // the corpus arrives in two waves; the index starts EMPTY
+    media.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(inDir)
+    media.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalMediaDedupLoop(spark, inDir,
+      s"$base/index", s"$base/pairs",
+      Files.createTempDirectory("graft-mckpt").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    // every payload was decoded exactly once (one index row per doc)
+    val indexed = spark.read.parquet(s"$base/index")
+    assert(indexed.count() == media.count())
+    assert(indexed.select("doc_id").distinct().count() == indexed.count())
+    // accumulated pair stream == the full doc-grain banded pair set
+    // (= incrementalMediaPairs of the whole corpus against an empty index)
+    val streamed = spark.read.parquet(s"$base/pairs")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = Multimodal.incrementalMediaPairs(media, Multimodal.dhashOf(media.limit(0)))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(streamed == full, s"streamed ${streamed.size} pairs, batch ${full.size}")
+    // replay with a fresh checkpoint: commit markers make every batch a no-op
+    val q2 = StreamingOps.incrementalMediaDedupLoop(spark, inDir,
+      s"$base/index", s"$base/pairs",
+      Files.createTempDirectory("graft-mckpt2").toString, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+    assert(spark.read.parquet(s"$base/index").count() == indexed.count(),
+      "replayed micro-batches must be no-ops")
+  }
+
   test("streaming search-index maintenance equals the one-shot batch build") {
     import graft.operators.Search
     val docs = Tables.documents(spark, TestSession.sf)
