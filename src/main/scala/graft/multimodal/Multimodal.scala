@@ -226,6 +226,27 @@ object Multimodal {
     star.unionByName(near)
   }
 
+  /** One row per media record: its image dup-cluster id — the min doc_id of
+    * its dHash near-dup component (exact copies via star pairs, re-encodes
+    * via the banded Hamming pairs); records with no near-dup are their own
+    * cluster. Composes [[nearDupPairs]] with the engine's large-star/
+    * small-star connected components ([[graft.operators.Dedup
+    * .connectedComponents]] — O(log² n) rounds, no driver graph state).
+    * The downstream curation join: keep `doc_id == cluster_id` (one asset
+    * per visual identity).
+    */
+  def mediaDupClusters(docs: DataFrame): DataFrame =
+    dupClustersOf(mediaFromDocuments(docs))
+
+  /** [[mediaDupClusters]] over any (doc_id, payload binary) frame. */
+  def dupClustersOf(media: DataFrame): DataFrame =
+    media.select(col("doc_id"))
+      .join(graft.operators.Dedup.connectedComponents(
+          nearDupPairs(media).select(col("doc_a"), col("doc_b")))
+          .select(col("node").as("doc_id"), col("label").as("cid")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+
   /** Incremental image near-dup: all Hamming-≤-threshold pairs touching at
     * least one NEW media record, at DOC grain — new-vs-corpus via a band
     * join against the STORED hash index, new-vs-new among the batch;
@@ -286,6 +307,27 @@ object Multimodal {
        |                            THEN 1::HUGEINT << 64 ELSE 0::HUGEINT END
        |                  AS BIGINT) AS dhash
        |           FROM hu)""".stripMargin
+
+  /** The [[nearDupPairs]] twin as CTEs ending in `mp(doc_a, doc_b, hamming)`
+    * — shared by the pair op and the clusters op's recursive components.
+    */
+  private lazy val nearDupPairsCtes =
+    s"""$dhashCtes,
+       |reps AS (SELECT dhash, MIN(doc_id) AS doc_id FROM hashes GROUP BY dhash),
+       |star AS (SELECT r.doc_id AS doc_a, h.doc_id AS doc_b,
+       |                0::BIGINT AS hamming
+       |         FROM hashes h JOIN reps r USING (dhash)
+       |         WHERE h.doc_id <> r.doc_id),
+       |bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
+       |          FROM reps, generate_series(0, ${dhashBands - 1}) t(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.dhash AS ha, b.dhash AS hb
+       |         FROM bands a JOIN bands b
+       |           ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       |mp AS (SELECT * FROM star
+       |       UNION ALL
+       |       SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |       FROM cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming)""".stripMargin
 
   def ops: Seq[Op] = Seq(
     // Catalog view: binary payload metadata — oracle-checkable (byte lengths
@@ -350,23 +392,27 @@ object Multimodal {
     // identical banding, so the (deliberately approximate above d = 3)
     // candidate set is bit-reproducible.
     Op.sql("media_near_dups",
-      s"""WITH $dhashCtes,
-         |reps AS (SELECT dhash, MIN(doc_id) AS doc_id FROM hashes GROUP BY dhash),
-         |star AS (SELECT r.doc_id AS doc_a, h.doc_id AS doc_b,
-         |                0::BIGINT AS hamming
-         |         FROM hashes h JOIN reps r USING (dhash)
-         |         WHERE h.doc_id <> r.doc_id),
-         |bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
-         |          FROM reps, generate_series(0, ${dhashBands - 1}) t(i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                a.dhash AS ha, b.dhash AS hb
-         |         FROM bands a JOIN bands b
-         |           ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT * FROM star
-         |UNION ALL
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming""".stripMargin) {
+      s"""WITH $nearDupPairsCtes
+         |SELECT doc_a, doc_b, hamming FROM mp""".stripMargin) {
       (s, d) => mediaNearDups(Tables.documents(s, d))
+    },
+
+    // One row per asset: its visual-identity cluster (components over the
+    // near-dup pair set; the unrolled-CTE oracle is the dedup_clusters
+    // pattern applied to the media pairs).
+    Op.sql("media_dup_clusters",
+      s"""WITH RECURSIVE $nearDupPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mp
+         |  UNION ALL SELECT doc_b, doc_a FROM mp),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin) {
+      (s, d) => mediaDupClusters(Tables.documents(s, d))
     },
 
     // The incremental path must find EXACTLY the doc-grain banded pair set

@@ -163,6 +163,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("media dup clusters: base, brightness copy, and watermark land in one visual identity") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, patternBytes(90, 72)),
+      (2L, patternBytes(90, 72, bright = 25)),
+      (3L, watermarkedBytes(90, 72)),
+      (4L, diagBytes(90, 72)),
+      (5L, "same text payload".getBytes("UTF-8")),
+      (6L, "same text payload".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val labels = Multimodal.dupClustersOf(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == 4L)                     // singleton: own cluster
+    assert(labels(5L) == 5L && labels(6L) == 5L) // exact stub-hash pair
+  }
+
   test("incremental media near-dup pairs a new re-encode against the stored hash index only") {
     import spark.implicits._
     val corpus = Seq(
