@@ -15,7 +15,7 @@ object SparkEntry {
     Kpi.ops ++ Quality.ops ++ Relational.ops ++ Analytics.ops ++
       TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++ Temporal.ops ++
       Warehouse.ops ++ Graph.ops ++ Search.ops ++ Tokenizer.ops ++
-      graft.multimodal.Multimodal.ops
+      graft.multimodal.Multimodal.ops ++ graft.multimodal.MediaTransforms.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -53,18 +53,25 @@ object Dhash {
     * luma over each cell's floor-partitioned pixel block. A degenerate image
     * dimension (< grid dimension) clamps each block to ≥ 1 pixel.
     */
-  def imageGrid(img: java.awt.image.BufferedImage): Array[Int] = {
+  def imageGrid(img: java.awt.image.BufferedImage): Array[Int] =
+    imageGridAt(img, GridW, GridH)
+
+  /** [[imageGrid]] at an arbitrary `gw`×`gh` grid — the shared integer
+    * area-average downscale kernel (also the thumbnail resizer in
+    * [[MediaTransforms]]). Row-major output, cell `(r, c)` at `r*gw + c`.
+    */
+  def imageGridAt(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Int] = {
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Int](Cells)
+    val out = new Array[Int](gw * gh)
     var r = 0
-    while (r < GridH) {
-      val y0 = math.min((r.toLong * h / GridH).toInt, h - 1)
-      val y1 = math.max(y0 + 1, ((r + 1).toLong * h / GridH).toInt)
+    while (r < gh) {
+      val y0 = math.min((r.toLong * h / gh).toInt, h - 1)
+      val y1 = math.max(y0 + 1, ((r + 1).toLong * h / gh).toInt)
       var c = 0
-      while (c < GridW) {
-        val x0 = math.min((c.toLong * w / GridW).toInt, w - 1)
-        val x1 = math.max(x0 + 1, ((c + 1).toLong * w / GridW).toInt)
+      while (c < gw) {
+        val x0 = math.min((c.toLong * w / gw).toInt, w - 1)
+        val x1 = math.max(x0 + 1, ((c + 1).toLong * w / gw).toInt)
         var s = 0L
         var n = 0L
         var y = y0
@@ -73,7 +80,7 @@ object Dhash {
           while (x < math.min(x1, w)) { s += luma(img.getRGB(x, y)); n += 1; x += 1 }
           y += 1
         }
-        out(r * GridW + c) = if (n == 0) 0 else (s / n).toInt
+        out(r * gw + c) = if (n == 0) 0 else (s / n).toInt
         c += 1
       }
       r += 1
@@ -88,14 +95,20 @@ object Dhash {
     * arithmetic over byte values, so the DuckDB oracle replays it exactly
     * over `ord()` of the fixture's ASCII payload characters.
     */
-  def stubGrid(payload: Array[Byte]): Array[Int] = {
-    val out = new Array[Int](Cells)
+  def stubGrid(payload: Array[Byte]): Array[Int] = stubCells(payload, Cells)
+
+  /** [[stubGrid]] at an arbitrary cell count — the shared 1-D byte-slice
+    * downscale for non-image payloads (also [[MediaTransforms]]' stub
+    * thumbnail path).
+    */
+  def stubCells(payload: Array[Byte], cells: Int): Array[Int] = {
+    val out = new Array[Int](cells)
     val n = if (payload == null) 0 else payload.length
     if (n == 0) return out
     var k = 0
-    while (k < Cells) {
-      val from = (k.toLong * n / Cells).toInt
-      val until = ((k + 1).toLong * n / Cells).toInt
+    while (k < cells) {
+      val from = (k.toLong * n / cells).toInt
+      val until = ((k + 1).toLong * n / cells).toInt
       if (until <= from) out(k) = payload(math.min(from, n - 1)) & 0xff
       else {
         var s = 0L
