@@ -1298,6 +1298,73 @@ object Similarity {
        |FROM ch${fpsK - 1}""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // Binary (sign-bit) embedding codes — the 32× compression tier
+  // --------------------------------------------------------------------------
+
+  /** 64-bit sign-binarized embedding code: bit `i` set iff `embedding[i] > 0`
+    * (strict — a zero coordinate contributes 0). One BIGINT per vector: the
+    * 32× compression tier below SQ8 (8×) and PQ, completing the engine's
+    * float → SQ8 → PQ → binary ladder. Encode is a once-per-vector HOF fold
+    * (bitwise OR accumulate — bit 63 lands exactly on the sign bit with no
+    * overflow); scoring is one `bit_count(xor)` per pair, the cheapest
+    * possible candidate scan. Dims beyond 64 would take one word per 64
+    * coordinates; the fixture (and this encode) uses the first 64, the
+    * [[truncatedRecall]] Matryoshka convention.
+    */
+  def binaryCodes(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), expr(
+      "aggregate(zip_with(embedding, sequence(0, 63), (v, i) -> " +
+        "IF(v > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (a, x) -> a | x)").as("code"))
+
+  /** Two-stage binary retrieval: Hamming scan over the 8-byte codes proposes
+    * [[rerankCandidates]] per query (ASC distance, vec_id ties), then ONLY
+    * those pairs are re-scored with the exact quantized cosine — the
+    * [[sq8RerankTopK]] shape at 4× less candidate-scan I/O. At 100 TB the
+    * corpus is touched once through one BIGINT per vector (codes never
+    * shuffle; queries, candidates, and the rerank frame broadcast) — the
+    * binary-code sweep every embedding-heavy pipeline runs before the
+    * precise stage.
+    */
+  def binaryTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val codes = binaryCodes(embs)
+    val queries = codes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("code").as("q_code"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long").as("hamming"))
+    val cw = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id"))
+    val cand = scored.withColumn("rank", row_number().over(cw))
+      .filter(col("rank") <= rerankCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+    val qe = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val rescored = corpus.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
+  /** Oracle CTEs ending in `codes(vec_id, code)` — HUGEINT bit accumulation
+    * folded two's-complement to signed 64-bit (the media dhash convention).
+    */
+  private val binaryCodesCtes =
+    """bh AS (SELECT vec_id,
+      |         list_sum(list_transform(generate_series(0, 63), i ->
+      |           CASE WHEN embedding[i+1] > 0 THEN 1::HUGEINT << i
+      |                ELSE 0::HUGEINT END)) AS hu
+      |       FROM embeddings),
+      |codes AS (SELECT vec_id,
+      |            CAST(COALESCE(hu, 0) - CASE WHEN COALESCE(hu, 0) >= 1::HUGEINT << 63
+      |                           THEN 1::HUGEINT << 64 ELSE 0::HUGEINT END
+      |                 AS BIGINT) AS code
+      |          FROM bh)""".stripMargin
+
   def ops: Seq[Op] = Seq(
     // Farthest-point diverse sample (k-center greedy coreset).
     Op.sql("sim_fps_sample", fpsOracle) { (s, d) =>
@@ -1622,6 +1689,47 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
       lshTopK(Tables.embeddings(s, d), col("vec_id") < 20)
+    },
+
+    // The stored binary index artifact (one BIGINT per vector) — the
+    // sim_pq_codes / sim_sq8_codes convention for the 32x tier.
+    Op.sql("sim_binary_codes",
+      s"""WITH $binaryCodesCtes
+         |SELECT vec_id, code FROM codes""".stripMargin) { (s, d) =>
+      binaryCodes(Tables.embeddings(s, d))
+    },
+
+    // Binary Hamming scan -> exact rerank, one composed plan: both engines
+    // run the identical sign-pack, candidate ranking (hamming ASC, vec_id
+    // ties) and quantized-cosine refine, so the full two-stage result is
+    // bit-reproducible.
+    Op.sql("sim_topk_binary",
+      s"""WITH $binaryCodesCtes,
+         |q AS (SELECT vec_id AS query_id, code AS q_code FROM codes WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         CAST(bit_count(xor(c.code, q.q_code)) AS BIGINT) AS hamming
+         |  FROM codes c JOIN q ON c.vec_id <> q.query_id),
+         |cr AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY hamming, neighbor_id) AS rank
+         |  FROM scored),
+         |cand AS (SELECT query_id, neighbor_id FROM cr WHERE rank <= $rerankCandidates),
+         |ev AS (SELECT vec_id, embedding,
+         |              ${GraftExpressions.qdotSql("embedding", "embedding")} AS n2
+         |       FROM embeddings),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id, ${Dedup.cosQSql("q", "v")} AS cos
+         |  FROM cand c
+         |  JOIN ev v ON v.vec_id = c.neighbor_id
+         |  JOIN ev q ON q.vec_id = c.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
+      binaryTopK(Tables.embeddings(s, d), col("vec_id") < 5)
     },
   )
 }

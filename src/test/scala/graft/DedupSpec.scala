@@ -127,6 +127,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rr.subsetOf(cand), "re-rank emitted a pair outside its candidate set")
   }
 
+  test("binary codes: exact sign-bit semantics; rerank stays inside Hamming candidates") {
+    import spark.implicits._
+    // constructed vector: bit i set iff coordinate i strictly positive
+    val v = Array.tabulate(64)(i => if (i % 3 == 0) 1.5f else if (i % 3 == 1) -2f else 0f)
+    val codes = Similarity.binaryCodes(
+        Seq((1L, v.toSeq)).toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("code")).toMap
+    val expected = (0 until 64).foldLeft(0L)((a, i) => if (v(i) > 0) a | (1L << i) else a)
+    assert(codes(1L) == expected)
+    // bit 63 positive → sign bit set, no overflow
+    val hi = Array.tabulate(64)(i => if (i == 63) 1f else -1f)
+    val hiCode = Similarity.binaryCodes(Seq((2L, hi.toSeq)).toDF("vec_id", "embedding"))
+      .collect().head.getAs[Long]("code")
+    assert(hiCode == Long.MinValue)
+
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val qp = col("vec_id") < 20
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(embs, qp))
+    val bin = pairs(Similarity.binaryTopK(embs, qp))
+    // sign bits drop all magnitude — recall trails sq8 but the 50-candidate
+    // exact rerank should still recover most of the true top-k
+    assert((bin & brute).size >= (brute.size * 0.6).toInt,
+      s"binary recall ${(bin & brute).size}/${brute.size} below 0.6")
+    // every emitted pair must come from the Hamming candidate stage
+    assert(bin.subsetOf(pairs(Similarity.binaryTopK(embs, qp, k = Similarity.rerankCandidates))),
+      "rerank emitted a pair outside its Hamming candidate set")
+  }
+
   test("ivf-sq8: stays inside the query's cell and nearly matches the exact in-cell scan") {
     val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
     val qp = col("vec_id") < 20
