@@ -259,6 +259,68 @@ object Dedup {
     passageChunks(docs).select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
 
+  /** Sliding-window span length for [[dedupSpans]]. */
+  val spanN = 10
+
+  /** Exact duplicated-SPAN removal — the alignment-free generalization of
+    * [[passageClean]] (the ExactSubstr semantic from Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", re-expressed
+    * at token-window grain): every [[spanN]]-token window that occurs more
+    * than once in the corpus survives only at its FIRST occurrence
+    * (lexicographic min (doc_id, position)); every token covered by a
+    * non-first occurrence of any duplicated window is removed, and each
+    * document is reassembled from its surviving tokens in original order.
+    * Fixed-boundary passage dedup misses a duplicated span that straddles a
+    * chunk boundary or starts mid-chunk; the sliding window catches it at
+    * any offset. Documents that are entirely duplicated text keep a row
+    * with `clean_text = ''` (the curation join wants the grain preserved).
+    *
+    * Plan: positional windows are hashed ([[graft.functions.Portable
+    * .hash60]]) BEFORE any shuffle — raw text is never a shuffle key (the
+    * module contract); ownership is one gh-partitioned window min over
+    * (doc_id, pos) structs (the [[graft.operators.TextOps.ngramNovelty]]
+    * shape — the gram frame shuffles ONCE); coverage is a bounded explode
+    * (≤ [[spanN]] rows per redundant window, distinct at token grain); the
+    * rebuild is one doc-grain aggregate ordered by `array_sort` over
+    * (pos, token) structs — per-group state bounded by document length,
+    * never corpus-proportional. At 100 TB: two token-grain narrow passes +
+    * one gram-hash shuffle + one doc-grain aggregate, all linear.
+    */
+  def dedupSpans(docs: DataFrame, n: Int = spanN): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val grams = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n))))))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Portable.hash60(col("gram")).as("gh"))
+    val owned = grams.withColumn("owner",
+      min(struct(col("doc_id"), col("pos")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    val covered = owned
+      .filter(col("owner.doc_id") =!= col("doc_id") || col("owner.pos") =!= col("pos"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "token")
+    val kept = toks.join(covered,
+      toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_covered"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .withColumn("kept_ppm",
+        expr("((n_tokens - n_covered) * 1000000) div n_tokens"))
+  }
+
   /** [[passageStats]] for an ARRIVING batch against stored history — the
     * production shape: score only the new documents, never re-chunk the
     * corpus. A new doc's passage is a duplicate iff it exists anywhere in
@@ -988,6 +1050,42 @@ object Dedup {
          |       string_agg(passage, ' ' ORDER BY ci) AS clean_text
          |FROM kept GROUP BY doc_id""".stripMargin) { (s, d) =>
       passageClean(Tables.documents(s, d))
+    },
+
+    // Sliding-window duplicated-SPAN removal (ExactSubstr semantics at
+    // token-window grain): first corpus occurrence of each duplicated
+    // 10-token window survives; tokens covered by any later occurrence are
+    // removed. Both engines rank ownership by (doc_id, pos) and rebuild by
+    // position, so the rewrite is bit-reproducible.
+    Op.sql("dedup_spans",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g0 AS (SELECT doc_id, ws,
+         |              unnest(generate_series(1, len(ws) - ${spanN - 1})) AS i
+         |       FROM w WHERE len(ws) >= $spanN),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             ${hash60Sql(s"array_to_string(ws[i:i+${spanN - 1}], ' ')")} AS gh
+         |      FROM g0),
+         |own AS (SELECT doc_id, pos, gh,
+         |               FIRST_VALUE(doc_id) OVER win AS od,
+         |               FIRST_VALUE(pos) OVER win AS op
+         |        FROM g WINDOW win AS (PARTITION BY gh ORDER BY doc_id, pos)),
+         |cov0 AS (SELECT doc_id, pos, unnest(generate_series(0, ${spanN - 1})) AS dd
+         |         FROM own WHERE od <> doc_id OR op <> pos),
+         |cov AS (SELECT DISTINCT doc_id, pos + dd AS cpos FROM cov0),
+         |t0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+         |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token FROM t0),
+         |kept AS (SELECT t.doc_id, t.pos, t.token
+         |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+         |         WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |               string_agg(token, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, len(w.ws) AS n_tokens,
+         |       len(w.ws) - COALESCE(r.n_kept, 0) AS n_covered,
+         |       COALESCE(r.clean_text, '') AS clean_text,
+         |       (COALESCE(r.n_kept, 0) * 1000000) // len(w.ws) AS kept_ppm
+         |FROM w LEFT JOIN reb r USING (doc_id)""".stripMargin) { (s, d) =>
+      dedupSpans(Tables.documents(s, d))
     },
 
     Op.sql("dedup_minhash_pairs",

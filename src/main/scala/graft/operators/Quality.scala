@@ -256,7 +256,42 @@ object Quality {
       .withColumn("violation_ppm", expr("(n_violations * 1000000) div n_rows"))
   }
 
+  /** k-anonymity threshold for [[kAnonymity]]. */
+  val kAnonK = 5
+
+  /** k-anonymity audit — the re-identification release gate an LLM-data
+    * pipeline runs before publishing user-derived tables (companion to the
+    * PII redaction op: redaction hides direct identifiers, this measures
+    * QUASI-identifier risk). Quasi-identifier = (nation, market segment,
+    * account-balance band of 1000); every QI equivalence class is reported
+    * with its size and an `at_risk` flag (size < k ⇒ the class's members
+    * are re-identifiable by joining public attributes). The downstream
+    * release join suppresses or generalizes exactly the flagged classes.
+    *
+    * Plan: one hash aggregate at QI grain — map-side partials, no window,
+    * no skew risk (class count is bounded by the QI domain, not row count).
+    * `floor` before the BIGINT cast on both engines (DuckDB rounds,
+    * Spark truncates — the documented cast gotcha).
+    */
+  def kAnonymity(customers: DataFrame, k: Int = kAnonK): DataFrame =
+    customers.select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk",
+        when(col("group_size") < k, 1).otherwise(0))
+
   def ops: Seq[Op] = Seq(
+    Op.sql("quality_k_anonymity",
+      s"""SELECT c_nationkey, c_mktsegment,
+         |       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |       COUNT(*) AS group_size,
+         |       CAST(CASE WHEN COUNT(*) < $kAnonK THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+         |FROM customer
+         |GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      kAnonymity(Tables.customer(s, d))
+    },
+
     // One-pass-per-table declarative rule battery, zero rules reported.
     Op.sql("quality_rule_violations",
       """WITH li AS (

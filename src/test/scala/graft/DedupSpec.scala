@@ -127,6 +127,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rr.subsetOf(cand), "re-rank emitted a pair outside its candidate set")
   }
 
+  test("dedup spans: first occurrence survives, later copies removed at any offset") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")          // a 10-token span
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),                           // first occurrence
+      (2L, s"pre1 pre2 pre3 $span post1 post2"),                 // later copy, shifted offset
+      (3L, span),                                                // entirely duplicated
+      (4L, "unique tokens only here nothing shared at all")      // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 owns the span (lowest doc_id): nothing removed
+    assert(out(1L).getAs[Long]("n_covered") == 0)
+    assert(out(1L).getAs[String]("clean_text") == s"alpha beta $span gamma")
+    // doc 2's copy is removed despite the different offset; context survives
+    assert(out(2L).getAs[String]("clean_text") == "pre1 pre2 pre3 post1 post2")
+    assert(out(2L).getAs[Long]("n_covered") == 10)
+    // doc 3 is all duplicate: row kept, text emptied
+    assert(out(3L).getAs[String]("clean_text") == "" &&
+      out(3L).getAs[Long]("kept_ppm") == 0)
+    // doc 4 shares nothing (and is shorter than no window it owns is elsewhere)
+    assert(out(4L).getAs[Long]("n_covered") == 0 &&
+      out(4L).getAs[Long]("kept_ppm") == 1000000L)
+    // within-doc repetition: second occurrence of the doc's own span removed
+    val self = Seq((7L, s"$span $span")).toDF("doc_id", "text")
+    val so = Dedup.dedupSpans(self).collect().head
+    // windows straddling the two copies also repeat (period-10 text), so
+    // everything from token 10 on is covered
+    assert(so.getAs[Long]("n_covered") == 10)
+    assert(so.getAs[String]("clean_text") == span)
+  }
+
   test("binary codes: exact sign-bit semantics; rerank stays inside Hamming candidates") {
     import spark.implicits._
     // constructed vector: bit i set iff coordinate i strictly positive

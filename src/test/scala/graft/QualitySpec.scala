@@ -203,4 +203,22 @@ class QualitySpec extends AnyFunSuite {
     assert(r.size == 6, "all six rules must report, including clean ones")
     assert(r.values.forall(_ == ((1L, 2L, 500000L))), s"got $r")
   }
+
+  test("k-anonymity: classes below k flagged, banding floors negatives correctly") {
+    import spark.implicits._
+    // 5 rows in one QI class (safe at k=5), 2 in another (at risk), and one
+    // negative-balance row whose band must floor DOWN (-0.5 -> band -1)
+    val rows =
+      (1 to 5).map(i => (i.toLong, "x", 7, 1500.0, "BUILDING")) ++
+      Seq((6L, "x", 7, 2500.0, "BUILDING"), (7L, "x", 7, 2999.0, "BUILDING"),
+        (8L, "x", 3, -500.0, "MACHINERY"))
+    val df = rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Quality.kAnonymity(df).collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[Long]("bal_band")) ->
+        (r.getAs[Long]("group_size"), r.getAs[Int]("at_risk"))).toMap
+    assert(out((7, 1L)) == ((5L, 0)))   // exactly k: safe
+    assert(out((7, 2L)) == ((2L, 1)))   // below k: flagged
+    assert(out((3, -1L)) == ((1L, 1)))  // negative balance floors to band -1
+    assert(out.size == 3)
+  }
 }
