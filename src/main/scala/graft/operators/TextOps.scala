@@ -938,6 +938,71 @@ object TextOps {
         floor((col("cum_tokens") - col("n_tokens")) / lit(budget.toDouble)))
   }
 
+  /** RAG chunk geometry for [[chunkOverlap]]: 32-token windows, 16 stride. */
+  val chunkWindow = 32
+  val chunkStride = 16
+
+  /** Overlapping-window document chunking — the retrieval-index prep step
+    * (RAG convention: ~50% stride so every sentence appears mid-window in
+    * some chunk). Chunk starts at multiples of the stride; the LAST chunk is
+    * the first one reaching the document end (`1 + ceil((n-window)/stride)`
+    * chunks total — no trailing chunk fully contained in its predecessor).
+    * Each chunk carries its token span and an md5 content key, the id the
+    * downstream embedding index stores. Pure narrow codegen (explode +
+    * slice/array_join); zero shuffle — the [[graft.operators.Dedup
+    * .passageChunks]] shape with overlap.
+    */
+  def chunkOverlap(docs: DataFrame, window: Int = chunkWindow,
+      stride: Int = chunkStride): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast(LongType))
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN n_tokens <= $window THEN 1 " +
+          s"ELSE 1 + ((n_tokens - $window + ${stride - 1}) div $stride) END"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_pos"),
+        least(lit(window.toLong), col("n_tokens") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("ws"),
+          (col("chunk_idx") * stride + 1).cast(IntegerType), lit(window)), " ")
+          .as("chunk_text"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+
+  /** Docs per training batch for [[paddingWaste]]. */
+  val padBatch = 32
+
+  /** Padding-waste audit — how many pad tokens a fixed-size training batch
+    * burns under arrival-order batching vs length-sorted batching (the
+    * bucketing argument every training-prep pipeline re-litigates, answered
+    * from the corpus itself). Batch b = docs ranked b·B..(b+1)·B−1 under the
+    * strategy's order; waste = Σ(batch_max − len) — the pad tokens a
+    * pad-to-longest collator emits.
+    *
+    * Scale shape: ranking via [[Analytics.withGlobalRowNumber]] (range
+    * exchange + partitioned local row_number + broadcast offsets — no
+    * single-task global sort at any corpus size), then one batch-grain
+    * aggregate. Two strategies = two range shuffles of a 2-column frame.
+    */
+  def paddingWaste(docs: DataFrame, batch: Int = padBatch): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    def batches(strategy: String, sort: Seq[org.apache.spark.sql.Column]) = {
+      val (ranked, _) = Analytics.withGlobalRowNumber(base, "rn", sort)
+      ranked.withColumn("batch_id", expr(s"(rn - 1) div $batch"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(lit(strategy).as("strategy"), col("batch_id"), col("n_docs"),
+          col("max_tokens"), col("sum_tokens"))
+        .withColumn("padding", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+        .withColumn("waste_ppm",
+          expr("(padding * 1000000) div (n_docs * max_tokens)"))
+    }
+    batches("sorted", Seq(col("n_tokens"), col("doc_id")))
+      .unionByName(batches("arrival", Seq(col("doc_id"))))
+  }
+
   /** PII scrub patterns — shared literally between Spark (Java regex) and
     * DuckDB (RE2): only constructs with identical semantics in both. The
     * `(?i)` inline flag (same in both dialects) catches mixed-case emails —
@@ -1442,6 +1507,55 @@ object TextOps {
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin) { (s, d) =>
       packChunks(Tables.documents(s, d))
+    },
+
+    // Overlapping RAG chunking: both engines emit the identical chunk set
+    // (starts at stride multiples, last chunk first to reach the end) with
+    // clamped slices and md5 content keys.
+    Op.sql("text_chunk_overlap",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |           FROM documents),
+         |c0 AS (SELECT doc_id, ws, n,
+         |              unnest(generate_series(0,
+         |                CASE WHEN n <= $chunkWindow THEN 0
+         |                     ELSE (n - $chunkWindow + ${chunkStride - 1})//$chunkStride
+         |                END)) AS ci
+         |       FROM w)
+         |SELECT doc_id, ci AS chunk_idx, ci*$chunkStride AS start_pos,
+         |       LEAST($chunkWindow, n - ci*$chunkStride) AS n_chunk_tokens,
+         |       array_to_string(ws[ci*$chunkStride+1 : ci*$chunkStride+$chunkWindow], ' ')
+         |         AS chunk_text,
+         |       md5(array_to_string(ws[ci*$chunkStride+1 : ci*$chunkStride+$chunkWindow], ' '))
+         |         AS chunk_md5
+         |FROM c0""".stripMargin) { (s, d) =>
+      chunkOverlap(Tables.documents(s, d))
+    },
+
+    // Arrival-order vs length-sorted batch padding waste; global ranks are
+    // range-partitioned on the Spark side (no single-task sort), total order
+    // identical to the oracle's one window.
+    Op.sql("sample_padding_waste",
+      s"""WITH base AS (SELECT doc_id,
+         |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |              FROM documents),
+         |s AS (SELECT 'sorted' AS strategy,
+         |             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn, n_tokens
+         |      FROM base),
+         |a AS (SELECT 'arrival' AS strategy,
+         |             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn, n_tokens
+         |      FROM base),
+         |u AS (SELECT * FROM s UNION ALL SELECT * FROM a),
+         |b AS (SELECT strategy, (rn - 1)//$padBatch AS batch_id,
+         |             COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+         |             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |      FROM u GROUP BY 1, 2)
+         |SELECT strategy, batch_id, n_docs, max_tokens, sum_tokens,
+         |       n_docs * max_tokens - sum_tokens AS padding,
+         |       ((n_docs * max_tokens - sum_tokens) * 1000000)
+         |         // (n_docs * max_tokens) AS waste_ppm
+         |FROM b""".stripMargin) { (s, d) =>
+      paddingWaste(Tables.documents(s, d))
     },
 
     Op.sql("text_redact_pii",

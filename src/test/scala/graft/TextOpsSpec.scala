@@ -450,4 +450,42 @@ class TextOpsSpec extends AnyFunSuite {
         (x.getAs[Long]("new_types"), x.getAs[Long]("cum_types"))).toMap
     assert(r == Map(0L -> ((6L, 6L)), 1L -> ((6L, 12L))), s"got $r")
   }
+
+  test("chunk overlap: stride starts, clamped tail, no chunk inside its predecessor") {
+    import spark.implicits._
+    def text(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text(40)), (2L, text(32)), (3L, text(33)), (4L, text(5)))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkOverlap(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))).toMap
+    // 40 tokens: chunks at 0 (32 tokens) and 16 (24 tokens) — the 2nd
+    // reaches the end, so no 3rd chunk fully inside it
+    assert(out(1L).map(r => (r.getAs[Long]("start_pos"), r.getAs[Long]("n_chunk_tokens")))
+      .toSeq == Seq((0L, 32L), (16L, 24L)))
+    // consecutive chunks overlap by window - stride = 16 tokens
+    val c0 = out(1L)(0).getAs[String]("chunk_text").split(" ")
+    val c1 = out(1L)(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.drop(16).toSeq == c1.take(16).toSeq)
+    assert(out(2L).length == 1 && out(3L).length == 2)
+    assert(out(3L)(1).getAs[Long]("n_chunk_tokens") == 17) // 33 - 16
+    assert(out(4L).length == 1 &&
+      out(4L)(0).getAs[String]("chunk_text") == text(5))
+  }
+
+  test("padding waste: length-sorted batching beats arrival order on skewed lengths") {
+    import spark.implicits._
+    def text(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq((1L, text(10)), (2L, text(2)), (3L, text(10)), (4L, text(2)))
+      .toDF("doc_id", "text")
+    val out = TextOps.paddingWaste(docs, batch = 2).collect()
+      .map(r => (r.getAs[String]("strategy"), r.getAs[Long]("batch_id")) ->
+        (r.getAs[Long]("padding"), r.getAs[Long]("waste_ppm"))).toMap
+    // arrival pairs (10,2) twice: 8 pad tokens per batch, 8/20 = 400000 ppm
+    assert(out(("arrival", 0L)) == ((8L, 400000L)))
+    assert(out(("arrival", 1L)) == ((8L, 400000L)))
+    // sorted pairs (2,2) and (10,10): zero padding
+    assert(out(("sorted", 0L)) == ((0L, 0L)))
+    assert(out(("sorted", 1L)) == ((0L, 0L)))
+  }
 }
