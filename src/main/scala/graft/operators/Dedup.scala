@@ -321,6 +321,75 @@ object Dedup {
         expr("((n_tokens - n_covered) * 1000000) div n_tokens"))
   }
 
+  /** The stored span-gram index for [[dedupSpansIncremental]]: one row per
+    * distinct window hash with its first-occurrence owner (min (doc_id,
+    * pos)). Doc-disjoint batches merge by keeping the struct-min owner per
+    * gh — history is tokenized once, ever (the [[passageHashIndex]]
+    * convention at sliding-window grain).
+    */
+  def spanGramIndex(docs: DataFrame, n: Int = spanN): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n))))))
+      .toDF("doc_id", "pos", "gram")
+      .select(graft.functions.Portable.hash60(col("gram")).as("gh"),
+        col("doc_id"), col("pos"))
+      .groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("owner"))
+
+  /** [[dedupSpans]] for an ARRIVING batch against stored history — the
+    * production loop: clean only the new documents, never re-tokenize the
+    * corpus. The effective owner of a window is the struct-min of the
+    * STORED owner and the batch's own first occurrence, which is EXACTLY
+    * the full recompute's global min when batches are doc-disjoint — so the
+    * registered op shares the full rewrite's oracle restricted to the
+    * batch. Per batch this costs one batch-grain gram pass + one gh-keyed
+    * left join against the index (at 100 TB: batch-sized probe against the
+    * bucketed gram index; history contributes only 8-byte hashes + owners).
+    */
+  def dedupSpansIncremental(stored: DataFrame, newDocs: DataFrame,
+      n: Int = spanN): DataFrame = {
+    val base = newDocs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val grams = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(n))))))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Portable.hash60(col("gram")).as("gh"))
+    val batchOwned = grams.withColumn("batch_owner",
+      min(struct(col("doc_id"), col("pos")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    val owned = batchOwned
+      .join(stored.select(col("gh"), col("owner").as("stored_owner")), Seq("gh"), "left")
+      .withColumn("owner",
+        when(col("stored_owner").isNotNull &&
+          col("stored_owner") < col("batch_owner"), col("stored_owner"))
+          .otherwise(col("batch_owner")))
+    val covered = owned
+      .filter(col("owner.doc_id") =!= col("doc_id") || col("owner.pos") =!= col("pos"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val toks = base.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "pos", "token")
+    val kept = toks.join(covered,
+      toks("doc_id") === covered("doc_id") && toks("pos") === covered("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_covered"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        expr("(coalesce(n_kept, 0L) * 1000000) div n_tokens").as("kept_ppm"))
+  }
+
   /** [[passageStats]] for an ARRIVING batch against stored history — the
     * production shape: score only the new documents, never re-chunk the
     * corpus. A new doc's passage is a duplicate iff it exists anywhere in
@@ -1086,6 +1155,45 @@ object Dedup {
          |       (COALESCE(r.n_kept, 0) * 1000000) // len(w.ws) AS kept_ppm
          |FROM w LEFT JOIN reb r USING (doc_id)""".stripMargin) { (s, d) =>
       dedupSpans(Tables.documents(s, d))
+    },
+
+    // The incremental rewrite must equal the FULL recompute restricted to
+    // the arriving batch (doc_id % 7 = 0 plays the new docs; history is
+    // pre-aggregated to the gh-grain owner index and never re-tokenized) —
+    // the oracle states that contract directly, like dedup_incremental_minhash.
+    Op.sql("dedup_spans_incremental",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g0 AS (SELECT doc_id, ws,
+         |              unnest(generate_series(1, len(ws) - ${spanN - 1})) AS i
+         |       FROM w WHERE len(ws) >= $spanN),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             ${hash60Sql(s"array_to_string(ws[i:i+${spanN - 1}], ' ')")} AS gh
+         |      FROM g0),
+         |own AS (SELECT doc_id, pos, gh,
+         |               FIRST_VALUE(doc_id) OVER win AS od,
+         |               FIRST_VALUE(pos) OVER win AS op
+         |        FROM g WINDOW win AS (PARTITION BY gh ORDER BY doc_id, pos)),
+         |cov0 AS (SELECT doc_id, pos, unnest(generate_series(0, ${spanN - 1})) AS dd
+         |         FROM own WHERE od <> doc_id OR op <> pos),
+         |cov AS (SELECT DISTINCT doc_id, pos + dd AS cpos FROM cov0),
+         |t0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+         |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token FROM t0),
+         |kept AS (SELECT t.doc_id, t.pos, t.token
+         |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+         |         WHERE c.doc_id IS NULL),
+         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |               string_agg(token, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, len(w.ws) AS n_tokens,
+         |       len(w.ws) - COALESCE(r.n_kept, 0) AS n_covered,
+         |       COALESCE(r.clean_text, '') AS clean_text,
+         |       (COALESCE(r.n_kept, 0) * 1000000) // len(w.ws) AS kept_ppm
+         |FROM w LEFT JOIN reb r USING (doc_id)
+         |WHERE w.doc_id % 7 = 0""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val stored = spanGramIndex(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+      dedupSpansIncremental(stored,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0))
     },
 
     Op.sql("dedup_minhash_pairs",

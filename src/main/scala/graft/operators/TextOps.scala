@@ -969,6 +969,35 @@ object TextOps {
           .as("chunk_text"))
       .withColumn("chunk_md5", md5(col("chunk_text")))
 
+  /** Encoding-damage patterns for [[encodingAudit]] — identical semantics in
+    * Java regex and RE2: C0 control characters except tab/newline/CR, the
+    * U+FFFD replacement character a lossy transcode leaves behind, and the
+    * non-ASCII class.
+    */
+  val controlPattern = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+  val nonAsciiPattern = "[^\\x00-\\x7f]"
+
+  /** Encoding / mojibake audit — the transcode-damage filter a web-scale
+    * ingest runs before any text op: per document the counts of stray C0
+    * control characters, U+FFFD replacement characters (the smoking gun of
+    * a lossy decode), and non-ASCII codepoints, plus the ASCII ppm a
+    * threshold filter consumes. Pure narrow codegen regexp counts over the
+    * scan; zero shuffle. Character (codepoint) grain on both engines —
+    * `length`/`regexp_extract_all` count codepoints, not bytes.
+    */
+  def encodingAudit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      size(regexp_extract_all(col("text"), lit(controlPattern), lit(0)))
+        .cast(LongType).as("n_control"),
+      size(regexp_extract_all(col("text"), lit("�"), lit(0)))
+        .cast(LongType).as("n_replacement"),
+      size(regexp_extract_all(col("text"), lit(nonAsciiPattern), lit(0)))
+        .cast(LongType).as("n_non_ascii"))
+      .withColumn("ascii_ppm",
+        expr("CASE WHEN n_chars = 0 THEN 1000000 " +
+          "ELSE ((n_chars - n_non_ascii) * 1000000) div n_chars END"))
+
   /** Docs per training batch for [[paddingWaste]]. */
   val padBatch = 32
 
@@ -1507,6 +1536,26 @@ object TextOps {
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin) { (s, d) =>
       packChunks(Tables.documents(s, d))
+    },
+
+    // Transcode-damage audit: codepoint-grain regexp counts, identical
+    // Java-regex/RE2 classes; the fixture is clean ASCII (all-zero damage
+    // columns, ascii_ppm = 1000000) and the damage paths are spec-pinned on
+    // constructed strings.
+    Op.sql("text_encoding_audit",
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(regexp_extract_all(text, '$controlPattern')) AS BIGINT)
+         |         AS n_control,
+         |       CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+         |         AS n_replacement,
+         |       CAST(len(regexp_extract_all(text, '$nonAsciiPattern')) AS BIGINT)
+         |         AS n_non_ascii,
+         |       CASE WHEN length(text) = 0 THEN 1000000
+         |            ELSE ((CAST(length(text) AS BIGINT)
+         |                   - len(regexp_extract_all(text, '$nonAsciiPattern')))
+         |                  * 1000000) // CAST(length(text) AS BIGINT) END AS ascii_ppm
+         |FROM documents""".stripMargin) { (s, d) =>
+      encodingAudit(Tables.documents(s, d))
     },
 
     // Overlapping RAG chunking: both engines emit the identical chunk set

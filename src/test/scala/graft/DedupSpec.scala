@@ -159,6 +159,33 @@ class DedupSpec extends AnyFunSuite {
     assert(so.getAs[String]("clean_text") == span)
   }
 
+  test("incremental spans: equals the full rewrite restricted to the batch") {
+    import spark.implicits._
+    val spanA = (1 to 10).map(i => s"a$i").mkString(" ") // history-owned
+    val spanB = (1 to 10).map(i => s"b$i").mkString(" ") // batch-internal dup
+    val history = Seq(
+      (1L, s"old1 old2 $spanA old3"),
+      (2L, "plain history document with no shared spans inside")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"new1 $spanA new2"),         // copy of history's span: removed
+      (11L, s"lead $spanB tail1"),        // batch-first occurrence: survives
+      (12L, s"$spanB trailer")            // batch-second occurrence: removed
+    ).toDF("doc_id", "text")
+    val full = Dedup.dedupSpans(history.unionByName(batch)).collect()
+      .filter(_.getAs[Long]("doc_id") >= 10L)
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_covered"), r.getAs[String]("clean_text"))).toMap
+    val inc = Dedup.dedupSpansIncremental(
+        Dedup.spanGramIndex(history), batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_covered"), r.getAs[String]("clean_text"))).toMap
+    assert(inc == full, s"incremental $inc != full-restricted $full")
+    assert(inc(10L)._2 == "new1 new2")        // history owns spanA
+    assert(inc(11L)._2 == s"lead $spanB tail1") // batch-first keeps its span
+    assert(inc(12L)._2 == "trailer")          // batch-second loses it
+  }
+
   test("binary codes: exact sign-bit semantics; rerank stays inside Hamming candidates") {
     import spark.implicits._
     // constructed vector: bit i set iff coordinate i strictly positive

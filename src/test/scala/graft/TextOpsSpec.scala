@@ -473,6 +473,28 @@ class TextOpsSpec extends AnyFunSuite {
       out(4L)(0).getAs[String]("chunk_text") == text(5))
   }
 
+  test("encoding audit: control / replacement / non-ascii counts and ascii ppm") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "bad bytes"),       // 3 control chars
+      (3L, "lossy � decode �"),         // 2 replacement chars
+      (4L, "café naïve"),               // 2 non-ascii letters
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.encodingAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_control"), r.getAs[Long]("n_replacement"),
+          r.getAs[Long]("n_non_ascii"), r.getAs[Long]("ascii_ppm"))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 1000000L)))
+    assert(out(2L)._1 == 3L)
+    // U+FFFD is also non-ascii; the replacement count isolates the decode failure
+    assert(out(3L)._2 == 2L && out(3L)._3 == 2L)
+    assert(out(4L)._1 == 0L && out(4L)._3 == 2L)
+    assert(out(4L)._4 == (8L * 1000000L) / 10L) // 10 chars, 2 non-ascii
+    assert(out(5L) == ((0L, 0L, 0L, 1000000L))) // empty: clean by convention
+  }
+
   test("padding waste: length-sorted batching beats arrival order on skewed lengths") {
     import spark.implicits._
     def text(n: Int) = (1 to n).map(_ => "w").mkString(" ")
