@@ -779,6 +779,43 @@ object EventOps {
       .filter(abs(col("zscore")) >= anomalyZ)
   }
 
+  /** Interval-OVERLAP join (the Flink interval-join shape, which the as-of
+    * family deliberately does not cover: as-of matches each row to ONE
+    * nearest partner; this finds ALL (session, incident-window) pairs whose
+    * time ranges intersect — "which sessions ran during the incident", the
+    * blast-radius query every volume anomaly triggers). Windows are the
+    * [[dailyAnomalies]] days ±1 day (half-open [day−1, day+2)).
+    *
+    * Scale shape: NOT a cross join with a range filter. Both sides explode
+    * into the calendar DAYS they touch (bounded: a session spans 1-2 days
+    * under the 30-min gap rule, a window exactly 3), meet on a day-bucket
+    * EQUI-join, verify the exact overlap predicate, and dedupe pairs that
+    * met in several buckets — the standard bucketed interval-join recipe
+    * that survives BOTH sides large (at fixture scale AQE broadcasts the
+    * tiny window side; the plan needs no rewrite when it grows).
+    * `overlap_us` is exact integer microseconds.
+    */
+  def sessionIncidentOverlap(events: DataFrame): DataFrame = {
+    val sess = sessionize(events).select(col("user_id"), col("session_seq"),
+      col("session_start"), col("session_end"))
+    val win = dailyAnomalies(events).select(col("day").as("anomaly_day"),
+      date_add(col("day"), -1).cast(TimestampType).as("window_start"),
+      date_add(col("day"), 2).cast(TimestampType).as("window_end"))
+    val sb = sess.withColumn("bday",
+      explode(sequence(to_date(col("session_start")), to_date(col("session_end")))))
+    val wb = win.withColumn("bday",
+      explode(sequence(date_add(col("anomaly_day"), -1), date_add(col("anomaly_day"), 1))))
+    sb.join(wb, "bday")
+      .filter(col("session_start") < col("window_end") &&
+        col("session_end") >= col("window_start"))
+      .select(col("user_id"), col("session_seq"), col("anomaly_day"),
+        col("session_start"), col("session_end"),
+        (least(unix_micros(col("session_end")), unix_micros(col("window_end"))) -
+          greatest(unix_micros(col("session_start")), unix_micros(col("window_start"))))
+          .as("overlap_us"))
+      .distinct()
+  }
+
   /** Weekday-adjusted volume anomalies: each day scored against ITS OWN
     * weekday's mean/std — the seasonality correction [[dailyAnomalies]]
     * lacks (a quiet Sunday is normal; the same count on a Tuesday is an
@@ -1454,6 +1491,50 @@ object EventOps {
          |LEFT JOIN mau m ON m.day = s.day""".stripMargin
 
   private def anomalyAndAttributionOps: Seq[Op] = Seq(
+    // Interval-overlap join: every (session, anomaly-window) pair whose time
+    // ranges intersect. The oracle joins on the raw range predicate; the
+    // Spark plan buckets both sides by calendar day and equi-joins (the
+    // large-x-large interval-join recipe) — same pair set, verified exactly.
+    Op.sql("events_session_overlap",
+      s"""WITH $eventsCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+         |          FROM ev GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_days, CAST(SUM(n_events) AS BIGINT) AS sx,
+         |              CAST(SUM(n_events * n_events) AS BIGINT) AS sxx
+         |       FROM daily),
+         |win AS (SELECT day AS anomaly_day,
+         |               CAST(day - INTERVAL 1 DAY AS TIMESTAMP) AS window_start,
+         |               CAST(day + INTERVAL 2 DAY AS TIMESTAMP) AS window_end
+         |        FROM daily CROSS JOIN st
+         |        WHERE ABS((CAST(n_events AS DOUBLE) - CAST(sx AS DOUBLE) / n_days)
+         |                  / (sqrt(CAST(sxx * n_days - sx * sx AS DOUBLE)) / n_days))
+         |              >= $anomalyZ),
+         |gapped AS (
+         |  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM ev),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_us(ts) - epoch_us(prev_ts) > $sessionGapUs
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM gapped),
+         |numbered AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM flagged),
+         |sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |                MIN(ts) AS session_start, MAX(ts) AS session_end
+         |         FROM numbered GROUP BY user_id, session_seq)
+         |SELECT s.user_id, s.session_seq, w.anomaly_day,
+         |       s.session_start, s.session_end,
+         |       LEAST(epoch_us(s.session_end), epoch_us(w.window_end))
+         |         - GREATEST(epoch_us(s.session_start), epoch_us(w.window_start))
+         |         AS overlap_us
+         |FROM sess s JOIN win w
+         |  ON s.session_start < w.window_end AND s.session_end >= w.window_start"""
+        .stripMargin) { (s, d) =>
+      sessionIncidentOverlap(Tables.events(s, d))
+    },
+
     // Seasonal-naive forecast baseline: |count − count(day−7)| per type.
     Op.sql("events_forecast_naive",
       s"""WITH $eventsCte,

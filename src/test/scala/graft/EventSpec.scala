@@ -516,4 +516,40 @@ class EventSpec extends AnyFunSuite {
       ("2024-01-02", "click") -> ((1L, 1L, 500000L))),
       s"got $rows")
   }
+
+  test("session overlap: bucketed interval join finds exactly the intersecting pairs") {
+    // 9 quiet days (1 event) + one 40-event spike on 01-10 -> the spike day
+    // is the only |z| >= 2 anomaly; its window is [01-09, 01-12).
+    val quiet = (1 to 9).map(d =>
+      (d.toLong, ts(f"2024-01-$d%02d 12:00:00"), 100L + d, "view", 1.0, ""))
+    val spike = (1 to 40).map(i =>
+      (100L + i, ts("2024-01-10 12:00:00"), 777L, "view", 1.0, ""))
+    // user 50: one session INSIDE the window; user 51: one session spanning
+    // the window's start day boundary (08->09, meets it in two day buckets);
+    // user 52: well before the window.
+    val probes = Seq(
+      (200L, ts("2024-01-10 14:00:00"), 50L, "view", 1.0, ""),
+      (201L, ts("2024-01-10 14:10:00"), 50L, "view", 1.0, ""),
+      (202L, ts("2024-01-08 23:50:00"), 51L, "view", 1.0, ""),
+      (203L, ts("2024-01-09 00:05:00"), 51L, "view", 1.0, ""),
+      (204L, ts("2024-01-02 10:00:00"), 52L, "view", 1.0, ""))
+    val ev = (quiet ++ spike ++ probes)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessionIncidentOverlap(ev).collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    // user 50 fully inside: overlap == session length (10 min)
+    assert(byUser(50L).length == 1 &&
+      byUser(50L).head.getAs[Long]("overlap_us") == 10L * 60 * 1000000)
+    // user 51 straddles the window start: ONE deduped pair, 5 min inside
+    assert(byUser(51L).length == 1 &&
+      byUser(51L).head.getAs[Long]("overlap_us") == 5L * 60 * 1000000)
+    assert(!byUser.contains(52L), "out-of-window session must not pair")
+    // every emitted pair satisfies the raw range predicate
+    assert(out.forall { r =>
+      r.getAs[java.sql.Timestamp]("session_start").getTime <
+        ts("2024-01-12 00:00:00").getTime &&
+        r.getAs[java.sql.Timestamp]("session_end").getTime >=
+          ts("2024-01-09 00:00:00").getTime
+    })
+  }
 }
