@@ -394,6 +394,44 @@ class PlanSpec extends AnyFunSuite {
     assert(mlt.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("dedup spans: shuffle keys are hashes and positions, never text") {
+    val df = graft.operators.Dedup.dedupSpans(Tables.documents(spark, TestSession.sf))
+    val partKeys = df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.flatMap(_.references.map(_.name))
+          case _ => Nil
+        }
+    }.flatten.toSet
+    val textish = partKeys.filter(n =>
+      n.contains("text") || n.contains("gram") || n.contains("token") || n == "ws")
+    assert(textish.isEmpty,
+      s"raw text must never be a shuffle key (module contract): $textish of $partKeys")
+  }
+
+  test("chunk overlap is a pure narrow plan: no exchange, pruned scan") {
+    val df = graft.operators.TextOps.chunkOverlap(Tables.documents(spark, TestSession.sf))
+    assert(df.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, "chunking must not shuffle")
+    val readCols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("doc_id", "text"),
+      s"chunk scan read $readCols — should read only doc_id + text")
+  }
+
+  test("session overlap joins on day buckets — no cartesian/nested-loop join") {
+    val df = graft.operators.EventOps.sessionIncidentOverlap(
+      Tables.events(spark, TestSession.sf))
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "interval join degenerated to a cartesian product")
+    assert(!plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "interval join degenerated to a nested-loop range join")
+  }
+
   test("incremental KPI reads prune at the FILE level via PartitionFilters") {
     val store = Kpi.ensureFixtureStore(spark, TestSession.sf)
 
