@@ -297,6 +297,63 @@ object StreamingOps {
       .start()
   }
 
+  /** The duplicated-SPAN removal loop as a streaming query — the
+    * [[incrementalDedupLoop]] protocol applied to [[graft.operators.Dedup
+    * .dedupSpansIncremental]]: each micro-batch of arriving documents is
+    * tokenized ONCE (the only gram pass those docs will ever get), its
+    * tokens cleaned against the STORED gh-grain owner index, and then its
+    * own [[graft.operators.Dedup.spanGramIndex]] appended as a batch subdir.
+    * The stored index is re-aggregated to one struct-min owner per gh at
+    * READ time (min is associative — per-batch partial owners merge
+    * losslessly, so subdir compaction is an optimization, never a
+    * correctness step). First-writer-wins by ARRIVAL: with batches arriving
+    * in doc_id order this reproduces the full [[graft.operators.Dedup
+    * .dedupSpans]] rewrite exactly (the spec's invariant); out-of-order
+    * arrival keeps the documented production semantic (history owns).
+    * Exactly-once via the same batchId-subdir + _SUCCESS commit protocol
+    * (index written LAST).
+    */
+  def incrementalSpanDedupLoop(spark: SparkSession, docsStreamDir: String,
+      indexDir: String, cleanDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val docsSchema = graft.sources.Jsonl.documentsSchema
+    val reader = spark.readStream.schema(docsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Dedup
+        val s = batch.sparkSession
+        val idxRoot = new Path(indexDir)
+        val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val idxBatch = new Path(idxRoot, s"batch_id=$batchId")
+        if (!fs.exists(new Path(idxBatch, "_SUCCESS"))) {
+          val committed =
+            if (fs.exists(idxRoot))
+              fs.listStatus(idxRoot)
+                .filter(st => st.isDirectory &&
+                  fs.exists(new Path(st.getPath, "_SUCCESS")))
+                .map(_.getPath.toString).toSeq
+            else Seq.empty[String]
+          val stored =
+            if (committed.nonEmpty)
+              s.read.parquet(committed: _*)
+                .groupBy(col("gh")).agg(min(col("owner")).as("owner"))
+            else Dedup.spanGramIndex(batch.limit(0))
+          Dedup.dedupSpansIncremental(stored, batch)
+            .write.mode("overwrite")
+            .parquet(new Path(cleanDir, s"batch_id=$batchId").toString)
+          // written LAST: its _SUCCESS marks the whole batch committed
+          Dedup.spanGramIndex(batch).write.mode("overwrite").parquet(idxBatch.toString)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The image-dedup loop as a streaming query — [[incrementalDedupLoop]]'s
     * recipe applied to the perceptual-hash path: each micro-batch of
     * arriving media records (doc_id, payload binary) is dHashed ONCE

@@ -164,6 +164,38 @@ class StreamingSpec extends AnyFunSuite {
       "replayed micro-batches must be no-ops")
   }
 
+  test("streaming span dedup over a growing owner index reproduces the batch rewrite") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSession.sf)
+    val cut = 250L
+    val inDir = Files.createTempDirectory("graft-sdedup-in").toString
+    val base = Files.createTempDirectory("graft-sdedup-out").toString
+    // doc_id-ORDERED waves (arrival order = canonical order, so
+    // first-writer-wins == the full rewrite's global (doc_id, pos) min)
+    docs.filter(col("doc_id") < cut).write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalSpanDedupLoop(spark, inDir,
+      s"$base/index", s"$base/clean",
+      Files.createTempDirectory("graft-sckpt").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_covered"), r.getAs[String]("clean_text"))
+    val streamed = spark.read.parquet(s"$base/clean").collect().map(keyOf).toMap
+    val full = Dedup.dedupSpans(docs).collect().map(keyOf).toMap
+    assert(streamed.size == full.size)
+    assert(streamed == full, "streamed rewrite must equal the one-shot batch rewrite")
+    assert(full.values.exists(_._1 > 0), "fixture must contain duplicated spans")
+    // replay with a fresh checkpoint: commit markers make every batch a no-op
+    val nIdx = spark.read.parquet(s"$base/index").count()
+    val q2 = StreamingOps.incrementalSpanDedupLoop(spark, inDir,
+      s"$base/index", s"$base/clean",
+      Files.createTempDirectory("graft-sckpt2").toString, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+    assert(spark.read.parquet(s"$base/index").count() == nIdx,
+      "replayed micro-batches must be no-ops")
+    assert(spark.read.parquet(s"$base/clean").collect().map(keyOf).toMap == full)
+  }
+
   test("streaming search-index maintenance equals the one-shot batch build") {
     import graft.operators.Search
     val docs = Tables.documents(spark, TestSession.sf)
