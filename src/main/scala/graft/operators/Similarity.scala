@@ -1350,6 +1350,42 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** [[binaryTopK]] with the Hamming stage through the bounded
+    * [[TopKAggregator]] (score = −hamming, so the DESC/id-ASC buffer order
+    * IS hamming-ASC/id-ASC — results interchangeable with the window
+    * formulation): each task reduces its partition to ≤ 50 candidates
+    * map-side before any shuffle, so the corpus-×-queries scored frame never
+    * shuffles — the formulation that survives a 100 TB corpus, per the
+    * [[bruteForceTopKAgg]] convention. The exact refine tail is unchanged
+    * (it only ever sees the bounded candidate frame).
+    */
+  def binaryTopKAgg(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val codes = binaryCodes(embs)
+    val queries = codes.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("code").as("q_code"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("code").bitwiseXOR(col("q_code"))).cast("long").as("hamming"))
+      .as[(Long, Long, Long)]
+    val cand = scored.groupByKey(_._1)
+      .agg(new TopKAggregator[(Long, Long, Long)](rerankCandidates,
+        { case (_, id, h) => Scored(id, -h.toDouble) }).toColumn)
+      .flatMap { case (q, top) => top.iterator.map(s => (q, s.id)) }
+      .toDF("query_id", "neighbor_id")
+    val corpus = embs.select(col("vec_id"), col("embedding"),
+      GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
+    val qe = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val rescored = corpus.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosQ(col("q_emb"), col("embedding"), col("q_n2"), col("n2")).as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** Oracle CTEs ending in `codes(vec_id, code)` — HUGEINT bit accumulation
     * folded two's-complement to signed 64-bit (the media dhash convention).
     */
@@ -1703,7 +1739,23 @@ object Similarity {
     // run the identical sign-pack, candidate ranking (hamming ASC, vec_id
     // ties) and quantized-cosine refine, so the full two-stage result is
     // bit-reproducible.
-    Op.sql("sim_topk_binary",
+    Op.sql("sim_topk_binary", binaryTopKOracle) { (s, d) =>
+      binaryTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    // The bounded-aggregator formulation: identical rows (the -hamming
+    // buffer order IS the window's hamming-ASC/id-ASC), so it shares the
+    // window variant's oracle verbatim — what changes is the PLAN (map-side
+    // <=50-candidate reduction; the scored frame never shuffles).
+    Op.sql("sim_topk_binary_agg", binaryTopKOracle) { (s, d) =>
+      binaryTopKAgg(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+  )
+
+  /** Shared oracle of [[binaryTopK]] / [[binaryTopKAgg]] (same rows by
+    * construction).
+    */
+  private lazy val binaryTopKOracle: String =
       s"""WITH $binaryCodesCtes,
          |q AS (SELECT vec_id AS query_id, code AS q_code FROM codes WHERE vec_id < 5),
          |scored AS (
@@ -1728,8 +1780,5 @@ object Similarity {
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM rescored)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
-      binaryTopK(Tables.embeddings(s, d), col("vec_id") < 5)
-    },
-  )
+         |FROM ranked WHERE rank <= $defaultK""".stripMargin
 }

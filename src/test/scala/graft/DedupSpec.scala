@@ -214,6 +214,12 @@ class DedupSpec extends AnyFunSuite {
     // every emitted pair must come from the Hamming candidate stage
     assert(bin.subsetOf(pairs(Similarity.binaryTopK(embs, qp, k = Similarity.rerankCandidates))),
       "rerank emitted a pair outside its Hamming candidate set")
+    // the bounded-aggregator formulation is row-identical (score + rank)
+    def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    assert(full(Similarity.binaryTopKAgg(embs, qp)) == full(Similarity.binaryTopK(embs, qp)),
+      "agg variant must be row-identical to the window variant")
   }
 
   test("ivf-sq8: stays inside the query's cell and nearly matches the exact in-cell scan") {
