@@ -1026,6 +1026,34 @@ object Dedup {
        |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin
 
+  /** Shared span-rewrite oracle CTEs ending in `w(doc_id, ws)` and
+    * `reb(doc_id, n_kept, clean_text)` — the full-corpus rewrite both span
+    * ops project from (the incremental op adds only its batch filter).
+    */
+  private lazy val spanRewriteCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g0 AS (SELECT doc_id, ws,
+       |              unnest(generate_series(1, len(ws) - ${spanN - 1})) AS i
+       |       FROM w WHERE len(ws) >= $spanN),
+       |g AS (SELECT doc_id, i - 1 AS pos,
+       |             ${hash60Sql(s"array_to_string(ws[i:i+${spanN - 1}], ' ')")} AS gh
+       |      FROM g0),
+       |own AS (SELECT doc_id, pos, gh,
+       |               FIRST_VALUE(doc_id) OVER win AS od,
+       |               FIRST_VALUE(pos) OVER win AS op
+       |        FROM g WINDOW win AS (PARTITION BY gh ORDER BY doc_id, pos)),
+       |cov0 AS (SELECT doc_id, pos, unnest(generate_series(0, ${spanN - 1})) AS dd
+       |         FROM own WHERE od <> doc_id OR op <> pos),
+       |cov AS (SELECT DISTINCT doc_id, pos + dd AS cpos FROM cov0),
+       |t0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+       |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token FROM t0),
+       |kept AS (SELECT t.doc_id, t.pos, t.token
+       |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+       |         WHERE c.doc_id IS NULL),
+       |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |               string_agg(token, ' ' ORDER BY pos) AS clean_text
+       |        FROM kept GROUP BY doc_id)""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op.sql("dedup_exact_groups",
       """SELECT md5(text) AS text_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
@@ -1127,28 +1155,7 @@ object Dedup {
     // removed. Both engines rank ownership by (doc_id, pos) and rebuild by
     // position, so the rewrite is bit-reproducible.
     Op.sql("dedup_spans",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g0 AS (SELECT doc_id, ws,
-         |              unnest(generate_series(1, len(ws) - ${spanN - 1})) AS i
-         |       FROM w WHERE len(ws) >= $spanN),
-         |g AS (SELECT doc_id, i - 1 AS pos,
-         |             ${hash60Sql(s"array_to_string(ws[i:i+${spanN - 1}], ' ')")} AS gh
-         |      FROM g0),
-         |own AS (SELECT doc_id, pos, gh,
-         |               FIRST_VALUE(doc_id) OVER win AS od,
-         |               FIRST_VALUE(pos) OVER win AS op
-         |        FROM g WINDOW win AS (PARTITION BY gh ORDER BY doc_id, pos)),
-         |cov0 AS (SELECT doc_id, pos, unnest(generate_series(0, ${spanN - 1})) AS dd
-         |         FROM own WHERE od <> doc_id OR op <> pos),
-         |cov AS (SELECT DISTINCT doc_id, pos + dd AS cpos FROM cov0),
-         |t0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
-         |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token FROM t0),
-         |kept AS (SELECT t.doc_id, t.pos, t.token
-         |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
-         |         WHERE c.doc_id IS NULL),
-         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |               string_agg(token, ' ' ORDER BY pos) AS clean_text
-         |        FROM kept GROUP BY doc_id)
+      s"""WITH $spanRewriteCtes
          |SELECT w.doc_id, len(w.ws) AS n_tokens,
          |       len(w.ws) - COALESCE(r.n_kept, 0) AS n_covered,
          |       COALESCE(r.clean_text, '') AS clean_text,
@@ -1162,28 +1169,7 @@ object Dedup {
     // pre-aggregated to the gh-grain owner index and never re-tokenized) —
     // the oracle states that contract directly, like dedup_incremental_minhash.
     Op.sql("dedup_spans_incremental",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |g0 AS (SELECT doc_id, ws,
-         |              unnest(generate_series(1, len(ws) - ${spanN - 1})) AS i
-         |       FROM w WHERE len(ws) >= $spanN),
-         |g AS (SELECT doc_id, i - 1 AS pos,
-         |             ${hash60Sql(s"array_to_string(ws[i:i+${spanN - 1}], ' ')")} AS gh
-         |      FROM g0),
-         |own AS (SELECT doc_id, pos, gh,
-         |               FIRST_VALUE(doc_id) OVER win AS od,
-         |               FIRST_VALUE(pos) OVER win AS op
-         |        FROM g WINDOW win AS (PARTITION BY gh ORDER BY doc_id, pos)),
-         |cov0 AS (SELECT doc_id, pos, unnest(generate_series(0, ${spanN - 1})) AS dd
-         |         FROM own WHERE od <> doc_id OR op <> pos),
-         |cov AS (SELECT DISTINCT doc_id, pos + dd AS cpos FROM cov0),
-         |t0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
-         |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS token FROM t0),
-         |kept AS (SELECT t.doc_id, t.pos, t.token
-         |         FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
-         |         WHERE c.doc_id IS NULL),
-         |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |               string_agg(token, ' ' ORDER BY pos) AS clean_text
-         |        FROM kept GROUP BY doc_id)
+      s"""WITH $spanRewriteCtes
          |SELECT w.doc_id, len(w.ws) AS n_tokens,
          |       len(w.ws) - COALESCE(r.n_kept, 0) AS n_covered,
          |       COALESCE(r.clean_text, '') AS clean_text,
