@@ -83,7 +83,10 @@ object MediaTransforms {
   }
 
   /** Batched thumbnail pass: decode dims, compute the aspect-preserving
-    * target, downscale. One narrow map; payloads never shuffle.
+    * target, downscale. One narrow map; payloads never shuffle. Image
+    * payloads are pixel-decoded ONCE — dims and the grid come from the same
+    * `BufferedImage` (no separate header probe); non-images take the stub
+    * dims + byte-slice grid.
     */
   def thumbnails(media: Dataset[Multimodal.MediaRecord],
       maxSide: Int = ThumbMaxSide, batchSize: Int = 64): Dataset[MediaThumb] = {
@@ -92,10 +95,20 @@ object MediaTransforms {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup (codec/scaler init) happens here, once per batch
         batch.iterator.map { r =>
-          val (w, h) = Multimodal.decode(r.payload)
+          val img =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+              catch { case _: Exception => null }
+          val (w, h) =
+            if (img != null) (img.getWidth, img.getHeight)
+            else Multimodal.decodeStub(r.payload)
           val (tw, th) = targetDims(w, h, maxSide)
-          MediaThumb(r.doc_id, w, h, tw, th,
-            resizeGrid(r.payload, tw, th).toIndexedSeq)
+          val cells =
+            if (img != null) Dhash.imageGridAt(img, tw, th)
+            else if (r.payload == null || r.payload.isEmpty) new Array[Int](tw * th)
+            else Dhash.stubCells(r.payload, tw * th)
+          MediaThumb(r.doc_id, w, h, tw, th, cells.toIndexedSeq)
         }
       }
     }
