@@ -560,6 +560,55 @@ object EventOps {
       .withColumn("purchases_per_user_ppm",
         expr("(n_purchases * 1000000) div n_users"))
 
+  /** Two-proportion z-test on conversion between the A/B variants — the
+    * DECISION gate on top of [[abLift]]'s readout (ship/hold needs a
+    * significance call, not just per-variant means). Conversion = user had
+    * ≥ 1 purchase; variants are the same portable hash split as [[abLift]].
+    *
+    * Exactness: the pooled z² is the RATIONAL z² = (x₁n₂ − x₂n₁)²·N /
+    * (n₁n₂·X(N−X)) with X = x₁+x₂, N = n₁+n₂, evaluated from ONE shared
+    * SQL expression ([[abZ2Sql]]) on both engines: every integer
+    * subexpression stays within BIGINT (≤ ~10¹⁶ at any realistic readout),
+    * and the double multiplies/divide run in the identical order, so the
+    * value is bit-identical (the dailyAnomalies z-score discipline — a
+    * pure-BIGINT form would overflow on diff²·N past ~10⁵ users).
+    * Degenerate splits (X = 0 or X = N: zero pooled variance) report
+    * z2 = 0, not significant.
+    *
+    * Scale shape: one user-grain aggregate, one 2-row variant aggregate,
+    * one broadcast cross of two 1-row frames.
+    */
+  def abSignificance(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .select((graft.functions.Portable.hash60(col("user_id").cast(StringType)) % 2)
+        .as("variant"), col("converted"))
+    val v = users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val a = v.filter(col("variant") === 0)
+      .select(col("n").as("n1"), col("x").as("x1"))
+    val b = v.filter(col("variant") === 1)
+      .select(col("n").as("n2"), col("x").as("x2"))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"),
+        expr(abZ2Sql).as("z2"),
+        expr(s"CAST(CASE WHEN ($abZ2Sql) >= $abZ2Crit THEN 1 ELSE 0 END AS INT)")
+          .as("significant"))
+  }
+
+  /** z² ≥ 1.96² — the two-sided 95% critical value. */
+  val abZ2Crit = 3.8415
+
+  /** The pooled two-proportion z² over columns (n1, x1, n2, x2) — ONE
+    * expression string shared verbatim by the Spark plan and the DuckDB
+    * oracle, so every multiply/divide runs in the identical IEEE order.
+    */
+  val abZ2Sql: String =
+    "CASE WHEN (x1 + x2) = 0 OR (x1 + x2) = (n1 + n2) THEN 0.0 " +
+      "ELSE CAST((x1*n2 - x2*n1) AS DOUBLE) * CAST((x1*n2 - x2*n1) AS DOUBLE) " +
+      "* CAST((n1 + n2) AS DOUBLE) " +
+      "/ (CAST((n1*n2) AS DOUBLE) * CAST((x1 + x2)*(n1 + n2 - x1 - x2) AS DOUBLE)) END"
+
   /** Robust daily anomaly screen: median/MAD instead of mean/stddev — a
     * single extreme day inflates a z-score's own threshold (masking), but
     * barely moves the median, so MAD flags exactly the outliers the z-test
@@ -1458,6 +1507,33 @@ object EventOps {
          |         AS purchases_per_user_ppm
          |FROM u GROUP BY variant""".stripMargin) { (s, d) =>
       abLift(Tables.events(s, d))
+    },
+
+    // Two-proportion z-test decision gate on conversion between the hash
+    // variants: z² comes from ONE expression string shared verbatim with
+    // the Spark plan (identical IEEE op order), so value AND flag are
+    // bit-reproducible.
+    Op.sql("events_ab_significance",
+      s"""WITH $eventsCte,
+         |u AS (SELECT user_id,
+         |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |               AS converted
+         |      FROM ev GROUP BY user_id),
+         |uv AS (SELECT CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT)
+         |                % 2 AS variant,
+         |              converted
+         |       FROM u),
+         |v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(converted) AS BIGINT) AS x
+         |      FROM uv GROUP BY variant),
+         |ab AS (SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+         |       FROM (SELECT n, x FROM v WHERE variant = 0) a
+         |       CROSS JOIN (SELECT n, x FROM v WHERE variant = 1) b)
+         |SELECT n1, x1, n2, x2, $abZ2Sql AS z2,
+         |       CAST(CASE WHEN ($abZ2Sql) >= $abZ2Crit THEN 1 ELSE 0 END AS INTEGER)
+         |         AS significant
+         |FROM ab""".stripMargin) { (s, d) =>
+      abSignificance(Tables.events(s, d))
     },
   )
 

@@ -517,6 +517,37 @@ class EventSpec extends AnyFunSuite {
       s"got $rows")
   }
 
+  test("ab significance: exact pooled z-squared and the 95% decision flag") {
+    def z2Of(n1: Long, x1: Long, n2: Long, x2: Long) = {
+      val r = spark.range(1)
+        .selectExpr(s"${n1}L AS n1", s"${x1}L AS x1", s"${n2}L AS n2", s"${x2}L AS x2")
+        .selectExpr(s"${EventOps.abZ2Sql} AS z2",
+          s"CASE WHEN (${EventOps.abZ2Sql}) >= ${EventOps.abZ2Crit} THEN 1 ELSE 0 END AS sig")
+        .collect().head
+      (r.getAs[Double]("z2"), r.getAs[Int]("sig"))
+    }
+    // strong effect: 20% vs 10% conversion on 1000 users each
+    val (zStrong, sigStrong) = z2Of(1000, 200, 1000, 100)
+    assert(math.abs(zStrong - 1.0e10 * 2000 / (1.0e6 * 300 * 1700)) < 1e-9)
+    assert(sigStrong == 1)
+    // identical proportions: z2 = 0, not significant
+    assert(z2Of(1000, 200, 1000, 200) == ((0.0, 0)))
+    // degenerate splits (all or none converted): zero pooled variance -> 0
+    assert(z2Of(50, 0, 50, 0) == ((0.0, 0)))
+    assert(z2Of(50, 50, 50, 50) == ((0.0, 0)))
+    // end-to-end over events: one readout row, counts reconcile
+    val ev = (1 to 40).map { u =>
+      (u.toLong, ts("2024-01-01 10:00:00"), u.toLong,
+        if (u % 4 == 0) "purchase" else "view", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.abSignificance(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == 40)
+    assert(r.getAs[Long]("x1") + r.getAs[Long]("x2") == 10)
+    assert(r.getAs[Double]("z2") >= 0.0)
+  }
+
   test("session overlap: bucketed interval join finds exactly the intersecting pairs") {
     // 9 quiet days (1 event) + one 40-event spike on 01-10 -> the spike day
     // is the only |z| >= 2 anomaly; its window is [01-09, 01-12).
