@@ -281,7 +281,43 @@ object Quality {
       .withColumn("at_risk",
         when(col("group_size") < k, 1).otherwise(0))
 
+  /** Minimum distinct sensitive values per QI class for [[lDiversity]]. */
+  val lDiverseL = 2
+
+  /** l-diversity audit — [[kAnonymity]]'s standard sibling: a QI class can
+    * be large enough (k-anonymous) yet still leak when every member shares
+    * the same SENSITIVE value (homogeneity attack: knowing someone is in
+    * the class reveals their attribute). Quasi-identifier = (nation,
+    * balance band); sensitive attribute = market segment; every class
+    * reports its size, distinct sensitive-value count, and the
+    * `homogeneous` flag (l < [[lDiverseL]]). A release suppresses or
+    * generalizes classes flagged by EITHER audit. Same single QI-grain
+    * hash-aggregate shape (countDistinct adds one dedup pass at class
+    * grain, still bounded by the QI domain).
+    */
+  def lDiversity(customers: DataFrame, l: Int = lDiverseL): DataFrame =
+    customers.select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("c_mktsegment")).as("l_distinct"))
+      .withColumn("homogeneous",
+        when(col("l_distinct") < l, 1).otherwise(0))
+
   def ops: Seq[Op] = Seq(
+    Op.sql("quality_l_diversity",
+      s"""SELECT c_nationkey,
+         |       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |       COUNT(*) AS group_size,
+         |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+         |       CAST(CASE WHEN COUNT(DISTINCT c_mktsegment) < $lDiverseL
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS homogeneous
+         |FROM customer
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      lDiversity(Tables.customer(s, d))
+    },
+
     Op.sql("quality_k_anonymity",
       s"""SELECT c_nationkey, c_mktsegment,
          |       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,

@@ -221,4 +221,20 @@ class QualitySpec extends AnyFunSuite {
     assert(out((3, -1L)) == ((1L, 1)))  // negative balance floors to band -1
     assert(out.size == 3)
   }
+
+  test("l-diversity: homogeneous classes flagged even when k-anonymous") {
+    import spark.implicits._
+    // class (7, band 1): 5 members but ONE segment -> k-safe, l-homogeneous;
+    // class (7, band 2): 2 members, two segments -> l-diverse
+    val rows =
+      (1 to 5).map(i => (i.toLong, "x", 7, 1500.0, "BUILDING")) ++
+      Seq((6L, "x", 7, 2500.0, "BUILDING"), (7L, "x", 7, 2999.0, "MACHINERY"))
+    val df = rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = Quality.lDiversity(df).collect()
+      .map(r => (r.getAs[Int]("c_nationkey"), r.getAs[Long]("bal_band")) ->
+        (r.getAs[Long]("group_size"), r.getAs[Long]("l_distinct"),
+          r.getAs[Int]("homogeneous"))).toMap
+    assert(out((7, 1L)) == ((5L, 1L, 1)), "size-5 single-segment class must flag")
+    assert(out((7, 2L)) == ((2L, 2L, 0)), "two-segment class is l-diverse")
+  }
 }
