@@ -95,19 +95,20 @@ object MediaTransforms {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup (codec/scaler init) happens here, once per batch
         batch.iterator.map { r =>
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
           val img =
-            if (r.payload == null || r.payload.isEmpty) null
+            if (p.isEmpty) null
             else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
               catch { case _: Exception => null }
           val (w, h) =
             if (img != null) (img.getWidth, img.getHeight)
-            else Multimodal.decodeStub(r.payload)
+            else Multimodal.decodeStub(p)
           val (tw, th) = targetDims(w, h, maxSide)
           val cells =
             if (img != null) Dhash.imageGridAt(img, tw, th)
-            else if (r.payload == null || r.payload.isEmpty) new Array[Int](tw * th)
-            else Dhash.stubCells(r.payload, tw * th)
+            else if (p.isEmpty) new Array[Int](tw * th)
+            else Dhash.stubCells(p, tw * th)
           MediaThumb(r.doc_id, w, h, tw, th, cells.toIndexedSeq)
         }
       }

@@ -49,7 +49,7 @@ object Multimodal {
     * header path instead.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
-    val n = payload.length
+    val n = if (payload == null) 0 else payload.length
     (64 + (n % 193), 64 + ((n * 31) % 149))
   }
 
@@ -120,12 +120,13 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec init, model load, ...)
         batch.iterator.map { r =>
-          val (w, h) = decode(r.payload)
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          val (w, h) = decode(p)
           val mean =
-            if (r.payload.isEmpty) 0.0
-            else r.payload.map(b => (b & 0xff).toLong).sum.toDouble / r.payload.length
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h,
-            mean, shannonEntropy(r.payload), frameChecksums(r.payload, nFrames))
+            if (p.isEmpty) 0.0
+            else p.map(b => (b & 0xff).toLong).sum.toDouble / p.length
+          MediaFeatures(r.doc_id, r.media_type, p.length, w, h,
+            mean, shannonEntropy(p), frameChecksums(p, nFrames))
         }
       }
     }
@@ -260,8 +261,12 @@ object Multimodal {
     */
   def incrementalMediaPairs(newMedia: DataFrame, hashIndex: DataFrame,
       threshold: Int = nearDupHamming): DataFrame = {
-    val newHashes = dhashOf(newMedia)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: consumed twice (new-vs-corpus and
+    // new-vs-new) but a persist here would leak one cached dataset per
+    // micro-batch in the streaming loop (nobody downstream can unpersist a
+    // subtree); checkpointed RDDs are reclaimed by the ContextCleaner once
+    // the returned frame is dereferenced
+    val newHashes = dhashOf(newMedia).localCheckpoint()
     val nb = dhashBandsOf(newHashes)
     val nc = nb.as("a").join(dhashBandsOf(hashIndex).as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
@@ -432,9 +437,9 @@ object Multimodal {
          |  AND (doc_a % 7 = 0 OR doc_b % 7 = 0)""".stripMargin) { (s, d) =>
       val media = mediaFromDocuments(Tables.documents(s, d))
       // this op COMPUTES the corpus hash index (no store in the fixture
-      // setup), so it owns the persist — per the caller contract
+      // setup); it is consumed once inside incrementalMediaPairs, so no
+      // caching — a production loop reads it from the parquet index store
       val idx = dhashOf(media.filter(pmod(col("doc_id"), lit(7)) =!= 0))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       incrementalMediaPairs(media.filter(pmod(col("doc_id"), lit(7)) === 0), idx)
     },
 

@@ -558,12 +558,35 @@ object Dedup {
   // N-gram Jaccard with length blocking
   // --------------------------------------------------------------------------
 
-  /** Direct shingle-Jaccard ≥ 0.5 restricted to same length-bucket
-    * (`length div 50`) AND compatible set sizes (j ≥ 0.5 forces
-    * min(n)/max(n) ≥ 0.5 — the ratio prefilter prunes pairs with two int
-    * compares before any array op runs).
+  /** Per-length-bucket PARTICIPANT cap for the exact verification baselines
+    * ([[ngramJaccardPairs]], [[jaccardThresholdSweep]], the exact side of
+    * [[lshRecallReport]]). Their contract is exact all-candidate
+    * verification, which is inherently quadratic WITHIN a length bucket —
+    * fine at audit scale, a hang at 100×. The cap bounds every bucket's
+    * candidate set at C(cap, 2) so the exact baseline degrades MEASURABLY
+    * (each output row carries its bucket's overflow; the sweep reports the
+    * corpus-total dropped-doc count) instead of exploding — the
+    * [[Analytics.basketMaxItems]] precedent. Membership under the cap is
+    * deterministic (the bucket's `cap` lowest doc_ids), so results are
+    * partitioning- and engine-invariant; the banded MinHash family remains
+    * the uncapped scale path.
     */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  val exactPairDocCap = 2000
+
+  /** The capped per-bucket shingle frame feeding the exact baselines:
+    * (doc_id, bucket, sh, n, bucket_overflow) restricted to each bucket's
+    * [[exactPairDocCap]] lowest doc_ids, plus the bucket-grain stats frame
+    * (bucket, n_docs, n_docs_dropped).
+    *
+    * Ranking uses [[Analytics.withGlobalRowNumber]] on a SKINNY
+    * (doc_id, bucket) projection sorted by (bucket, doc_id) — a
+    * bucket-partitioned window would be |buckets| straggler tasks at corpus
+    * scale (buckets are few and huge); per-bucket ranks are recovered by
+    * subtracting each bucket's broadcast min-rank offset (the
+    * [[TextOps.qualityPercentileByLang]] recipe).
+    */
+  private[graft] def cappedShingleBuckets(docs: DataFrame,
+      cap: Int = exactPairDocCap): (DataFrame, DataFrame) = {
     GraftExpressions.register(docs.sparkSession)
     val hs = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -573,45 +596,98 @@ object Dedup {
         (length(col("text")).cast(LongType) / lit(50L)).cast(LongType).as("bucket"),
         array_sort(transform(shingles(col("w"), shingleN), x => hexToLong(md5(x), 1))).as("sh"))
       .withColumn("n", size(col("sh")))
+    val (ranked, _) = Analytics.withGlobalRowNumber(
+      hs.select(col("doc_id"), col("bucket")), "grk",
+      Seq(col("bucket"), col("doc_id")))
+    val bounds = ranked.groupBy(col("bucket"))
+      .agg(min(col("grk")).as("b_off"), count(lit(1)).as("n_docs"))
+    val stats = bounds.select(col("bucket"), col("n_docs"),
+      greatest(col("n_docs") - lit(cap.toLong), lit(0L)).as("n_docs_dropped"))
+    val kept = ranked.join(broadcast(bounds.select(col("bucket"), col("b_off"),
+        greatest(col("n_docs") - lit(cap.toLong), lit(0L)).as("bucket_overflow"))),
+        "bucket")
+      .filter(col("grk") - col("b_off") < lit(cap.toLong))
+      .select(col("doc_id"), col("bucket_overflow"))
+    (hs.join(kept, "doc_id"), stats)
+  }
+
+  /** Direct shingle-Jaccard ≥ 0.5 restricted to same length-bucket
+    * (`length div 50`) AND compatible set sizes (j ≥ 0.5 forces
+    * min(n)/max(n) ≥ 0.5 — the ratio prefilter prunes pairs with two int
+    * compares before any array op runs). Participants are bounded per bucket
+    * by [[exactPairDocCap]]; every pair carries its bucket's overflow count
+    * (0 everywhere the cap did not bite).
+    */
+  def ngramJaccardPairs(docs: DataFrame, cap: Int = exactPairDocCap): DataFrame = {
+    val (hs, _) = cappedShingleBuckets(docs, cap)
     // NOTE the bucket key has only ~|length range|/50 distinct values — at
     // fixture scale Spark already plans this small self-join well, and at
     // corpus scale the right side must NOT be broadcast (it is the whole
     // corpus, not a dim); skew beyond AQE's split goes through salting
-    // (Relational.saltedLeftJoin shape).
+    // (Relational.saltedLeftJoin shape). The cap above bounds any bucket's
+    // within-bucket pair count at C(cap, 2).
     hs.as("a").join(hs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
           && col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
       .withColumn("inter", GraftExpressions.sortedIntersectCount(col("a.sh"), col("b.sh")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccardFromInter(col("inter"), col("a.n"), col("b.n")).as("jaccard"))
+        jaccardFromInter(col("inter"), col("a.n"), col("b.n")).as("jaccard"),
+        col("a.bucket_overflow").as("bucket_overflow"))
       .filter(col("jaccard") >= 0.5)
   }
 
   /** Per-band pair counts over the [[ngramJaccardPairs]] candidates — the
     * τ-tuning curve (bands of 0.05 on [0.5, 1]; the 0.5 floor is the
     * blocking guarantee's validity bound, so the sweep covers exactly the
-    * τ range the pipeline could actually enforce).
+    * τ range the pipeline could actually enforce). Every row carries the
+    * corpus-total count of docs the [[exactPairDocCap]] excluded — the loud
+    * "this curve is over a capped baseline" marker (0 until the cap bites).
     */
-  def jaccardThresholdSweep(docs: DataFrame): DataFrame =
-    ngramJaccardPairs(docs)
+  def jaccardThresholdSweep(docs: DataFrame, cap: Int = exactPairDocCap): DataFrame = {
+    val (hs, stats) = cappedShingleBuckets(docs, cap)
+    val dropped = stats.agg(
+      coalesce(sum(col("n_docs_dropped")), lit(0L)).cast(LongType).as("n_docs_dropped"))
+    hs.as("a").join(hs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") <= lit(2) * col("b.n") && col("b.n") <= lit(2) * col("a.n"))
+      .withColumn("inter", GraftExpressions.sortedIntersectCount(col("a.sh"), col("b.sh")))
+      .select(jaccardFromInter(col("inter"), col("a.n"), col("b.n")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
       .groupBy(floor(col("jaccard") * 20).as("band"))
       .agg(count(lit(1)).as("n_pairs"))
       .select((col("band").cast(DoubleType) / 20).as("tau_lo"), col("n_pairs"))
+      .crossJoin(broadcast(dropped)) // 1-row frame (the A/B-gate precedent)
+  }
 
-  /** Oracle twin of [[ngramJaccardPairs]] (shared with the sweep). */
-  private lazy val ngramJaccardOracle: String =
-    s"""WITH shb AS (
+  /** Oracle CTE chain for the capped exact baseline, ending in
+    * `njp(doc_a, doc_b, jaccard, bucket_overflow)` and the 1-row
+    * `njdrop(n_docs_dropped)` — shared by the pair op, the sweep, and the
+    * recall report. The rank/cap is the same deterministic rule the Spark
+    * side applies (each bucket's [[exactPairDocCap]] lowest doc_ids).
+    */
+  private lazy val ngramJaccardCtes: String =
+    s"""shb AS (
        |  SELECT doc_id, CAST(length(text) AS BIGINT) // 50 AS bucket,
        |         list_transform(${shinglesSql("w", shingleN)}, x -> ${hexToLongSql("md5(x)", 1)}) AS sh
        |  FROM (SELECT doc_id, text, string_split(text, ' ') w FROM documents)
        |  WHERE len(w) >= $shingleN),
-       |shn AS (SELECT doc_id, bucket, sh, len(sh) AS n FROM shb)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         len(list_intersect(a.sh, b.sh)) / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
-       |  FROM shn a JOIN shn b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |    AND a.n <= 2*b.n AND b.n <= 2*a.n)
-       |WHERE jaccard >= 0.5""".stripMargin
+       |shr AS (SELECT doc_id, bucket, sh, len(sh) AS n,
+       |               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk,
+       |               count(*) OVER (PARTITION BY bucket) AS nb
+       |        FROM shb),
+       |shn AS (SELECT doc_id, bucket, sh, n,
+       |               CAST(greatest(nb - $exactPairDocCap, 0) AS BIGINT) AS bucket_overflow
+       |        FROM shr WHERE rk <= $exactPairDocCap),
+       |njp AS (
+       |  SELECT doc_a, doc_b, jaccard, bucket_overflow FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           len(list_intersect(a.sh, b.sh)) / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard,
+       |           a.bucket_overflow
+       |    FROM shn a JOIN shn b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |      AND a.n <= 2*b.n AND b.n <= 2*a.n)
+       |  WHERE jaccard >= 0.5),
+       |njdrop AS (SELECT CAST(COALESCE(SUM(greatest(nb - $exactPairDocCap, 0)), 0) AS BIGINT) AS n_docs_dropped
+       |           FROM (SELECT bucket, MAX(nb) AS nb FROM shr GROUP BY bucket))""".stripMargin
 
   /** Containment threshold as an exact rational (4/5): the criterion is the
     * all-integer `5·inter ≥ 4·min(n_a, n_b)`, so no float boundary can
@@ -1269,30 +1345,36 @@ object Dedup {
       simhashPairs(Tables.documents(s, d))
     },
 
-    Op.sql("dedup_ngram_jaccard", ngramJaccardOracle) { (s, d) =>
+    Op.sql("dedup_ngram_jaccard",
+      s"""WITH $ngramJaccardCtes
+         |SELECT doc_a, doc_b, jaccard, bucket_overflow FROM njp""".stripMargin) { (s, d) =>
       ngramJaccardPairs(Tables.documents(s, d))
     },
 
     // Threshold-sweep histogram over the verified pair set: how many pairs
     // each dedup τ ∈ [0.5, 1] would act on — the tuning curve a curator
     // reads before fixing the threshold (bands of 0.05; band arithmetic is
-    // the same exact ratio floored identically on both engines).
+    // the same exact ratio floored identically on both engines). The
+    // n_docs_dropped column is the corpus-total participant-cap overflow.
     Op.sql("dedup_threshold_sweep",
-      s"""WITH p AS ($ngramJaccardOracle)
+      s"""WITH $ngramJaccardCtes
          |SELECT CAST(FLOOR(jaccard * 20) AS DOUBLE) / 20 AS tau_lo,
-         |       CAST(COUNT(*) AS BIGINT) AS n_pairs
-         |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       (SELECT n_docs_dropped FROM njdrop) AS n_docs_dropped
+         |FROM njp GROUP BY 1""".stripMargin) { (s, d) =>
       jaccardThresholdSweep(Tables.documents(s, d))
     },
 
-    // Measured LSH banding S-curve against the exact Jaccard baseline.
+    // Measured LSH banding S-curve against the exact Jaccard baseline
+    // (capped per bucket like the baseline itself — the curve measures
+    // banding recall over the pairs the exact side actually verified).
     Op.sql("dedup_lsh_recall",
       s"""WITH $minhashPairsCtes,
-         |p AS ($ngramJaccardOracle),
-         |sc AS (SELECT p.jaccard,
+         |$ngramJaccardCtes,
+         |sc AS (SELECT njp.jaccard,
          |              CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS found
-         |       FROM p LEFT JOIN cand c
-         |         ON c.da = p.doc_a AND c.db = p.doc_b)
+         |       FROM njp LEFT JOIN cand c
+         |         ON c.da = njp.doc_a AND c.db = njp.doc_b)
          |SELECT CAST(FLOOR(jaccard * 20) AS DOUBLE) / 20 AS tau_lo,
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       CAST(SUM(found) AS BIGINT) AS n_found,

@@ -1313,8 +1313,11 @@ object Similarity {
     * [[truncatedRecall]] Matryoshka convention.
     */
   def binaryCodes(embs: DataFrame): DataFrame =
+    // slice BEFORE zip_with: zip_with pads the shorter side with nulls, so an
+    // un-truncated >64-dim embedding would pair its tail with null indexes and
+    // null out the whole OR-fold instead of using the first 64 coordinates
     embs.select(col("vec_id"), expr(
-      "aggregate(zip_with(embedding, sequence(0, 63), (v, i) -> " +
+      "aggregate(zip_with(slice(embedding, 1, 64), sequence(0, 63), (v, i) -> " +
         "IF(v > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
         "CAST(0 AS BIGINT), (a, x) -> a | x)").as("code"))
 

@@ -401,6 +401,28 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(keys.contains((0L, 1L)) && keys.contains((0L, 2L)))
     assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // far below the participant cap: the overflow column is 0 everywhere
+    assert(Dedup.ngramJaccardPairs(docs).collect()
+      .forall(_.getAs[Long]("bucket_overflow") == 0L))
+  }
+
+  test("exact-baseline participant cap bounds within-bucket pairs and reports overflow") {
+    // 8 identical docs land in ONE length bucket; cap = 4 keeps the 4 lowest
+    // doc_ids -> C(4,2) = 6 pairs, each carrying the 4 dropped docs
+    val many = (0L until 8L).map(i => (i, base, "en", s"s$i", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.ngramJaccardPairs(many, cap = 4).collect()
+    assert(pairs.length == 6)
+    val ids = pairs.flatMap(r => Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L), s"cap must keep the lowest doc_ids: $ids")
+    assert(pairs.forall(_.getAs[Long]("bucket_overflow") == 4L))
+    val sweep = Dedup.jaccardThresholdSweep(many, cap = 4).collect()
+    assert(sweep.length == 1)
+    assert(sweep.head.getAs[Long]("n_pairs") == 6L)
+    assert(sweep.head.getAs[Long]("n_docs_dropped") == 4L)
+    // uncapped (default) the same frame yields all C(8,2) pairs, overflow 0
+    val full = Dedup.ngramJaccardPairs(many).collect()
+    assert(full.length == 28 && full.forall(_.getAs[Long]("bucket_overflow") == 0L))
   }
 
   private def vec(f: Int => Double): Seq[Float] = (0 until 64).map(i => f(i).toFloat)

@@ -55,6 +55,24 @@ class PlanSpec extends AnyFunSuite {
       "revenuePareto must not rank through a window in its final plan")
   }
 
+  test("capped exact jaccard: no window in the final plan, no nested-loop join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the participant-cap rank runs through the checkpointed range recipe, so
+    // the op's FINAL plan must carry no window (an unpartitioned row_number
+    // here would be the single-task sort the cap exists to avoid), and the
+    // within-bucket self-join must stay an equi-join on the bucket key
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, TestSession.sf))
+    val plan = pairs.queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "capped jaccard must not rank through a window in its final plan")
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, "within-bucket pairing must be an equi-join, never nested-loop")
+  }
+
   test("products view prunes the parquet scan to the referenced columns") {
     val s = scans(Tables.products(spark, TestSession.sf))
     assert(s.nonEmpty)

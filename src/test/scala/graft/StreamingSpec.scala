@@ -171,9 +171,12 @@ class StreamingSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("graft-sdedup-in").toString
     val base = Files.createTempDirectory("graft-sdedup-out").toString
     // doc_id-ORDERED waves (arrival order = canonical order, so
-    // first-writer-wins == the full rewrite's global (doc_id, pos) min)
-    docs.filter(col("doc_id") < cut).write.mode("append").parquet(inDir)
-    docs.filter(col("doc_id") >= cut).write.mode("append").parquet(inDir)
+    // first-writer-wins == the full rewrite's global (doc_id, pos) min).
+    // One part file per wave: FileStreamSource orders by mod-time then path,
+    // so a multi-part wave under maxFilesPerTrigger=1 could split into
+    // out-of-doc_id-order micro-batches and void the ordering premise.
+    docs.filter(col("doc_id") < cut).coalesce(1).write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(inDir)
     val q = StreamingOps.incrementalSpanDedupLoop(spark, inDir,
       s"$base/index", s"$base/clean",
       Files.createTempDirectory("graft-sckpt").toString, maxFilesPerTrigger = Some(1))
