@@ -13,7 +13,7 @@ object SparkEntry {
   /** Every registered operation, name-deduplicated (later modules win). */
   def allOps: Seq[Op] =
     Kpi.ops ++ Quality.ops ++ Relational.ops ++ Analytics.ops ++
-      TextOps.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++ Temporal.ops ++
+      TextOps.ops ++ Html.ops ++ Dedup.ops ++ Similarity.ops ++ EventOps.ops ++ Temporal.ops ++
       Warehouse.ops ++ Graph.ops ++ Search.ops ++ Tokenizer.ops ++
       graft.multimodal.Multimodal.ops ++ graft.multimodal.MediaTransforms.ops
 

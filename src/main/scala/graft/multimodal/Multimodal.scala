@@ -248,6 +248,44 @@ object Multimodal {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
 
+  // --------------------------------------------------------------------------
+  // Cross-modal training manifest
+  // --------------------------------------------------------------------------
+
+  /** Fuses the text-side curation trail with the media-side visual identity
+    * into ONE doc-grain keep/drop + reason per document-with-payload — the
+    * decision table a multimodal training run reads (a doc survives only if
+    * its TEXT clears every text gate AND its IMAGE is the canonical copy of
+    * its visual-identity cluster). `reason` reports the FIRST failing gate
+    * in a fixed precedence (text gates before media — the text manifest's
+    * own conjunction order), so `reason = 'keep'` iff `keep`.
+    *
+    * Takes the two decision frames as inputs (one doc_id equi-join; both
+    * sides are doc-grain, so this composes into either pipeline's plan
+    * without re-deriving the other side).
+    */
+  def crossModalManifest(textManifest: DataFrame, mediaClusters: DataFrame): DataFrame =
+    textManifest
+      .join(mediaClusters.select(col("doc_id"),
+        col("cluster_id").as("media_cluster_id")), "doc_id")
+      .select(col("doc_id"),
+        col("keep").as("text_keep"),
+        col("model_keep"),
+        col("media_cluster_id"),
+        (col("media_cluster_id") === col("doc_id")).as("is_media_canonical"),
+        (col("keep") && col("media_cluster_id") === col("doc_id")).as("keep"),
+        when(!col("is_canonical"), "exact_dup_text")
+          .when(!col("is_cluster_survivor"), "near_dup_text")
+          .when(col("lang_pred") =!= "en", "off_language")
+          .when(col("quality") < 0.5, "low_quality")
+          .when(col("media_cluster_id") =!= col("doc_id"), "dup_media")
+          .otherwise("keep").as("reason"))
+
+  /** The registered fixture op: text manifest × media dup-clusters. */
+  def multimodalManifest(docs: DataFrame): DataFrame =
+    crossModalManifest(graft.operators.TextOps.trainingManifest(docs),
+      mediaDupClusters(docs))
+
   /** Incremental image near-dup: all Hamming-≤-threshold pairs touching at
     * least one NEW media record, at DOC grain — new-vs-corpus via a band
     * join against the STORED hash index, new-vs-new among the batch;
@@ -294,45 +332,62 @@ object Multimodal {
     * two's-complement fold to signed 64-bit that Scala's `Long` gives for
     * free.
     */
-  private val dhashCtes =
-    s"""d AS (SELECT doc_id, list_transform(string_split(text,''), x -> ord(x)) AS o
+  private def dhashCtes(px: String): String =
+    s"""${px}d AS (SELECT doc_id, list_transform(string_split(text,''), x -> ord(x)) AS o
        |      FROM documents),
-       |d2 AS (SELECT doc_id, o, len(o) AS n FROM d),
-       |grid AS (SELECT doc_id, list_transform(generate_series(0, 71), k ->
+       |${px}d2 AS (SELECT doc_id, o, len(o) AS n FROM ${px}d),
+       |${px}grid AS (SELECT doc_id, list_transform(generate_series(0, 71), k ->
        |           CASE WHEN n = 0 THEN 0
        |                WHEN ((k+1)*n)//72 <= (k*n)//72 THEN o[LEAST((k*n)//72, n-1)+1]
        |                ELSE CAST(list_sum(o[(k*n)//72+1:((k+1)*n)//72]) AS BIGINT)
        |                     // (((k+1)*n)//72 - (k*n)//72) END) AS gr
-       |         FROM d2),
-       |hu AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 63), b ->
+       |         FROM ${px}d2),
+       |${px}hu AS (SELECT doc_id, list_sum(list_transform(generate_series(0, 63), b ->
        |          CASE WHEN gr[(b//8)*9 + (b%8) + 2] > gr[(b//8)*9 + (b%8) + 1]
-       |               THEN 1::HUGEINT << b ELSE 0::HUGEINT END)) AS hu FROM grid),
-       |hashes AS (SELECT doc_id,
+       |               THEN 1::HUGEINT << b ELSE 0::HUGEINT END)) AS hu FROM ${px}grid),
+       |${px}hashes AS (SELECT doc_id,
        |             CAST(hu - CASE WHEN hu >= 1::HUGEINT << 63
        |                            THEN 1::HUGEINT << 64 ELSE 0::HUGEINT END
        |                  AS BIGINT) AS dhash
-       |           FROM hu)""".stripMargin
+       |           FROM ${px}hu)""".stripMargin
 
   /** The [[nearDupPairs]] twin as CTEs ending in `mp(doc_a, doc_b, hamming)`
     * — shared by the pair op and the clusters op's recursive components.
     */
-  private lazy val nearDupPairsCtes =
-    s"""$dhashCtes,
-       |reps AS (SELECT dhash, MIN(doc_id) AS doc_id FROM hashes GROUP BY dhash),
-       |star AS (SELECT r.doc_id AS doc_a, h.doc_id AS doc_b,
+  private[graft] def nearDupPairsCtes(px: String): String =
+    s"""${dhashCtes(px)},
+       |${px}reps AS (SELECT dhash, MIN(doc_id) AS doc_id FROM ${px}hashes GROUP BY dhash),
+       |${px}star AS (SELECT r.doc_id AS doc_a, h.doc_id AS doc_b,
        |                0::BIGINT AS hamming
-       |         FROM hashes h JOIN reps r USING (dhash)
+       |         FROM ${px}hashes h JOIN ${px}reps r USING (dhash)
        |         WHERE h.doc_id <> r.doc_id),
-       |bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
-       |          FROM reps, generate_series(0, ${dhashBands - 1}) t(i)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |${px}bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
+       |          FROM ${px}reps, generate_series(0, ${dhashBands - 1}) t(i)),
+       |${px}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.dhash AS ha, b.dhash AS hb
-       |         FROM bands a JOIN bands b
+       |         FROM ${px}bands a JOIN ${px}bands b
        |           ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id),
-       |mp AS (SELECT * FROM star
+       |${px}mp AS (SELECT * FROM ${px}star
        |       UNION ALL
        |       SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-       |       FROM cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming)""".stripMargin
+       |       FROM ${px}cand WHERE bit_count(xor(ha, hb)) <= $nearDupHamming)""".stripMargin
+
+  /** [[nearDupPairsCtes]] plus the connected-components closure, ending in
+    * `<px>clusters(doc_id, cluster_id)` — needs a `WITH RECURSIVE` prefix.
+    */
+  private[graft] def dupClusterCtes(px: String): String =
+    s"""${nearDupPairsCtes(px)},
+       |${px}edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM ${px}mp
+       |  UNION ALL SELECT doc_b, doc_a FROM ${px}mp),
+       |${px}reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM ${px}edges
+       |  UNION
+       |  SELECT ${px}reach.node, e.b FROM ${px}reach JOIN ${px}edges e ON e.a = ${px}reach.r),
+       |${px}lab AS (SELECT node, MIN(r) AS cluster_id FROM ${px}reach GROUP BY node),
+       |${px}clusters AS (
+       |  SELECT d.doc_id, COALESCE(${px}lab.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN ${px}lab ON ${px}lab.node = d.doc_id)""".stripMargin
 
   def ops: Seq[Op] = Seq(
     // Catalog view: binary payload metadata — oracle-checkable (byte lengths
@@ -386,7 +441,7 @@ object Multimodal {
     // (real PNG decode → integer area-average → same bit pack) is pinned by
     // MultimodalSpec on generated images, where DuckDB can't follow.
     Op.sql("media_dhash",
-      s"""WITH $dhashCtes
+      s"""WITH ${dhashCtes("")}
          |SELECT doc_id, dhash FROM hashes""".stripMargin) { (s, d) =>
       mediaDhash(Tables.documents(s, d))
     },
@@ -397,7 +452,7 @@ object Multimodal {
     // identical banding, so the (deliberately approximate above d = 3)
     // candidate set is bit-reproducible.
     Op.sql("media_near_dups",
-      s"""WITH $nearDupPairsCtes
+      s"""WITH ${nearDupPairsCtes("")}
          |SELECT doc_a, doc_b, hamming FROM mp""".stripMargin) {
       (s, d) => mediaNearDups(Tables.documents(s, d))
     },
@@ -406,17 +461,8 @@ object Multimodal {
     // near-dup pair set; the unrolled-CTE oracle is the dedup_clusters
     // pattern applied to the media pairs).
     Op.sql("media_dup_clusters",
-      s"""WITH RECURSIVE $nearDupPairsCtes,
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM mp
-         |  UNION ALL SELECT doc_b, doc_a FROM mp),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
-         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
-         |SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
-         |FROM documents d LEFT JOIN lab ON lab.node = d.doc_id""".stripMargin) {
+      s"""WITH RECURSIVE ${dupClusterCtes("")}
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin) {
       (s, d) => mediaDupClusters(Tables.documents(s, d))
     },
 
@@ -425,7 +471,7 @@ object Multimodal {
     // incoming batch) — the oracle states that contract directly, like
     // dedup_incremental_minhash.
     Op.sql("media_near_dups_incremental",
-      s"""WITH $dhashCtes,
+      s"""WITH ${dhashCtes("")},
          |bands AS (SELECT doc_id, dhash, i, (dhash >> (16*i)::INT) & 65535 AS bv
          |          FROM hashes, generate_series(0, ${dhashBands - 1}) t(i)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -441,6 +487,30 @@ object Multimodal {
       // caching — a production loop reads it from the parquet index store
       val idx = dhashOf(media.filter(pmod(col("doc_id"), lit(7)) =!= 0))
       incrementalMediaPairs(media.filter(pmod(col("doc_id"), lit(7)) === 0), idx)
+    },
+
+    // Cross-modal curation manifest: the text manifest's gates and the
+    // media dup-clusters' visual identity fused into one keep/drop + reason
+    // per document. Oracle composes the two existing CTE chains (the text
+    // chain unprefixed, the media chain under the m-prefix) with the same
+    // fixed gate precedence.
+    Op.sql("multimodal_manifest",
+      s"""WITH RECURSIVE ${graft.operators.TextOps.trainingManifestCtes},
+         |${dupClusterCtes("m")}
+         |SELECT m.doc_id,
+         |       m.keep AS text_keep,
+         |       m.model_keep,
+         |       mc.cluster_id AS media_cluster_id,
+         |       mc.cluster_id = m.doc_id AS is_media_canonical,
+         |       (m.keep AND mc.cluster_id = m.doc_id) AS keep,
+         |       CASE WHEN NOT m.is_canonical THEN 'exact_dup_text'
+         |            WHEN NOT m.is_cluster_survivor THEN 'near_dup_text'
+         |            WHEN m.lang_pred <> 'en' THEN 'off_language'
+         |            WHEN m.quality < 0.5 THEN 'low_quality'
+         |            WHEN mc.cluster_id <> m.doc_id THEN 'dup_media'
+         |            ELSE 'keep' END AS reason
+         |FROM manifest m JOIN mclusters mc USING (doc_id)""".stripMargin) { (s, d) =>
+      multimodalManifest(Tables.documents(s, d))
     },
 
     Op.rowsOnly("media_features",

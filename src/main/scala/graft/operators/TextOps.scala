@@ -214,6 +214,80 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // Model-based quality scoring (broadcast linear classifier)
+  // --------------------------------------------------------------------------
+
+  /** Fixed-weight linear quality classifier over token-count features — the
+    * FineWeb-Edu / DCLM-shaped complement to the heuristic [[qualityExprs]]:
+    * `score_ppm = clamp(bias + Σ_t w_t·count(t) + w_len·min(n_tokens, cap),
+    * 0, 10^6)` on the ppm integer grid. In production the weight table comes
+    * from a trained classifier and BROADCASTS to every executor; here it is
+    * a fixed literal so the score is fully oracle-checked. Scoring is ONE
+    * codegen fold per document — no explode, no join, no shuffle;
+    * embarrassingly parallel at 100 TB.
+    */
+  val qualityModelBias = 100000L
+  val qualityModelLenWeight = 200L
+  val qualityModelLenCapTokens = 500L
+  val qualityModelKeepPpm = 300000L
+  val qualityModelWeights: Seq[(String, Long)] = Seq(
+    "the" -> 30000L, "a" -> 25000L, "data" -> 20000L, "query" -> 15000L,
+    "table" -> 12000L, "fast" -> 10000L,
+    "slow" -> -25000L, "dup" -> -40000L, "big" -> -8000L, "small" -> -6000L)
+
+  private def termWeight(w: Column): Column =
+    qualityModelWeights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (t, wt)) => acc.when(w === t, lit(wt))
+    }.otherwise(lit(0L))
+
+  /** Per-document model score (ppm) and the binary gate at
+    * [[qualityModelKeepPpm]] (0/1 integer, the flag convention).
+    */
+  def qualityModelScore(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val raw = lit(qualityModelBias) +
+      aggregate(ws, lit(0L), (acc, w) => acc + termWeight(w)) +
+      lit(qualityModelLenWeight) *
+        least(size(ws).cast(LongType), lit(qualityModelLenCapTokens))
+    docs
+      .select(col("doc_id"),
+        greatest(lit(0L), least(lit(1000000L), raw)).as("score_ppm"))
+      .withColumn("model_keep",
+        (col("score_ppm") >= qualityModelKeepPpm).cast(IntegerType))
+  }
+
+  /** Calibration report: model-score deciles (100k-ppm buckets) × how often
+    * the heuristic gate agrees — the table read before swapping the
+    * heuristic for the model in [[trainingManifest]]. Doc-grain collapses to
+    * ≤ 10 rows in one hash aggregate.
+    */
+  def qualityModelCalibration(docs: DataFrame): DataFrame = {
+    val heur = qualityScore(docs).select(col("doc_id"),
+      when(col("quality") >= 0.5, 1L).otherwise(0L).as("hkeep"))
+    qualityModelScore(docs).join(heur, "doc_id")
+      .groupBy(least(lit(9L), expr("score_ppm div 100000")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_ppm")).as("sum_score_ppm"),
+        sum(col("hkeep")).as("n_heuristic_keep"))
+      .select(col("bucket"), col("n_docs"), col("sum_score_ppm"),
+        col("n_heuristic_keep"),
+        expr("(n_heuristic_keep * 1000000) div n_docs").as("heuristic_keep_ppm"))
+  }
+
+  /** Oracle CTE body (doc_id, score_ppm) — twin of [[qualityModelScore]],
+    * shared with the calibration and manifest oracles.
+    */
+  private[operators] lazy val qualityModelCteSql: String = {
+    val cases = qualityModelWeights
+      .map { case (t, wt) => s"WHEN '$t' THEN $wt" }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CAST(GREATEST(0, LEAST(1000000, $qualityModelBias
+       |    + CAST(COALESCE(list_sum(list_transform(ws, w -> CASE w $cases ELSE 0 END)), 0) AS BIGINT)
+       |    + $qualityModelLenWeight * LEAST(CAST(len(ws) AS BIGINT), $qualityModelLenCapTokens))) AS BIGINT) AS score_ppm
+       |FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // Corpus vocabulary + per-document characteristic terms
   // --------------------------------------------------------------------------
 
@@ -805,13 +879,75 @@ object TextOps {
       .join(cl, "doc_id")
       .join(surv, Seq("doc_id"), "left")
       .join(splitAssign(docs).select(col("doc_id"), col("split")), "doc_id")
+      .join(qualityModelScore(docs).select(col("doc_id"),
+        (col("score_ppm") >= qualityModelKeepPpm).as("model_keep")), "doc_id")
       .select(col("doc_id"), col("is_canonical"), col("quality"), col("lang_pred"),
         col("cluster_id"),
         coalesce(col("is_cluster_survivor"), lit(false)).as("is_cluster_survivor"),
-        col("split"))
+        col("split"), col("model_keep"))
       .withColumn("keep",
         col("is_canonical") && col("is_cluster_survivor") &&
           col("lang_pred") === lang && col("quality") >= minQuality)
+  }
+
+  /** Oracle CTE chain (requires a `WITH RECURSIVE` prefix) ending in
+    * `manifest(doc_id, is_canonical, quality, lang_pred, cluster_id,
+    * is_cluster_survivor, split, model_keep, keep)` — the [[trainingManifest]]
+    * twin, shared with the cross-modal manifest oracle
+    * ([[graft.multimodal.Multimodal]]).
+    */
+  private[graft] lazy val trainingManifestCtes: String = {
+    val langCase =
+      """CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+        |     WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+        |     WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+        |     WHEN fr_ct > 0 THEN 'fr'
+        |     ELSE 'unknown' END""".stripMargin
+    val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(", ")
+    s"""${Dedup.minhashPairsCtes},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+       |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+       |cl AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+       |       FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+       |q AS ($qualityCteSql),
+       |sv AS (
+       |  SELECT doc_id AS survivor_id FROM (
+       |    SELECT cl.cluster_id, cl.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |        ORDER BY q.quality DESC, cl.doc_id) AS rn
+       |    FROM cl JOIN q USING (doc_id))
+       |  WHERE rn = 1),
+       |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |l AS (
+       |  SELECT doc_id, $langCase AS lang_pred
+       |  FROM (SELECT doc_id, $cts
+       |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < $splitTrainUpper THEN 'train'
+       |         WHEN bucket < $splitValUpper THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |        FROM documents)),
+       |qm AS ($qualityModelCteSql),
+       |manifest AS (
+       |  SELECT d.doc_id, c.doc_id IS NOT NULL AS is_canonical, q.quality, l.lang_pred,
+       |         cl.cluster_id, sv.survivor_id IS NOT NULL AS is_cluster_survivor,
+       |         sp.split,
+       |         qm.score_ppm >= $qualityModelKeepPpm AS model_keep,
+       |         (c.doc_id IS NOT NULL AND sv.survivor_id IS NOT NULL
+       |          AND l.lang_pred = 'en' AND q.quality >= 0.5) AS keep
+       |  FROM documents d
+       |  JOIN cl USING (doc_id) JOIN q USING (doc_id)
+       |  JOIN l USING (doc_id) JOIN sp USING (doc_id) JOIN qm USING (doc_id)
+       |  LEFT JOIN canon c ON c.doc_id = d.doc_id
+       |  LEFT JOIN sv ON sv.survivor_id = d.doc_id)""".stripMargin
   }
 
   /** Report size for [[bigramLm]]. */
@@ -1141,6 +1277,33 @@ object TextOps {
       qualityPercentileByLang(Tables.documents(s, d))
     },
 
+    // Broadcast linear classifier score per document (ppm grid) + gate.
+    Op.sql("text_quality_model",
+      s"""WITH qm AS ($qualityModelCteSql)
+         |SELECT doc_id, score_ppm,
+         |       CAST(CASE WHEN score_ppm >= $qualityModelKeepPpm THEN 1 ELSE 0 END
+         |            AS INTEGER) AS model_keep
+         |FROM qm""".stripMargin) { (s, d) =>
+      qualityModelScore(Tables.documents(s, d))
+    },
+
+    // Model-vs-heuristic calibration: per score decile, how often the
+    // heuristic quality gate agrees.
+    Op.sql("text_quality_model_calibration",
+      s"""WITH qm AS ($qualityModelCteSql),
+         |h AS ($qualityCteSql),
+         |j AS (SELECT qm.doc_id, qm.score_ppm,
+         |             CASE WHEN h.quality >= 0.5 THEN 1 ELSE 0 END AS hkeep
+         |      FROM qm JOIN h USING (doc_id))
+         |SELECT LEAST(9, score_ppm // 100000) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm,
+         |       CAST(SUM(hkeep) AS BIGINT) AS n_heuristic_keep,
+         |       CAST((SUM(hkeep) * 1000000) // COUNT(*) AS BIGINT) AS heuristic_keep_ppm
+         |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+      qualityModelCalibration(Tables.documents(s, d))
+    },
+
     Op.sql("text_normalize",
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
@@ -1422,56 +1585,9 @@ object TextOps {
       lengthHistogram(Tables.documents(s, d))
     },
 
-    Op.sql("text_training_manifest", {
-      val langCase =
-        """CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
-          |     WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
-          |     WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
-          |     WHEN fr_ct > 0 THEN 'fr'
-          |     ELSE 'unknown' END""".stripMargin
-      val cts = markers.map { case (l, _) => s"${markerCountSql("ws", l)} AS ${l}_ct" }.mkString(", ")
-      s"""WITH RECURSIVE ${Dedup.minhashPairsCtes},
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
-         |reach(node, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
-         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
-         |cl AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
-         |       FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
-         |q AS ($qualityCteSql),
-         |sv AS (
-         |  SELECT doc_id AS survivor_id FROM (
-         |    SELECT cl.cluster_id, cl.doc_id,
-         |      ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
-         |        ORDER BY q.quality DESC, cl.doc_id) AS rn
-         |    FROM cl JOIN q USING (doc_id))
-         |  WHERE rn = 1),
-         |canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
-         |l AS (
-         |  SELECT doc_id, $langCase AS lang_pred
-         |  FROM (SELECT doc_id, $cts
-         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))),
-         |sp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN bucket < $splitTrainUpper THEN 'train'
-         |         WHEN bucket < $splitValUpper THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT doc_id, ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
-         |        FROM documents))
-         |SELECT d.doc_id, c.doc_id IS NOT NULL AS is_canonical, q.quality, l.lang_pred,
-         |       cl.cluster_id, sv.survivor_id IS NOT NULL AS is_cluster_survivor,
-         |       sp.split,
-         |       (c.doc_id IS NOT NULL AND sv.survivor_id IS NOT NULL
-         |        AND l.lang_pred = 'en' AND q.quality >= 0.5) AS keep
-         |FROM documents d
-         |JOIN cl USING (doc_id) JOIN q USING (doc_id)
-         |JOIN l USING (doc_id) JOIN sp USING (doc_id)
-         |LEFT JOIN canon c ON c.doc_id = d.doc_id
-         |LEFT JOIN sv ON sv.survivor_id = d.doc_id""".stripMargin
-    }) { (s, d) =>
+    Op.sql("text_training_manifest",
+      s"""WITH RECURSIVE $trainingManifestCtes
+         |SELECT * FROM manifest""".stripMargin) { (s, d) =>
       trainingManifest(Tables.documents(s, d))
     },
 

@@ -202,4 +202,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 12L || b == 12L || a == 4L })
     idx.unpersist()
   }
+
+  test("cross-modal manifest: gate precedence, dup_media demotion, keep iff reason=keep") {
+    import spark.implicits._
+    // synthetic decision frames pin every reason branch, including the
+    // media-dup-text-unique case the utf-8 fixture payloads cannot produce
+    // (payload == utf8(text), so exact text dup <=> exact media dup there)
+    def tm(id: Long, canon: Boolean, surv: Boolean, lang: String, q: Double) = {
+      val keep = canon && surv && lang == "en" && q >= 0.5
+      (id, canon, surv, lang, q, true, keep)
+    }
+    val textManifest = Seq(
+      tm(1L, canon = true, surv = true, "en", 0.9),   // all text gates pass, media canonical
+      tm(2L, canon = true, surv = true, "en", 0.9),   // all text gates pass, media DUP
+      tm(3L, canon = false, surv = true, "en", 0.9),  // exact text dup (also media dup)
+      tm(4L, canon = true, surv = false, "en", 0.9),  // near text dup
+      tm(5L, canon = true, surv = true, "de", 0.9),   // off language
+      tm(6L, canon = true, surv = true, "en", 0.2)    // low quality
+    ).toDF("doc_id", "is_canonical", "is_cluster_survivor", "lang_pred",
+      "quality", "model_keep", "keep")
+    val clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 6L)
+      .toDF("doc_id", "cluster_id")
+    val out = Multimodal.crossModalManifest(textManifest, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reason"))).toMap
+    assert(out(1L) == ((true, "keep")))
+    assert(out(2L) == ((false, "dup_media"))) // text-unique, visual dup
+    assert(out(3L) == ((false, "exact_dup_text"))) // text gate outranks media
+    assert(out(4L) == ((false, "near_dup_text")))
+    assert(out(5L) == ((false, "off_language")))
+    assert(out(6L) == ((false, "low_quality")))
+    out.foreach { case (id, (keep, reason)) =>
+      assert(keep == (reason == "keep"), s"doc $id: keep/reason disagree") }
+  }
+
+  test("multimodal manifest over the fixture: doc grain, keep iff reason=keep") {
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val m = Multimodal.multimodalManifest(docs).collect()
+    assert(m.length == docs.count())
+    m.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("reason") == "keep"))
+      val expect = r.getAs[Boolean]("text_keep") && r.getAs[Boolean]("is_media_canonical")
+      assert(r.getAs[Boolean]("keep") == expect)
+    }
+    assert(m.exists(_.getAs[Boolean]("keep")))
+    assert(m.exists(!_.getAs[Boolean]("keep")))
+  }
 }

@@ -55,6 +55,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("quality model: hand-computed linear score, clamping, gate, calibration grain") {
+    // "the the data slow x": 2·30000 + 20000 − 25000 = 55000 term sum;
+    // 5 tokens → +1000 length credit; bias 100000 → 156000, below the gate
+    val low = "the the data slow x"
+    // 10 repeats of six heavyweight terms: term sum 1 120 000 → clamps to 1e6
+    val high = (1 to 10).map(_ => "the a data query table fast").mkString(" ")
+    val scored = TextOps.qualityModelScore(docs(1L -> low, 2L -> high)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_ppm"), r.getAs[Int]("model_keep"))).toMap
+    assert(scored(1L) == ((156000L, 0)))
+    assert(scored(2L) == ((1000000L, 1)))
+    val cal = TextOps.qualityModelCalibration(docs(1L -> low, 2L -> high)).collect()
+    assert(cal.map(_.getAs[Long]("bucket")).toSet == Set(1L, 9L))
+    assert(cal.forall(_.getAs[Long]("n_docs") == 1L))
+    // manifest carries the model gate column alongside the heuristic keep
+    val m = TextOps.trainingManifest(docs(1L -> low, 2L -> high)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("model_keep")).toMap
+    assert(m == Map(1L -> false, 2L -> true))
+  }
+
   test("bigram lm: conditional probabilities normalize per first token, count-desc order") {
     // "a b a b" → (a b)×2, (b a)×1; "a c" → (a c)×1. P(·|a) over 3 starts.
     val out = TextOps.bigramLm(docs(1L -> "a b a b", 2L -> "a c")).collect()
