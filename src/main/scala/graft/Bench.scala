@@ -203,11 +203,26 @@ object Bench {
     // better run was thrashed.
     def suiteTotal(rs: Seq[(String, Double, Boolean, Long, Long)]): Double =
       rs.filter(_._3).map(_._2).sum
+    // Warm-up attribution (round-6 verdict #7: attempt-1 ran 1.44× attempt-2
+    // and the gap needed a precise cause, not a shrug). Two monotonic
+    // counters bracket each attempt: Janino compilations of generated code
+    // (CodegenMetrics — attempt 2 should be ~all cache hits) and JVM JIT
+    // compiler time (CompilationMXBean). Their deltas are emitted per
+    // attempt so the artifact itself shows where the cold-start went.
+    val codegenHist =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def warmupCounters(): (Long, Long) =
+      (codegenHist.getCount, if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported) jitBean.getTotalCompilationTime else -1L)
+    val (cg0, jit0) = warmupCounters()
     val first = runSuite()
+    val (cg1, jit1) = warmupCounters()
     val firstLoad = loadMax
     val firstInvalid = isInvalid(first)
     loadMax = 0.0
     val second = runSuite()
+    val (cg2, jit2) = warmupCounters()
+    val codegenMeanMs = codegenHist.getSnapshot.getMean
     val (results, attempts) =
       if (firstInvalid || suiteTotal(second) <= suiteTotal(first)) (second, 2) else (first, 1)
     if (attempts == 1) loadMax = firstLoad
@@ -254,7 +269,11 @@ object Bench {
     // diagnosable even when tail-capture truncates the full queries map.
     val top20 = results.filter(_._3).sortBy(-_._2).take(20)
       .map(r => s"${Json.quote(r._1)}:${r._2}").mkString("{", ",", "}")
-    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"top20_s":$top20"""
+    // codegen_ms_approx = compilations × reservoir mean (the codahale
+    // histogram keeps no exact sum); jit_ms is exact. Both per attempt.
+    val warmupAttribution =
+      s"""{"codegen_compiles":[${cg1 - cg0},${cg2 - cg1}],"codegen_ms_approx":[${(codegenMeanMs * (cg1 - cg0)).round},${(codegenMeanMs * (cg2 - cg1)).round}],"jit_ms":[${jit1 - jit0},${jit2 - jit1}]}"""
+    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"warmup_attribution":$warmupAttribution,"top20_s":$top20"""
     val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
       .mkString("{", ",", "}")
     val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")

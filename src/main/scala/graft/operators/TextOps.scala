@@ -1195,6 +1195,155 @@ object TextOps {
   }
 
   // --------------------------------------------------------------------------
+  // URL canonicalization + dedup (the web-corpus front door)
+  // --------------------------------------------------------------------------
+
+  /** Deterministic fixture URLs, synthesized per document from `doc_id` (the
+    * media suite's synthesized-payload precedent — the fixture has no url
+    * column, so the op derives one reproducibly in BOTH engines and the
+    * oracle checks the whole chain). Mixed-case hosts, `www.` prefixes,
+    * tracking query params, and trailing slashes are all present so the
+    * canonicalizer has real work to do.
+    */
+  val urlHosts: Seq[String] = Seq(
+    "www.Example.COM", "example.com", "news-site.org",
+    "WWW.news-site.org", "Shop.Example.com", "m.example.com")
+
+  private def urlSynth(docId: Column): Column = {
+    val host = urlHosts.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (h, i)) => acc.when(docId % 6 === i, lit(h))
+    }.otherwise(lit(""))
+    concat(
+      when(docId % 2 === 0, lit("http://")).otherwise(lit("https://")),
+      host,
+      lit("/p/"), (docId % 50).cast(StringType),
+      when(docId % 7 === 0, lit("/")).otherwise(lit("")),
+      when(docId % 3 === 0,
+        concat(lit("?utm_source=feed&sid="), (docId % 4).cast(StringType)))
+        .otherwise(lit("")))
+  }
+
+  private def urlSynthSql(docId: String): String = {
+    val cases = urlHosts.zipWithIndex
+      .map { case (h, i) => s"WHEN $docId % 6 = $i THEN '$h'" }.mkString(" ")
+    s"""(CASE WHEN $docId % 2 = 0 THEN 'http://' ELSE 'https://' END)
+       | || (CASE $cases ELSE '' END)
+       | || '/p/' || CAST($docId % 50 AS VARCHAR)
+       | || (CASE WHEN $docId % 7 = 0 THEN '/' ELSE '' END)
+       | || (CASE WHEN $docId % 3 = 0
+       |          THEN '?utm_source=feed&sid=' || CAST($docId % 4 AS VARCHAR)
+       |          ELSE '' END)""".stripMargin.replace("\n", "")
+  }
+
+  /** Canonical form: lowercase, scheme off, one `www.` prefix off, query
+    * string off, trailing slash off. Anchored patterns, so first-match
+    * replace (DuckDB default) ≡ global replace (Spark default).
+    */
+  private def urlCanonical(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "\\?.*$", ""),
+      "/$", "")
+
+  private def urlCanonicalSql(u: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |lower($u), '^https?://', ''), '^www\\.', ''), '\\?.*$$', ''), '/$$', '')"""
+      .stripMargin.replace("\n", "")
+
+  /** URL-level dedup: canonicalize, then group on the canonical-url HASH
+    * (the exact-dedup digest-key convention — no raw-string shuffle keys)
+    * to get the dup-group size and the first-writer owner per URL. At
+    * 100 TB this is one narrow codegen pass plus one hash aggregate on a
+    * 60-bit key, then a broadcast-friendly group-stat join back.
+    */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    val canon = docs.select(col("doc_id"))
+      .withColumn("url", urlSynth(col("doc_id")))
+      .withColumn("canonical_url", urlCanonical(col("url")))
+      .withColumn("ch", hash60(col("canonical_url")))
+    val groups = canon.groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("owner_doc"))
+    canon.join(groups, "ch")
+      .select(col("doc_id"), col("url"), col("canonical_url"), col("n_dups"),
+        (col("doc_id") === col("owner_doc")).as("is_url_canonical"))
+  }
+
+  /** Oracle CTE body (doc_id, url, canonical_url) shared by both URL ops. */
+  private[operators] lazy val urlCteSql: String =
+    s"""SELECT doc_id, url, ${urlCanonicalSql("url")} AS canonical_url
+       |FROM (SELECT doc_id, ${urlSynthSql("doc_id")} AS url FROM documents)""".stripMargin
+
+  /** Per-domain corpus stats over canonical URLs: docs, distinct URLs, and
+    * the dup rate (ppm) — the report that drives domain-level blocklisting
+    * in a web-corpus curation run. One aggregate at domain grain.
+    */
+  def urlDomainStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("canonical_url", urlCanonical(urlSynth(col("doc_id"))))
+      .withColumn("domain", regexp_extract(col("canonical_url"), "^[^/]+", 0))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_urls"))
+      .select(col("domain"), col("n_docs"), col("n_urls"),
+        expr("((n_docs - n_urls) * 1000000) div n_docs").as("dup_ppm"))
+
+  // --------------------------------------------------------------------------
+  // Gopher-style quality-rule battery + wordlist filter
+  // --------------------------------------------------------------------------
+
+  /** The MassiveText/Gopher-shaped per-document rule battery, on EXACT
+    * integer arithmetic (a mean-word-length bound `2 ≤ sum/n ≤ 12` is the
+    * integer test `2n ≤ sum ∧ sum ≤ 12n` — no float division anywhere):
+    * token-count bounds, mean-word-length bounds, ≥80% alphabetic tokens,
+    * ≤20% numeric tokens, ≥2 English stopwords. One narrow codegen pass.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("sum_len"),
+        size(filter(col("ws"), w => w.rlike("[a-z]"))).as("n_alpha"),
+        size(filter(col("ws"), w => w.rlike("^[0-9]+$"))).as("n_num"),
+        markerCount(col("ws"), "en").as("n_stop"))
+      .select(
+        col("doc_id"),
+        (col("n_tokens") >= 3 && col("n_tokens") <= 10000).as("r_tokens"),
+        (col("sum_len") >= col("n_tokens") * 2 &&
+          col("sum_len") <= col("n_tokens") * 12).as("r_word_len"),
+        (col("n_alpha") * 5 >= col("n_tokens") * 4).as("r_alpha"),
+        (col("n_num") * 5 <= col("n_tokens")).as("r_numeric"),
+        (col("n_stop") >= 2).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_tokens") && col("r_word_len") && col("r_alpha") &&
+          col("r_numeric") && col("r_stopwords"))
+  }
+
+  /** Blocklist wordlist filter (the C4 bad-words gate shape): hit count and
+    * hit rate (ppm) per document against a broadcast-literal blocklist, and
+    * the keep decision at [[wordlistMaxPpm]]. In production the list is
+    * thousands of terms broadcast to every executor; the filter stays one
+    * codegen pass either way.
+    */
+  val wordlistBlocked: Seq[String] = Seq("dup", "slow", "big")
+  val wordlistMaxPpm = 100000L
+
+  def wordlistFilter(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs.select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        size(filter(col("ws"), w => w.isInCollection(wordlistBlocked)))
+          .as("n_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        expr("(n_hits * 1000000) div n_tokens").as("hit_ppm"))
+      .withColumn("wl_keep", (col("hit_ppm") < wordlistMaxPpm).cast(IntegerType))
+  }
+
+  // --------------------------------------------------------------------------
   // Registered ops + DuckDB oracles
   // --------------------------------------------------------------------------
 
@@ -1757,6 +1906,71 @@ object TextOps {
          |       CAST(COUNT(*) AS BIGINT) AS n_buckets
          |FROM grid GROUP BY source""".stripMargin) { (s, d) =>
       sourceDrift(Tables.documents(s, d))
+    },
+
+    // URL-level dedup over canonicalized fixture URLs: group size + first-
+    // writer owner per canonical URL, digest-keyed (no raw-string shuffle).
+    Op.sql("text_url_dedup",
+      s"""WITH u AS ($urlCteSql),
+         |g AS (SELECT ${hash60Sql("canonical_url")} AS ch,
+         |             CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |             MIN(doc_id) AS owner_doc
+         |      FROM u GROUP BY 1)
+         |SELECT u.doc_id, u.url, u.canonical_url, g.n_dups,
+         |       u.doc_id = g.owner_doc AS is_url_canonical
+         |FROM u JOIN g ON ${hash60Sql("u.canonical_url")} = g.ch""".stripMargin) { (s, d) =>
+      urlDedup(Tables.documents(s, d))
+    },
+
+    // Canonical-domain corpus report: doc count, distinct URLs, dup ppm.
+    Op.sql("text_url_domain_stats",
+      s"""WITH u AS ($urlCteSql)
+         |SELECT regexp_extract(canonical_url, '^[^/]+') AS domain,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+         |       CAST(((COUNT(*) - COUNT(DISTINCT canonical_url)) * 1000000)
+         |            // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM u GROUP BY 1""".stripMargin) { (s, d) =>
+      urlDomainStats(Tables.documents(s, d))
+    },
+
+    // Gopher-style rule battery: five exact-integer per-doc rules + pass.
+    Op.sql("text_gopher_rules",
+      """SELECT doc_id,
+        |  n_tokens >= 3 AND n_tokens <= 10000 AS r_tokens,
+        |  sum_len >= n_tokens * 2 AND sum_len <= n_tokens * 12 AS r_word_len,
+        |  n_alpha * 5 >= n_tokens * 4 AS r_alpha,
+        |  n_num * 5 <= n_tokens AS r_numeric,
+        |  n_stop >= 2 AS r_stopwords,
+        |  (n_tokens >= 3 AND n_tokens <= 10000)
+        |    AND (sum_len >= n_tokens * 2 AND sum_len <= n_tokens * 12)
+        |    AND (n_alpha * 5 >= n_tokens * 4)
+        |    AND (n_num * 5 <= n_tokens)
+        |    AND (n_stop >= 2) AS pass
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) AS BIGINT) AS n_num,
+        |    CAST(len(list_filter(ws, w -> w IN ('the', 'a', 'and', 'of', 'to', 'is'))) AS BIGINT) AS n_stop
+        |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))""".stripMargin) { (s, d) =>
+      gopherRules(Tables.documents(s, d))
+    },
+
+    // Broadcast-blocklist wordlist gate: hits, hit rate (ppm), keep flag.
+    Op.sql("text_wordlist_filter", {
+      val list = wordlistBlocked.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, n_tokens, n_hits,
+         |       CAST((n_hits * 1000000) // n_tokens AS BIGINT) AS hit_ppm,
+         |       CAST(CASE WHEN (n_hits * 1000000) // n_tokens < $wordlistMaxPpm
+         |                 THEN 1 ELSE 0 END AS INTEGER) AS wl_keep
+         |FROM (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS n_hits
+         |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))""".stripMargin
+    }) { (s, d) =>
+      wordlistFilter(Tables.documents(s, d))
     },
   )
 }

@@ -530,4 +530,74 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(("sorted", 0L)) == ((0L, 0L)))
     assert(out(("sorted", 1L)) == ((0L, 0L)))
   }
+
+  test("url dedup: canonicalization collapses scheme/case/www/query/slash; first writer owns") {
+    // doc 0  → http://www.Example.COM/p/0/?utm…  → example.com/p/0
+    // doc 300 → http://www.Example.COM/p/0?utm…  → example.com/p/0   (dup of 0)
+    // doc 1  → https://example.com/p/1           → example.com/p/1
+    // doc 151 → https://example.com/p/1          → example.com/p/1   (dup of 1)
+    // doc 9  → https://news-site.org/p/9?utm…    → news-site.org/p/9 (unique)
+    val fixture = docs((0L, "x"), (1L, "x"), (9L, "x"), (151L, "x"), (300L, "x"))
+    val out = TextOps.urlDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("canonical_url"), r.getAs[Long]("n_dups"),
+          r.getAs[Boolean]("is_url_canonical"))).toMap
+    assert(out(0L) == (("example.com/p/0", 2L, true)))
+    assert(out(300L) == (("example.com/p/0", 2L, false)))
+    assert(out(1L) == (("example.com/p/1", 2L, true)))
+    assert(out(151L) == (("example.com/p/1", 2L, false)))
+    assert(out(9L) == (("news-site.org/p/9", 1L, true)))
+    // raw urls keep the mess the canonicalizer must strip
+    val raw = TextOps.urlDedup(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("url")).toMap
+    assert(raw(0L) == "http://www.Example.COM/p/0/?utm_source=feed&sid=0")
+    assert(raw(1L) == "https://example.com/p/1")
+  }
+
+  test("url domain stats: dup ppm per canonical domain") {
+    // three docs on example.com (two URLs), one on news-site.org
+    val fixture = docs((0L, "x"), (1L, "x"), (300L, "x"), (9L, "x"))
+    val out = TextOps.urlDomainStats(fixture).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_urls"),
+          r.getAs[Long]("dup_ppm"))).toMap
+    assert(out("example.com") == ((3L, 2L, 333333L)))
+    assert(out("news-site.org") == ((1L, 1L, 0L)))
+  }
+
+  test("gopher rules: each of the five rules trips on its constructed doc") {
+    val fixture = docs(
+      (1L, "the cat sat on a mat"),          // all rules pass
+      (2L, "12 34 56 78 xx"),                // numeric + alpha + stopword fail
+      (3L, "ab cd"),                          // too few tokens
+      (4L, "the a of incomprehensibilities"), // mean word len 34/4 > 12… check
+      (5L, "the a b c d"))                    // mean word len 9/5 < 2
+    val out = TextOps.gopherRules(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_tokens"), r.getAs[Boolean]("r_word_len"),
+          r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_numeric"),
+          r.getAs[Boolean]("r_stopwords"), r.getAs[Boolean]("pass"))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    // doc 2: 5 tokens, 4 numeric (4*5=20 > 5 → fail), alpha 1*5=5 < 4*5 → fail
+    assert(out(2L)._4 == false && out(2L)._3 == false && out(2L)._5 == false)
+    assert(out(3L)._1 == false) // 2 tokens < 3
+    // doc 4: 4 tokens sum_len 3+1+2+22=28 ≤ 48 → passes word_len; verify doc 5 trips low bound
+    assert(out(4L)._2 == true)
+    // doc 5: 5 tokens sum_len 3+1+1+1+1=7 < 10 → r_word_len false
+    assert(out(5L)._2 == false && out(5L)._6 == false)
+  }
+
+  test("wordlist filter: hit ppm against the blocklist and the keep gate") {
+    val fixture = docs(
+      (1L, "clean words only here"),               // 0 hits → keep
+      (2L, "dup dup slow big and six more words x"), // 4 hits / 9 tokens = 444444 ppm → drop
+      (3L, "one dup in twelve words a b c d e f g")) // 1/12 = 83333 ppm < 100000 → keep
+    val out = TextOps.wordlistFilter(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("hit_ppm"),
+          r.getAs[Int]("wl_keep"))).toMap
+    assert(out(1L) == ((0L, 0L, 1)))
+    assert(out(2L) == ((4L, 444444L, 0)))
+    assert(out(3L) == ((1L, 83333L, 1)))
+  }
 }

@@ -9,11 +9,17 @@ Design: each table is the original plus (factor-1) replica blocks with every
 key domain offset by a per-domain stride (max key + 1), so FK structure,
 per-key cardinalities, and absent-key (violation) sets replicate exactly.
 Content columns:
-  - documents.text: replica docs are NEW word-salad text sampled from the
-    corpus vocabulary with a seeded RNG (same length distribution, same
+  - documents.text: replica docs are NEW text sampled from a Zipf-weighted
+    >=5k-word vocabulary with a seeded RNG (same length distribution, same
     lang/source mix) — replicating the text verbatim would turn every doc
     into a 10-way exact-dup cluster and quadratically inflate every dedup
-    candidate set, which a real 10x corpus does not do.
+    candidate set, which a real 10x corpus does not do. The vocabulary's
+    high-frequency head is the ORIGINAL corpus vocabulary (so common-word
+    shingles still collide across blocks at stopword-like rates) and the
+    tail is 5k synthetic words on a Zipf rank-frequency curve (s=1.07) —
+    the r6 verdict found the old 31-word closed vocabulary made replicas
+    far more shingle-similar than real text, inflating exact-dedup
+    candidate growth ~quadratically.
   - embeddings.embedding: seeded Gaussian perturbation of the source vector
     (sigma 0.15), keeping the cluster structure IVF/PQ training costs
     depend on while making replicas distinct.
@@ -99,36 +105,57 @@ def main(out_dir="/tmp/sf1", factor=10):
         SELECT event_id + i*{ek}, ts, user_id + i*{ck}, event_type, value, props
         FROM {t('events')}, {rep} g(i)""")
 
-    # documents: synthetic replica text from the corpus vocabulary
+    # documents: synthetic replica text over a Zipf-weighted wide vocabulary.
+    # Head = the original corpus words (kept stopword-common across blocks);
+    # tail = 5000 deterministic syllable words. p(rank) ~ 1/(rank+2.7)^1.07.
     docs = con.sql(f"SELECT doc_id, text, lang, source FROM {t('documents')} ORDER BY doc_id").fetchall()
-    vocab = sorted({w for _, text, _, _ in docs for w in text.split(" ") if w})
-    vocab = np.array(vocab)
-    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
-    for doc_id, text, lang, source in docs:
-        rows["doc_id"].append(doc_id)
-        rows["text"].append(text)
-        rows["lang"].append(lang)
-        rows["source"].append(source)
-        rows["n_chars"].append(len(text))
+    head = sorted({w for _, text, _, _ in docs for w in text.split(" ") if w})
+    syll = [c + v for c in "bcdfghjklmnprstvwz" for v in "aeiou"]  # 90 syllables
+    tail = []
+    k = 0
+    while len(tail) < 5000:
+        w = syll[k % 90] + syll[(k // 90) % 90] + syll[(k // 8100) % 90]
+        if w not in head:
+            tail.append(w)
+        k += 1
+    vocab = np.array(head + tail)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = 1.0 / np.power(ranks + 2.7, 1.07)
+    p /= p.sum()
+    lengths = np.array([max(1, len(text.split(" "))) for _, text, _, _ in docs])
+    doc_ids = np.array([d for d, _, _, _ in docs], dtype=np.int64)
+    langs = [l for _, _, l, _ in docs]
+    sources = [s for _, _, _, s in docs]
+    writer = None
+    def emit(tbl):
+        nonlocal writer
+        if writer is None:
+            writer = pq.ParquetWriter(f"{out}/documents.parquet", tbl.schema)
+        writer.write_table(tbl)
+    emit(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array([text for _, text, _, _ in docs], pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(text) for _, text, _, _ in docs], pa.int64()),
+    }))
+    total_words = int(lengths.sum())
+    bounds = np.cumsum(lengths)[:-1]
+    n_docs = 0
     for i in range(1, factor):
         rng = np.random.default_rng(1234 + i)
-        for doc_id, text, lang, source in docs:
-            n_words = max(1, len(text.split(" ")))
-            words = vocab[rng.integers(0, len(vocab), n_words)]
-            new_text = " ".join(words.tolist())
-            rows["doc_id"].append(doc_id + i * dk)
-            rows["text"].append(new_text)
-            rows["lang"].append(lang)
-            rows["source"].append(source)
-            rows["n_chars"].append(len(new_text))
-    pq.write_table(pa.table({
-        "doc_id": pa.array(rows["doc_id"], pa.int64()),
-        "text": pa.array(rows["text"], pa.string()),
-        "lang": pa.array(rows["lang"], pa.string()),
-        "source": pa.array(rows["source"], pa.string()),
-        "n_chars": pa.array(rows["n_chars"], pa.int64()),
-    }), f"{out}/documents.parquet")
-    print(f"documents: {len(rows['doc_id'])} rows (vocab {len(vocab)})")
+        flat = vocab[rng.choice(len(vocab), total_words, p=p)]
+        texts = [" ".join(ws) for ws in np.split(flat, bounds)]
+        emit(pa.table({
+            "doc_id": pa.array(doc_ids + i * dk, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }))
+        n_docs += len(texts)
+    writer.close()
+    print(f"documents: {len(docs) + n_docs} rows (vocab {len(vocab)}, zipf head {len(head)})")
 
     # embeddings: seeded Gaussian perturbation, cluster structure kept
     emb = con.sql(f"SELECT vec_id, embedding, label FROM {t('embeddings')} ORDER BY vec_id").fetchall()
