@@ -962,6 +962,62 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
 
+  // --------------------------------------------------------------------------
+  // Leakage-safe train/val/test split (cluster-keyed)
+  // --------------------------------------------------------------------------
+
+  /** Cluster-keyed train/val/test split: the split hash is taken on the
+    * document's near-dup CLUSTER id, not its own id, so every member of a
+    * near-dup cluster lands in the same split — the leakage guard the
+    * doc-keyed split ([[graft.operators.TextOps.splitAssign]]) cannot give
+    * (a near-identical train/test doc pair is memorized eval data). Same
+    * hash and bucket rule as the doc-keyed split, so the two assignments are
+    * directly comparable in [[splitLeakageAudit]]. Cost over plain
+    * splitAssign: the cluster labels — which a dedup pipeline has already
+    * computed (composes [[clusters]]; at 100 TB the label frame is doc-grain
+    * and the bucket pass is narrow codegen on top of it).
+    */
+  def clusterSplitAssign(docs: DataFrame): DataFrame =
+    clusters(docs)
+      .withColumn("bucket",
+        pmod(hash60(col("cluster_id").cast(StringType)), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < TextOps.splitTrainUpper, "train")
+          .when(col("bucket") < TextOps.splitValUpper, "val")
+          .otherwise("test"))
+
+  /** Split-leakage audit: for every MinHash near-dup pair, do the two sides
+    * land in the same split? One row: the pair count, how many pairs
+    * straddle splits under the doc-keyed assignment (leaked — eval contains
+    * a near-copy of training data), the leak rate on the ppm grid, and the
+    * same count under the cluster-keyed assignment (zero by construction —
+    * both endpoints of a pair share a component, hence a cluster id, hence a
+    * bucket; computing it here machine-checks that claim every run). This is
+    * the report that justifies paying for cluster labels before splitting.
+    *
+    * Plan: banded near-dup pairs (never all-pairs) + four doc_id equi-joins
+    * to attach the two assignments, collapsed to one row.
+    */
+  def splitLeakageAudit(docs: DataFrame): DataFrame = {
+    val na = TextOps.splitAssign(docs).select(col("doc_id"), col("split"))
+    val cl = clusterSplitAssign(docs).select(col("doc_id"), col("split"))
+    minhashPairs(docs)
+      .join(na.select(col("doc_id").as("doc_a"), col("split").as("na_a")), "doc_a")
+      .join(na.select(col("doc_id").as("doc_b"), col("split").as("na_b")), "doc_b")
+      .join(cl.select(col("doc_id").as("doc_a"), col("split").as("cl_a")), "doc_a")
+      .join(cl.select(col("doc_id").as("doc_b"), col("split").as("cl_b")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("na_a") =!= col("na_b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_leaked_doc_keyed"),
+        coalesce(sum(when(col("cl_a") =!= col("cl_b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_leaked_cluster_keyed"))
+      .select(col("n_pairs"), col("n_leaked_doc_keyed"),
+        when(col("n_pairs") === 0L, 0L)
+          .otherwise(expr("(n_leaked_doc_keyed * 1000000) div n_pairs"))
+          .as("leak_ppm_doc_keyed"),
+        col("n_leaked_cluster_keyed"))
+  }
+
   /** Incremental duplicate clustering: fold a new batch's near-dup pairs
     * into STORED cluster labels without re-clustering the corpus. A star
     * forest (node → label) is connectivity-equivalent to the pair set it
@@ -1421,6 +1477,72 @@ object Dedup {
          |  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= $cosineTau""".stripMargin) { (s, d) =>
       embeddingNearDups(Tables.embeddings(s, d))
+    },
+
+    // Cluster-keyed split: hash the near-dup cluster id, not the doc id.
+    Op.sql("split_cluster_assign",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < ${TextOps.splitTrainUpper} THEN 'train'
+         |       WHEN bucket < ${TextOps.splitValUpper} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id,
+         |         ${hash60Sql("CAST(COALESCE(lab.cluster_id, d.doc_id) AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id)""".stripMargin) { (s, d) =>
+      clusterSplitAssign(Tables.documents(s, d))
+    },
+
+    // One-row leakage report: near-dup pairs straddling splits, both keyings.
+    Op.sql("split_leakage_audit",
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+         |na AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < ${TextOps.splitTrainUpper} THEN 'train'
+         |         WHEN h < ${TextOps.splitValUpper} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          ${hash60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |        FROM documents)),
+         |cs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < ${TextOps.splitTrainUpper} THEN 'train'
+         |         WHEN h < ${TextOps.splitValUpper} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      ${hash60Sql("CAST(COALESCE(lab.cluster_id, d.doc_id) AS VARCHAR)")} % 100 AS h
+         |    FROM documents d LEFT JOIN lab ON lab.node = d.doc_id))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_leaked_doc_keyed,
+         |  CAST(CASE WHEN COUNT(*) = 0 THEN 0
+         |       ELSE (COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+         |             * 1000000) // COUNT(*) END AS BIGINT) AS leak_ppm_doc_keyed,
+         |  CAST(COALESCE(SUM(CASE WHEN ca.split <> cb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS n_leaked_cluster_keyed
+         |FROM mh_pairs p
+         |JOIN na a ON a.doc_id = p.doc_a
+         |JOIN na b ON b.doc_id = p.doc_b
+         |JOIN cs ca ON ca.doc_id = p.doc_a
+         |JOIN cs cb ON cb.doc_id = p.doc_b""".stripMargin) { (s, d) =>
+      splitLeakageAudit(Tables.documents(s, d))
     },
   )
 }

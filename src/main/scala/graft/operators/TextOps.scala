@@ -1290,6 +1290,78 @@ object TextOps {
       .select(col("domain"), col("n_docs"), col("n_urls"),
         expr("((n_docs - n_urls) * 1000000) div n_docs").as("dup_ppm"))
 
+  /** Canonical domains barred from the corpus (the C4-style domain
+    * blocklist; in production this is an operator-curated list of thousands
+    * of domains, broadcast like [[wordlistBlocked]]).
+    */
+  val domainBlocklist: Seq[String] = Seq("news-site.org", "shop.example.com")
+
+  /** Domain-blocklist gate: canonical domain per document (composes the
+    * [[urlDedup]] canonicalization chain) and the keep flag against
+    * [[domainBlocklist]]. Pure narrow codegen — the list is a broadcast
+    * literal; one pass, zero shuffle at any scale.
+    */
+  def domainFilter(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("domain",
+        regexp_extract(urlCanonical(urlSynth(col("doc_id"))), "^[^/]+", 0))
+      .withColumn("dom_keep",
+        (!col("domain").isInCollection(domainBlocklist)).cast(IntegerType))
+
+  /** Mixture-gap report: did the deterministic thinning in [[mixtureSample]]
+    * land the recipe? Per source: total corpus tokens, tokens kept by the
+    * mix, the token share the recipe INTENDS (pct-weighted share of the
+    * corpus, ppm) and the share the hash sampling ACHIEVED (kept share of
+    * all kept tokens, ppm), and the signed gap. The gap is pure sampling
+    * variance — a wide one on a small source tells the recipe author to move
+    * that source to quota-based sampling ([[quotaPerSource]]) instead of
+    * rate-based.
+    *
+    * Plan: one doc-grain narrow pass (token count + mix bucket), a
+    * source-grain aggregate (~recipe-size rows), then a broadcast cross with
+    * the 1-row totals. ppm numerators are `pct × tokens × 10⁶` — inside
+    * signed-64 up to ~90 T tokens per source; past that, compute shares on a
+    * per-mille grid or DECIMAL (the arithmetic, not the plan, is the limit).
+    */
+  def mixtureGap(docs: DataFrame, weights: Seq[(String, Int)] = mixtureSpec): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(weights.toDF("source", "pct"))
+    val perSrc = docs
+      .select(col("source"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"),
+        pmod(hash60(concat(lit("mix:"), col("doc_id").cast(StringType))), lit(100))
+          .as("mix_bucket"))
+      .join(w, "source")
+      .groupBy(col("source"), col("pct"))
+      .agg(sum(col("n_tokens")).as("src_tokens"),
+        sum(when(col("mix_bucket") < col("pct"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+    val tot = perSrc.agg(
+      sum(col("pct") * col("src_tokens")).as("tot_weighted"),
+      sum(col("kept_tokens")).as("tot_kept"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("pct"), col("src_tokens"), col("kept_tokens"),
+        expr("(pct * src_tokens * 1000000) div tot_weighted").as("expected_ppm"),
+        expr("(kept_tokens * 1000000) div tot_kept").as("achieved_ppm"))
+      .withColumn("gap_ppm", col("achieved_ppm") - col("expected_ppm"))
+  }
+
+  /** Per-pack packing report over [[packChunks]]: documents and tokens
+    * assigned to each (source, pack), and whether the pack's last document
+    * straddles into the next pack (the boundary the trainer splits at — the
+    * straddle rate is the packer's fragmentation number). Doc-grain collapses
+    * to pack grain in one hash aggregate on top of the pack assignment.
+    */
+  def packStats(docs: DataFrame, budget: Int = packBudget): DataFrame =
+    packChunks(docs, budget)
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        max(col("cum_tokens")).as("end_cum"))
+      .select(col("source"), col("pack_id"), col("n_docs"), col("pack_tokens"),
+        (col("end_cum") > (col("pack_id") + 1) * budget).as("straddles_next"))
+
   // --------------------------------------------------------------------------
   // Gopher-style quality-rule battery + wordlist filter
   // --------------------------------------------------------------------------
@@ -1971,6 +2043,65 @@ object TextOps {
          |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))""".stripMargin
     }) { (s, d) =>
       wordlistFilter(Tables.documents(s, d))
+    },
+
+    // Canonical-domain blocklist gate over the synthesized fixture URLs.
+    Op.sql("text_domain_filter", {
+      val list = domainBlocklist.map(x => s"'$x'").mkString(", ")
+      s"""WITH u AS ($urlCteSql)
+         |SELECT doc_id, domain,
+         |       CAST(CASE WHEN domain IN ($list) THEN 0 ELSE 1 END AS INTEGER)
+         |         AS dom_keep
+         |FROM (SELECT doc_id, regexp_extract(canonical_url, '^[^/]+') AS domain
+         |      FROM u)""".stripMargin
+    }) { (s, d) =>
+      domainFilter(Tables.documents(s, d))
+    },
+
+    // Recipe-vs-achieved token shares per source under the mixture sample.
+    Op.sql("sample_mixture_gap", {
+      val values = mixtureSpec.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS t(source, pct)),
+         |per AS (
+         |  SELECT source, pct,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+         |    CAST(COALESCE(SUM(CASE WHEN mix_bucket < pct THEN n_tokens ELSE 0 END), 0) AS BIGINT)
+         |      AS kept_tokens
+         |  FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |          ${hash60Sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS mix_bucket
+         |        FROM documents) d
+         |  JOIN w USING (source)
+         |  GROUP BY source, pct),
+         |tot AS (SELECT CAST(SUM(pct * src_tokens) AS BIGINT) AS tot_weighted,
+         |               CAST(SUM(kept_tokens) AS BIGINT) AS tot_kept
+         |        FROM per)
+         |SELECT source, pct, src_tokens, kept_tokens,
+         |  CAST((pct * src_tokens * 1000000) // tot_weighted AS BIGINT) AS expected_ppm,
+         |  CAST((kept_tokens * 1000000) // tot_kept AS BIGINT) AS achieved_ppm,
+         |  CAST((kept_tokens * 1000000) // tot_kept
+         |       - (pct * src_tokens * 1000000) // tot_weighted AS BIGINT) AS gap_ppm
+         |FROM per, tot""".stripMargin
+    }) { (s, d) =>
+      mixtureGap(Tables.documents(s, d))
+    },
+
+    // Pack-grain packing report: docs/tokens per pack + boundary straddle.
+    Op.sql("sample_pack_stats",
+      s"""WITH pc AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |    CAST(FLOOR((CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens)
+         |               / $packBudget) AS BIGINT) AS pack_id
+         |  FROM (SELECT doc_id, source,
+         |          len(regexp_extract_all(text, '$tokenPattern')) AS n_tokens
+         |        FROM documents)
+         |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+         |               ROWS UNBOUNDED PRECEDING))
+         |SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+         |  MAX(cum_tokens) > (pack_id + 1) * $packBudget AS straddles_next
+         |FROM pc GROUP BY source, pack_id""".stripMargin) { (s, d) =>
+      packStats(Tables.documents(s, d))
     },
   )
 }

@@ -750,4 +750,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, s"$a $b")), "first writer keeps everything verbatim")
     assert(r(2L) == ((1L, c)), s"doc 2 keeps only its own passage: ${r(2L)}")
   }
+
+  test("cluster split: every member of a near-dup cluster lands in one split") {
+    val out = Dedup.clusterSplitAssign(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    // 0, 1 (identical) and 2 (near-dup of 0) form one cluster labeled 0
+    assert(out(0L)._1 == 0L && out(1L)._1 == 0L && out(2L)._1 == 0L)
+    assert(out(3L)._1 == 3L, "the unrelated doc is its own cluster")
+    assert(Set(out(0L)._2, out(1L)._2, out(2L)._2).size == 1,
+      "cluster members must share a split")
+  }
+
+  test("leakage audit: cluster keying leaks zero pairs; doc keying matches recount") {
+    val row = Dedup.splitLeakageAudit(docs).collect().head
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(row.getAs[Long]("n_pairs") == pairs.length)
+    assert(row.getAs[Long]("n_leaked_cluster_keyed") == 0L,
+      "cluster-keyed split can never straddle a near-dup pair")
+    // recount the doc-keyed leaks independently from the doc-keyed assignment
+    val naive = graft.operators.TextOps.splitAssign(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expectLeaks = pairs.count { case (a, b) => naive(a) != naive(b) }
+    assert(row.getAs[Long]("n_leaked_doc_keyed") == expectLeaks)
+    val ppm = if (pairs.isEmpty) 0L else expectLeaks.toLong * 1000000L / pairs.length
+    assert(row.getAs[Long]("leak_ppm_doc_keyed") == ppm)
+  }
 }

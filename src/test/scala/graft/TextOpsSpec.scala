@@ -600,4 +600,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 444444L, 0)))
     assert(out(3L) == ((1L, 83333L, 1)))
   }
+
+  test("domain filter: blocklisted canonical domains drop, others keep") {
+    // doc_id % 6 picks the host: 1 → example.com (keep), 2 → news-site.org
+    // (blocked), 4 → Shop.Example.com → shop.example.com (blocked),
+    // 9 → WWW.news-site.org → news-site.org (blocked via canonicalization)
+    val fixture = docs((1L, "x"), (2L, "x"), (4L, "x"), (9L, "x"))
+    val out = TextOps.domainFilter(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("domain"), r.getAs[Int]("dom_keep"))).toMap
+    assert(out(1L) == (("example.com", 1)))
+    assert(out(2L) == (("news-site.org", 0)))
+    assert(out(4L) == (("shop.example.com", 0)))
+    assert(out(9L) == (("news-site.org", 0)), "www. strip must hit the blocklist")
+  }
+
+  test("mixture gap: pct-100 keeps everything; shares consistent with the sample") {
+    val fixture = Seq(
+      (1L, "a b c d", "en", "src0", 7L), (2L, "e f g h", "en", "src0", 7L),
+      (3L, "i j k l", "en", "src1", 7L), (4L, "m n o p", "en", "src1", 7L),
+      (5L, "q r s t", "en", "src1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.mixtureGap(fixture).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("src_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("expected_ppm"), r.getAs[Long]("achieved_ppm"),
+          r.getAs[Long]("gap_ppm"))).toMap
+    // src0 has pct 100 in the spec → every token kept
+    assert(out("src0")._1 == 8L && out("src0")._2 == 8L)
+    // expected shares: src0 = 100*8, src1 = 60*12 → 800/1520, 720/1520
+    assert(out("src0")._3 == 800L * 1000000L / 1520L)
+    assert(out("src1")._3 == 720L * 1000000L / 1520L)
+    // kept tokens agree with what mixtureSample actually keeps
+    val keptIds = TextOps.mixtureSample(fixture).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val keptSrc1 = Seq(3L, 4L, 5L).count(keptIds.contains) * 4L
+    assert(out("src1")._2 == keptSrc1)
+    out.values.foreach(v => assert(v._5 == v._4 - v._3))
+  }
+
+  test("pack stats: doc/token totals per pack and the straddle flag") {
+    // budget 8; token counts 3,4,5,2 → cum 3,7,12,14; packs 0,0,0,1
+    val fixture = docs((1L, "aa bb cc"), (2L, "dd ee ff gg"),
+      (3L, "hh ii jj kk ll"), (4L, "mm nn"))
+    val out = TextOps.packStats(fixture, budget = 8).collect()
+      .map(r => r.getAs[Long]("pack_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens"),
+          r.getAs[Boolean]("straddles_next"))).toMap
+    assert(out(0L) == ((3L, 12L, true)), "pack 0 ends at 12 > 8: straddles")
+    assert(out(1L) == ((1L, 2L, false)), "pack 1 ends at 14 <= 16: clean")
+  }
 }
