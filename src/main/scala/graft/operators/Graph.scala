@@ -68,6 +68,31 @@ object Graph {
       .select(col("e.src"), col("e.dst"), col("e.w"))
   }
 
+  /** Broadcast ceiling for node-grain STATE frames in the iterative ops
+    * (ranks / labels / distances). Below it, broadcasting the state into
+    * the edge join keeps the persisted edge table from ever re-shuffling;
+    * above it, every task rebuilding a corpus-proportional hash map per
+    * round dominates the wall clock (measured: the unconditional hint
+    * drove label propagation to 19.4× wall for 10× data at sf10 — PERF.md
+    * round 7) and at web scale outright breaks. Past the ceiling the ops
+    * pre-partition the edges by `src` ONCE and let the per-round join
+    * shuffle only the node-grain state — the bucketed-Pregel shape whose
+    * per-round cost is one state shuffle, never an edge shuffle.
+    */
+  val stateBroadcastMaxNodes = 1L << 20
+
+  private def stateHint(state: DataFrame, nNodes: Long): DataFrame =
+    if (nNodes <= stateBroadcastMaxNodes) broadcast(state)
+    // past the ceiling: UNHINTED — AQE picks the state-join strategy from
+    // runtime stats (measured at sf10: AQE's choice 568 s vs a pinned
+    // SHUFFLE_HASH 630 s vs the old pinned broadcast 800 s). The edge side
+    // is hash-partitioned by src once (loopEdges), so whatever AQE picks,
+    // only the node-grain state pays a per-round exchange.
+    else state
+
+  private def loopEdges(e: DataFrame, nNodes: Long): DataFrame =
+    if (nNodes <= stateBroadcastMaxNodes) e else e.repartition(col("src"))
+
   /** Weighted PageRank on the 2^40 integer grid, fixed iteration count.
     *
     * Per round: every node sends `(p · w) div out_weight` along each out-edge
@@ -81,20 +106,20 @@ object Graph {
     * join, so the persisted edge table never re-shuffles or re-sorts — each
     * round is one map-side join over edges plus one node-grain aggregate.
     * That holds while ranks ≪ edges (any dense co-purchase graph; catalog
-    * nodes vs catalog-pairs edges). For a graph whose node count itself
-    * breaks broadcast (web-scale), drop the `broadcast` hint and bucket
-    * both sides by `src` — the recurrence is unchanged. `n` is a driver
-    * long (single count of the node frame).
+    * nodes vs catalog-pairs edges). Past [[stateBroadcastMaxNodes]] the op
+    * switches itself to the bucketed shape — edges pre-partitioned by
+    * `src` once, only the rank frame shuffles per round; the recurrence is
+    * unchanged. `n` is a driver long (single count of the node frame).
     */
   def pageRank(edges: DataFrame, iters: Int = prIters): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val e = edges.join(outw, "src").persist()
     val nodes = outw.select(col("src").as("node")).persist()
     val n = nodes.count()
+    val e = loopEdges(edges.join(outw, "src"), n).persist()
     val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / n
     var ranks = nodes.select(col("node"), lit(prGrid / n).as("p"))
     (1 to iters).foreach { _ =>
-      val contrib = e.join(broadcast(ranks), e("src") === ranks("node"))
+      val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
         .select(col("dst"), expr("(p * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -119,8 +144,9 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seedPred: Column,
       iters: Int = prIters): DataFrame = {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    val e = edges.join(outw, "src").persist()
     val nodes = outw.select(col("src").as("node")).persist()
+    val n = nodes.count()
+    val e = loopEdges(edges.join(outw, "src"), n).persist()
     val nSeeds = nodes.filter(seedPred).count()
     require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
     val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / nSeeds
@@ -128,7 +154,7 @@ object Graph {
     var ranks = nodes.select(col("node"),
       when(seedPred, lit(prGrid / nSeeds)).otherwise(lit(0L)).as("p"))
     (1 to iters).foreach { _ =>
-      val contrib = e.join(broadcast(ranks), e("src") === ranks("node"))
+      val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
         .select(col("dst"), expr("(p * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
@@ -154,15 +180,18 @@ object Graph {
     * execution order (asynchronous LPA is famously nondeterministic — that
     * variant cannot be oracle-checked and is deliberately not offered).
     *
-    * Same scale shape as [[pageRank]]: label state is node-grain and
-    * broadcasts into the edge join; the argmax runs in per-node window
-    * partitions. Fixed rounds, `localCheckpoint` each.
+    * Same scale shape as [[pageRank]]: label state is node-grain, broadcast
+    * into the edge join below [[stateBroadcastMaxNodes]] and shuffled
+    * against once-partitioned edges above it; the argmax runs as a hash
+    * aggregate. Fixed rounds, `localCheckpoint` each.
     */
   def labelPropagation(edges: DataFrame, iters: Int = lpaIters): DataFrame = {
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count()
+    val e = loopEdges(edges.select(col("src"), col("dst"), col("w")), n).persist()
     var labels = nodes.select(col("node"), col("node").as("lab"))
     (1 to iters).foreach { _ =>
-      val tally = edges.join(broadcast(labels), edges("src") === labels("node"))
+      val tally = e.join(stateHint(labels, n), e("src") === labels("node"))
         .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wt"))
       // argmax by (wt desc, lab asc) as a HASH aggregate, not a sort window:
       // (wt, -lab) is unique per (dst, lab) row, so max_by is deterministic
@@ -170,6 +199,7 @@ object Graph {
         .agg(max_by(col("lab"), struct(col("wt"), (-col("lab")).as("nl"))).as("lab"))
         .localCheckpoint()
     }
+    e.unpersist(); nodes.unpersist()
     labels.select(col("node").as("product_id"), col("lab").as("community"))
   }
 
@@ -186,19 +216,20 @@ object Graph {
       hops: Int = bfsHops): DataFrame = {
     // persisted for the loop — each hop's action would re-read the edge
     // store otherwise (same rationale as [[weightedSssp]]/[[pageRank]])
-    val e = edges.select(col("src"), col("dst")).persist()
-    val nodes = e.select(col("src").as("node")).distinct()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count()
+    val e = loopEdges(edges.select(col("src"), col("dst")), n).persist()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0)).otherwise(lit(null).cast(IntegerType)).as("d"))
     (1 to hops).foreach { _ =>
-      val relaxed = e.join(broadcast(dist.filter(col("d").isNotNull)),
+      val relaxed = e.join(stateHint(dist.filter(col("d").isNotNull), n),
           e("src") === col("node"))
         .groupBy(col("dst")).agg((min(col("d")) + 1).as("nd"))
       dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
         .select(dist("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint()
     }
-    e.unpersist() // final dist state is checkpoint-materialized
+    e.unpersist(); nodes.unpersist() // final dist state is checkpoint-materialized
     dist.filter(col("d").isNotNull)
       .select(col("node").as("product_id"), col("d").as("dist"))
   }
@@ -339,21 +370,23 @@ object Graph {
       rounds: Int = ssspRounds): DataFrame = {
     // persisted for the loop: each round's action re-reads the edge store
     // otherwise — `rounds` scans of a table that never changes mid-query
-    val e = edges.select(col("src"), col("dst"), edgeLen.as("len")).persist()
     // src ∪ dst: a sink-only node must still be reachable state
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    val e = loopEdges(edges.select(col("src"), col("dst"), edgeLen.as("len")), n)
+      .persist()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0L)).otherwise(lit(null).cast(LongType)).as("d"))
     (1 to rounds).foreach { _ =>
-      val relaxed = e.join(broadcast(dist.filter(col("d").isNotNull)),
+      val relaxed = e.join(stateHint(dist.filter(col("d").isNotNull), n),
           e("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("d") + col("len")).as("nd"))
       dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
         .select(dist("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint()
     }
-    e.unpersist() // final dist state is checkpoint-materialized
+    e.unpersist(); nodes.unpersist() // final dist state is checkpoint-materialized
     dist.filter(col("d").isNotNull)
       .select(col("node").as("product_id"), col("d").as("dist_q"))
   }

@@ -305,6 +305,31 @@ object Quality {
       .withColumn("homogeneous",
         when(col("l_distinct") < l, 1).otherwise(0))
 
+  /** Keys reported by [[joinSkew]]. */
+  val joinSkewTopK = 10
+
+  /** Join-key skew diagnostic: the [[joinSkewTopK]] hottest keys of a join
+    * column with each key's row share (ppm) and its skew-vs-mean ratio on
+    * the ×1000 grid (`skew_x1000 = cnt·n_keys/total`; 1000 = perfectly
+    * uniform) — the numbers read before choosing salting, broadcast, or AQE
+    * skew-join for a 100 TB join. Per-key counts are one hash aggregate;
+    * the top-k is Spark's distributed TakeOrdered over key-grain rows
+    * (never a full sort); totals ride a broadcast 1-row frame; the
+    * rank window orders ≤ topK rows.
+    */
+  def joinSkew(df: DataFrame, keyCol: String, topK: Int = joinSkewTopK): DataFrame = {
+    val k = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = k.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+    k.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))).cast("long"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("rank"), col("n_keys"), col("total"),
+        expr("(cnt * 1000000) div total").as("share_ppm"),
+        expr("(cnt * 1000 * n_keys) div total").as("skew_x1000"))
+  }
+
   def ops: Seq[Op] = Seq(
     Op.sql("quality_l_diversity",
       s"""SELECT c_nationkey,
@@ -480,6 +505,22 @@ object Quality {
         |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
         |ORDER BY e.user_id NULLS FIRST LIMIT 5""".stripMargin) { (s, d) =>
       fkViolationReport(Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey")
+    },
+
+    // Hottest join keys + skew-vs-mean ratio: the salting/AQE decision input.
+    Op.sql("quality_join_skew",
+      s"""WITH k AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY user_id),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |               CAST(SUM(cnt) AS BIGINT) AS total FROM k)
+         |SELECT key, cnt, CAST(rank AS BIGINT) AS rank, n_keys, total,
+         |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+         |  CAST((cnt * 1000 * n_keys) // total AS BIGINT) AS skew_x1000
+         |FROM (SELECT key, cnt,
+         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+         |      FROM k) r, tot
+         |WHERE rank <= $joinSkewTopK""".stripMargin) { (s, d) =>
+      joinSkew(Tables.events(s, d), "user_id")
     },
   )
 }

@@ -509,6 +509,32 @@ object Similarity {
       .filter(col("cos") >= Dedup.cosineTau)
   }
 
+  /** Per-cell cap for [[cellQuota]]. */
+  val cellQuotaN = 100
+
+  /** Topic-balanced subsampling: cap every IVF cell (= embedding-space
+    * topic bucket) at [[cellQuotaN]] vectors — the semantic analog of
+    * [[graft.operators.TextOps.quotaPerSource]], used to stop one dense
+    * topic from dominating a training mix the way one loud source would.
+    * Each vector reports its cell, its deterministic rank within the cell
+    * (vec_id order), the cell's size, and the keep decision; overflow is
+    * visible as `cell_size - quota`, never silently dropped.
+    *
+    * Plan: the broadcast coarse-quantizer assignment ([[ivfAssign]]) plus
+    * one cell-partitioned window — bounded per task because cells are sized
+    * ∝ √N by construction; no global sort, no unbounded window.
+    */
+  def cellQuota(embs: DataFrame, quota: Int = cellQuotaN): DataFrame = {
+    val w = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    ivfAssign(embs)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("cell_rank", row_number().over(w).cast("long"))
+      .withColumn("cell_size", count(lit(1)).over(
+        Window.partitionBy(col("cell"))).cast("long"))
+      .withColumn("cq_keep",
+        (col("cell_rank") <= quota).cast("int"))
+  }
+
   /** Neighbors per vector in the k-NN GRAPH (small — the near-dup /
     * clustering precursor keeps only each vector's closest few).
     */
@@ -1680,6 +1706,22 @@ object Similarity {
          |    ON b.cell = a.cell AND a.vec_id < b.vec_id)
          |WHERE cos >= ${Dedup.cosineTau}""".stripMargin) { (s, d) =>
       semanticCellPairs(Tables.embeddings(s, d))
+    },
+
+    // Topic-balanced subsample: every IVF cell capped at cellQuotaN vectors.
+    Op.sql("sample_cell_quota",
+      s"""WITH $ivfAssignedCte
+         |SELECT vec_id, cell,
+         |  CAST(cell_rank AS BIGINT) AS cell_rank,
+         |  CAST(cell_size AS BIGINT) AS cell_size,
+         |  CAST(CASE WHEN cell_rank <= $cellQuotaN THEN 1 ELSE 0 END AS INTEGER)
+         |    AS cq_keep
+         |FROM (
+         |  SELECT vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS cell_rank,
+         |    COUNT(*) OVER (PARTITION BY cell) AS cell_size
+         |  FROM assigned)""".stripMargin) { (s, d) =>
+      cellQuota(Tables.embeddings(s, d))
     },
 
     Op.sql("sim_pq_codes",

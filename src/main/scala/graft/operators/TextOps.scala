@@ -133,6 +133,51 @@ object TextOps {
     withCounts.withColumn("lang_pred", langPredFromCounts(en, de, es, fr))
   }
 
+  /** Tokens per language-ID segment in [[langSegments]]. */
+  val langSegLen = 16
+
+  /** Code-switching audit: language-ID at SEGMENT grain ([[langSegLen]]-token
+    * non-overlapping windows), rolled up per document against its doc-level
+    * prediction — `switch_ppm` is the fraction of segments that CONFIDENTLY
+    * predict a different language than the document as a whole (unknowns
+    * abstain, the [[langMismatch]] convention). A corpus pipeline drops or
+    * splits high-switch documents: doc-grain language ID silently mislabels
+    * half of a bilingual document, and that half trains the wrong
+    * language's distribution.
+    *
+    * Plan: one narrow explode (segments per doc = tokens/[[langSegLen]],
+    * corpus-linear), marker counts on array slices (all codegen), one
+    * doc-grain hash aggregate, and a doc-grain equi-join to the doc-level
+    * prediction. No shuffle carries text — segments live and die inside
+    * their partition's explode.
+    */
+  def langSegments(docs: DataFrame): DataFrame = {
+    val segs = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_tokens", size(col("ws")).cast(LongType))
+      .withColumn("seg",
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div $langSegLen"))))
+      .withColumn("sw", slice(col("ws"),
+        (col("seg") * langSegLen + 1).cast(IntegerType), lit(langSegLen)))
+    val counted = segs.select(col("doc_id") +:
+      markers.map { case (l, _) => markerCount(col("sw"), l).as(s"${l}_ct") }: _*)
+    val Seq(en, de, es, fr) = markers.map { case (l, _) => col(s"${l}_ct") }
+    val segPred = counted
+      .withColumn("seg_pred", langPredFromCounts(en, de, es, fr))
+    segPred
+      .join(langId(docs).select(col("doc_id"), col("lang_pred")), "doc_id")
+      .groupBy(col("doc_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("seg_pred") =!= "unknown" &&
+          col("seg_pred") === col("lang_pred"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("seg_pred") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown"))
+      .select(col("doc_id"), col("lang_pred"), col("n_segments"),
+        col("n_agree"), col("n_unknown"),
+        expr("((n_segments - n_agree - n_unknown) * 1000000) div n_segments")
+          .as("switch_ppm"))
+  }
+
   /** Declared-vs-detected language mismatch rate per source (audit twin of
     * [[langId]]): docs whose confident prediction disagrees with the
     * declared `lang` label, counted at source grain on the ppm grid —
@@ -1271,6 +1316,46 @@ object TextOps {
         (col("doc_id") === col("owner_doc")).as("is_url_canonical"))
   }
 
+  /** The stored URL-dedup index artifact: one row per canonical-url hash
+    * with the group's running size and first-writer owner — what a
+    * production ingest keeps between batches (the
+    * [[graft.operators.Dedup.minhashIndex]] store convention: caller owns
+    * persistence).
+    */
+  def urlIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("ch", hash60(urlCanonical(urlSynth(col("doc_id")))))
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("owner_doc"))
+
+  /** Incremental URL dedup: fold a NEW batch against the stored
+    * [[urlIndex]] without re-canonicalizing history. Because the index
+    * carries each group's running (count, owner), the batch's rows land on
+    * EXACTLY the numbers a full [[urlDedup]] of old ∪ new would give them —
+    * n_dups = stored + batch occurrences, owner = min(stored, batch) — at
+    * the cost of one narrow pass over the batch plus one hash equi-join
+    * against the 16-byte-keyed index. History is never rescanned: the
+    * 100 TB ingest-loop shape.
+    */
+  def incrementalUrlDedup(newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val canon = newDocs.select(col("doc_id"))
+      .withColumn("url", urlSynth(col("doc_id")))
+      .withColumn("canonical_url", urlCanonical(col("url")))
+      .withColumn("ch", hash60(col("canonical_url")))
+    val batchGroups = canon.groupBy(col("ch"))
+      .agg(count(lit(1)).as("b_n"), min(col("doc_id")).as("b_owner"))
+    val merged = batchGroups
+      .join(index.select(col("ch"), col("n_dups").as("i_n"),
+        col("owner_doc").as("i_owner")), Seq("ch"), "left")
+      .select(col("ch"),
+        (col("b_n") + coalesce(col("i_n"), lit(0L))).as("n_dups"),
+        least(col("b_owner"), coalesce(col("i_owner"), col("b_owner")))
+          .as("owner_doc"))
+    canon.join(merged, "ch")
+      .select(col("doc_id"), col("url"), col("canonical_url"), col("n_dups"),
+        (col("doc_id") === col("owner_doc")).as("is_url_canonical"))
+  }
+
   /** Oracle CTE body (doc_id, url, canonical_url) shared by both URL ops. */
   private[operators] lazy val urlCteSql: String =
     s"""SELECT doc_id, url, ${urlCanonicalSql("url")} AS canonical_url
@@ -1345,6 +1430,43 @@ object TextOps {
         expr("(pct * src_tokens * 1000000) div tot_weighted").as("expected_ppm"),
         expr("(kept_tokens * 1000000) div tot_kept").as("achieved_ppm"))
       .withColumn("gap_ppm", col("achieved_ppm") - col("expected_ppm"))
+  }
+
+  /** Total training-token budget for [[epochPlan]] and the repeat cap
+    * (×1000 grid: 4000 = at most 4 epochs of any source — past that,
+    * repetition stops buying quality; the Muennighoff-style knob).
+    */
+  val epochBudget = 100000L
+  val maxEpochsX1000 = 4000L
+
+  /** Epoch plan: how many times to repeat each source to hit the recipe's
+    * target mix under a total token budget. Target tokens per source =
+    * `budget × pct / Σpct` (driver-side literals from the recipe); the
+    * data-dependent part is each source's actual token count, giving
+    * `epochs_x1000 = min(cap, target×1000 / src_tokens)` on the integer
+    * grid, the planned token yield under that repeat factor, and the
+    * shortfall a capped source leaves unfilled (the signal to go find more
+    * of that source). One source-grain aggregate; everything else is
+    * broadcast literal arithmetic.
+    */
+  def epochPlan(docs: DataFrame, weights: Seq[(String, Int)] = mixtureSpec,
+      budget: Long = epochBudget): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totPct = weights.map(_._2.toLong).sum
+    val w = broadcast(weights.map { case (s, p) =>
+      (s, p, budget * p / totPct) }.toDF("source", "pct", "target_tokens"))
+    docs.select(col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+      .join(w, "source")
+      .select(col("source"), col("pct"), col("src_tokens"), col("target_tokens"),
+        least(lit(maxEpochsX1000),
+          expr("(target_tokens * 1000) div src_tokens")).as("epochs_x1000"))
+      .withColumn("planned_tokens",
+        expr("(src_tokens * epochs_x1000) div 1000"))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), col("target_tokens") - col("planned_tokens")))
   }
 
   /** Per-pack packing report over [[packChunks]]: documents and tokens
@@ -1994,6 +2116,24 @@ object TextOps {
       urlDedup(Tables.documents(s, d))
     },
 
+    // Incremental URL dedup vs the stored index: must land on the SAME rows
+    // as the full recompute, restricted to the batch (doc_id % 7 == 0) —
+    // the dedup_clusters_incremental oracle convention.
+    Op.sql("text_url_dedup_incremental",
+      s"""WITH u AS ($urlCteSql),
+         |g AS (SELECT ${hash60Sql("canonical_url")} AS ch,
+         |             CAST(COUNT(*) AS BIGINT) AS n_dups,
+         |             MIN(doc_id) AS owner_doc
+         |      FROM u GROUP BY 1)
+         |SELECT u.doc_id, u.url, u.canonical_url, g.n_dups,
+         |       u.doc_id = g.owner_doc AS is_url_canonical
+         |FROM u JOIN g ON ${hash60Sql("u.canonical_url")} = g.ch
+         |WHERE u.doc_id % 7 = 0""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      incrementalUrlDedup(docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        urlIndex(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
+    },
+
     // Canonical-domain corpus report: doc count, distinct URLs, dup ppm.
     Op.sql("text_url_domain_stats",
       s"""WITH u AS ($urlCteSql)
@@ -2083,6 +2223,61 @@ object TextOps {
          |FROM per, tot""".stripMargin
     }) { (s, d) =>
       mixtureGap(Tables.documents(s, d))
+    },
+
+    // Segment-grain language ID rolled up per doc: the code-switching audit.
+    Op.sql("text_lang_segments", {
+      val segCts = markers.map { case (l, _) =>
+        s"${markerCountSql("sw", l)} AS ${l}_ct" }.mkString(",\n         ")
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |segs AS (
+         |  SELECT doc_id, ws[seg*$langSegLen+1 : seg*$langSegLen+$langSegLen] AS sw
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(0, (len(ws) - 1) // $langSegLen)) AS seg
+         |        FROM w0)),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN en_ct >= de_ct AND en_ct >= es_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+         |         WHEN de_ct >= es_ct AND de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+         |         WHEN es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+         |         WHEN fr_ct > 0 THEN 'fr'
+         |         ELSE 'unknown' END AS seg_pred
+         |  FROM (SELECT doc_id, $segCts FROM segs)),
+         |dp AS (SELECT doc_id, lang_pred FROM ($langIdOracle) li)
+         |SELECT doc_id, lang_pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |  CAST(SUM(CASE WHEN seg_pred <> 'unknown' AND seg_pred = lang_pred
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(SUM(CASE WHEN seg_pred = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+         |  CAST(((COUNT(*) - SUM(CASE WHEN seg_pred <> 'unknown' AND seg_pred = lang_pred
+         |                        THEN 1 ELSE 0 END)
+         |         - SUM(CASE WHEN seg_pred = 'unknown' THEN 1 ELSE 0 END)) * 1000000)
+         |       // COUNT(*) AS BIGINT) AS switch_ppm
+         |FROM sp JOIN dp USING (doc_id)
+         |GROUP BY doc_id, lang_pred""".stripMargin
+    }) { (s, d) =>
+      langSegments(Tables.documents(s, d))
+    },
+
+    // Epoch plan: repeat factor per source to hit the recipe under a budget.
+    Op.sql("sample_epoch_plan", {
+      val totPct = mixtureSpec.map(_._2.toLong).sum
+      val values = mixtureSpec.map { case (s, p) =>
+        s"('$s', $p, ${epochBudget * p / totPct})" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $values) AS t(source, pct, target_tokens)),
+         |st AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+         |       FROM documents GROUP BY source)
+         |SELECT source, pct, src_tokens, CAST(target_tokens AS BIGINT) AS target_tokens,
+         |  CAST(LEAST($maxEpochsX1000, (target_tokens * 1000) // src_tokens) AS BIGINT)
+         |    AS epochs_x1000,
+         |  CAST((src_tokens * LEAST($maxEpochsX1000, (target_tokens * 1000) // src_tokens))
+         |       // 1000 AS BIGINT) AS planned_tokens,
+         |  CAST(GREATEST(0, target_tokens
+         |       - (src_tokens * LEAST($maxEpochsX1000, (target_tokens * 1000) // src_tokens))
+         |         // 1000) AS BIGINT) AS shortfall_tokens
+         |FROM st JOIN w USING (source)""".stripMargin
+    }) { (s, d) =>
+      epochPlan(Tables.documents(s, d))
     },
 
     // Pack-grain packing report: docs/tokens per pack + boundary straddle.

@@ -531,4 +531,60 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** URL-level ingest dedup as a streaming query: each micro-batch of
+    * arriving documents is canonicalized ONCE, assigned its running dup
+    * count and first-writer ownership against the STORED canonical-url-hash
+    * index ([[graft.operators.TextOps.incrementalUrlDedup]]), and appends
+    * its own group deltas to the index. The index store is an append log of
+    * per-batch (ch, n_dups, owner_doc) deltas, compacted on read by one
+    * hash-grain aggregate — an upsert sink would replace the compaction at
+    * production scale; the log keeps the loop engine-pure here. n_dups is
+    * AS-OF arrival (the running count a crawler acts on); ownership is
+    * first-writer and, under doc_id-ordered arrival, equals the full
+    * recompute's global-min owner. Exactly-once under foreachBatch's
+    * at-least-once replay via the batchId-keyed subdir + _SUCCESS commit
+    * marker (index delta written LAST).
+    */
+  def incrementalUrlDedupLoop(spark: SparkSession, docsStreamDir: String,
+      indexDir: String, assignDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    val reader = spark.readStream.schema(graft.sources.Jsonl.documentsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.TextOps
+        val s = batch.sparkSession
+        val idxRoot = new Path(indexDir)
+        val fs = idxRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val idxBatch = new Path(idxRoot, s"batch_id=$batchId")
+        if (!fs.exists(new Path(idxBatch, "_SUCCESS"))) {
+          val committed =
+            if (fs.exists(idxRoot))
+              fs.listStatus(idxRoot)
+                .filter(st => st.isDirectory &&
+                  fs.exists(new Path(st.getPath, "_SUCCESS")))
+                .map(_.getPath.toString).toSeq
+            else Seq.empty[String]
+          val index =
+            if (committed.nonEmpty)
+              s.read.parquet(committed: _*).groupBy(col("ch"))
+                .agg(sum(col("n_dups")).as("n_dups"),
+                  min(col("owner_doc")).as("owner_doc"))
+            else TextOps.urlIndex(batch.limit(0).toDF()) // empty, right schema
+          TextOps.incrementalUrlDedup(batch.toDF(), index)
+            .write.mode("overwrite")
+            .parquet(new Path(assignDir, s"batch_id=$batchId").toString)
+          // written LAST: its _SUCCESS is what marks the whole batch committed
+          TextOps.urlIndex(batch.toDF()).write.mode("overwrite")
+            .parquet(idxBatch.toString)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

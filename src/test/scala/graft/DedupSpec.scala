@@ -751,6 +751,24 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2L) == ((1L, c)), s"doc 2 keeps only its own passage: ${r(2L)}")
   }
 
+  test("cell quota: ranks contiguous per cell, keep iff rank within quota, sizes reconcile") {
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val n = embs.count()
+    val rows = Similarity.cellQuota(embs, quota = 5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("cell_rank"), r.getAs[Long]("cell_size"), r.getAs[Int]("cq_keep")))
+    assert(rows.length == n, "every vector is assigned and reported")
+    rows.groupBy(_._2).foreach { case (cell, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"cell $cell ranks must be dense 1..size")
+      assert(rs.forall(_._4 == rs.length), s"cell $cell size column must match")
+      // rank order is vec_id order: the k lowest ids are the keepers
+      val keepIds = rs.filter(_._5 == 1).map(_._1).sorted.toSeq
+      assert(keepIds == rs.map(_._1).sorted.take(5).toSeq)
+    }
+    assert(rows.count(_._5 == 1) == rows.groupBy(_._2).values.map(rs => math.min(5, rs.length)).sum)
+  }
+
   test("cluster split: every member of a near-dup cluster lands in one split") {
     val out = Dedup.clusterSplitAssign(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->

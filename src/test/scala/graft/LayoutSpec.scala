@@ -130,4 +130,20 @@ class LayoutSpec extends AnyFunSuite {
       assert(t >= 0 && t <= graft.operators.Relational.pruneFiles, s"($l,$p)=$t")
     }
   }
+
+  test("file sizing plan: ceil-divided file counts, floor of one file, rows rounded up") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "t", "en", "big", 9000L), (2L, "t", "en", "big", 200L),
+      (3L, "t", "en", "tiny", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Relational.fileSizing(fixture).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+          r.getAs[Long]("n_files"), r.getAs[Long]("rows_per_file"))).toMap
+    // big: 9200 bytes / 4096 target → ceil = 3 files, 2 rows → 1 row/file
+    assert(out("big") == ((2L, 9200L, 3L, 1L)))
+    // tiny: 10 bytes → floor of 1 file, 1 row per file
+    assert(out("tiny") == ((1L, 10L, 1L, 1L)))
+  }
 }

@@ -244,6 +244,44 @@ class PlanSpec extends AnyFunSuite {
       s"split scan read $readCols — should read only the key")
   }
 
+  test("doc-grain gates are pure narrow plans: no exchange anywhere") {
+    // gopher rules, wordlist filter, domain gate: one codegen pass each
+    val docs = Tables.documents(spark, TestSession.sf)
+    for ((name, df) <- Seq(
+        "gopherRules" -> graft.operators.TextOps.gopherRules(docs),
+        "wordlistFilter" -> graft.operators.TextOps.wordlistFilter(docs),
+        "domainFilter" -> graft.operators.TextOps.domainFilter(docs))) {
+      assert(df.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isEmpty, s"$name must not shuffle")
+    }
+  }
+
+  test("mixture gap and epoch plan broadcast the recipe; corpus shuffles once by source") {
+    val docs = Tables.documents(spark, TestSession.sf)
+    for ((name, df) <- Seq(
+        "mixtureGap" -> graft.operators.TextOps.mixtureGap(docs),
+        "epochPlan" -> graft.operators.TextOps.epochPlan(docs))) {
+      val plan = df.queryExecution.sparkPlan
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$name must join the recipe via broadcast")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }.isEmpty, s"$name must never sort-merge against a ~20-row recipe")
+    }
+  }
+
+  test("join-skew diagnostic: bounded TakeOrdered over key grain, no global sort") {
+    val df = graft.operators.Quality.joinSkew(
+      Tables.events(spark, TestSession.sf), "user_id")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject, got:\n$plan")
+  }
+
   test("market basket pairs explode from per-order arrays — no order-keyed self-join") {
     // the oracle's self-join formulation shuffles the fact table twice on
     // order_id and explodes quadratically on a skewed mega-basket; the

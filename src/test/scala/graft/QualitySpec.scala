@@ -237,4 +237,18 @@ class QualitySpec extends AnyFunSuite {
     assert(out((7, 1L)) == ((5L, 1L, 1)), "size-5 single-segment class must flag")
     assert(out((7, 2L)) == ((2L, 2L, 0)), "two-segment class is l-diverse")
   }
+
+  test("join skew: hottest keys ranked, shares and skew-vs-mean exact") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")).toDF("k")
+    val out = Quality.joinSkew(df, "k").collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("rank"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("total"), r.getAs[Long]("share_ppm"),
+          r.getAs[Long]("skew_x1000"))).toMap
+    assert(out("a") == ((5L, 1L, 4L, 10L, 500000L, 2000L)),
+      "key a holds half the rows: 2x the uniform mean")
+    assert(out("b") == ((3L, 2L, 4L, 10L, 300000L, 1200L)))
+    assert(out("c") == ((1L, 3L, 4L, 10L, 100000L, 400L)))
+    assert(out("d")._2 == 4L, "ties broken by key order")
+  }
 }

@@ -300,4 +300,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       s"streamed=${streamed.count()} batch=${batch.count()}")
   }
+
+  test("streaming url dedup: final index equals full recompute; ownership first-writer") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, TestSession.sf)
+    val cut = 250L
+    val inDir = Files.createTempDirectory("graft-url-in").toString
+    val base = Files.createTempDirectory("graft-url-out").toString
+    // doc_id-ordered waves, one part file each (the span-loop convention:
+    // arrival order = canonical order so first-writer = global-min owner)
+    docs.filter(col("doc_id") < cut).coalesce(1).write.mode("append").parquet(inDir)
+    docs.filter(col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalUrlDedupLoop(spark, inDir,
+      s"$base/index", s"$base/assign",
+      Files.createTempDirectory("graft-uckpt").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    // compacted index == the one-shot full index
+    def idxKey(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("ch") -> (r.getAs[Long]("n_dups"), r.getAs[Long]("owner_doc"))
+    val compacted = spark.read.parquet(s"$base/index")
+      .groupBy(col("ch")).agg(org.apache.spark.sql.functions.sum(col("n_dups")).as("n_dups"),
+        org.apache.spark.sql.functions.min(col("owner_doc")).as("owner_doc"))
+      .collect().map(idxKey).toMap
+    val full = TextOps.urlIndex(docs).collect().map(idxKey).toMap
+    assert(compacted == full, "streamed index must equal the one-shot index")
+    // per-doc ownership under ordered arrival == the full recompute's flag
+    val streamedOwn = spark.read.parquet(s"$base/assign")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_url_canonical")).toMap
+    val fullOwn = TextOps.urlDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_url_canonical")).toMap
+    assert(streamedOwn == fullOwn)
+    // replay with a fresh checkpoint: commit markers make every batch a no-op
+    val nIdx = spark.read.parquet(s"$base/index").count()
+    val q2 = StreamingOps.incrementalUrlDedupLoop(spark, inDir,
+      s"$base/index", s"$base/assign",
+      Files.createTempDirectory("graft-uckpt2").toString, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+    assert(spark.read.parquet(s"$base/index").count() == nIdx,
+      "replayed micro-batches must be no-ops")
+  }
 }

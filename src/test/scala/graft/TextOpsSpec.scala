@@ -554,6 +554,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(raw(1L) == "https://example.com/p/1")
   }
 
+  test("incremental url dedup vs a stored index equals the full recompute on the batch") {
+    val fixture = docs((0L, "x"), (1L, "x"), (9L, "x"), (151L, "x"), (300L, "x"),
+      (7L, "x"), (14L, "x"), (450L, "x"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> (r.getAs[String]("canonical_url"),
+        r.getAs[Long]("n_dups"), r.getAs[Boolean]("is_url_canonical"))
+    for (cut <- Seq(0L, 10L, 200L, 1000L)) { // empty, small, mid, full index
+      val idx = TextOps.urlIndex(fixture.filter($"doc_id" < cut))
+      val got = TextOps.incrementalUrlDedup(
+        fixture.filter($"doc_id" >= cut), idx).collect().map(key).toMap
+      val want = TextOps.urlDedup(fixture).collect().map(key).toMap
+        .filter(_._1 >= cut)
+      assert(got == want, s"cut=$cut: $got != $want")
+    }
+  }
+
   test("url domain stats: dup ppm per canonical domain") {
     // three docs on example.com (two URLs), one on news-site.org
     val fixture = docs((0L, "x"), (1L, "x"), (300L, "x"), (9L, "x"))
@@ -637,6 +653,43 @@ class TextOpsSpec extends AnyFunSuite {
     val keptSrc1 = Seq(3L, 4L, 5L).count(keptIds.contains) * 4L
     assert(out("src1")._2 == keptSrc1)
     out.values.foreach(v => assert(v._5 == v._4 - v._3))
+  }
+
+  test("epoch plan: repeat factor capped, planned yield and shortfall exact") {
+    // budget 100000, Σpct = 1000 → targets: src0 (pct 100) = 10000 tokens,
+    // src1 (pct 60) = 6000. Both tiny sources cap at 4 epochs.
+    val fixture = Seq(
+      (1L, "a b c d", "en", "src0", 7L), (2L, "e f g h", "en", "src0", 7L),
+      (3L, "i j k l", "en", "src1", 7L), (4L, "m n o p", "en", "src1", 7L),
+      (5L, "q r s t", "en", "src1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.epochPlan(fixture).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("src_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("epochs_x1000"), r.getAs[Long]("planned_tokens"),
+          r.getAs[Long]("shortfall_tokens"))).toMap
+    assert(out("src0") == ((8L, 10000L, 4000L, 32L, 9968L)))
+    assert(out("src1") == ((12L, 6000L, 4000L, 48L, 5952L)))
+  }
+
+  test("lang segments: bilingual doc flags the confident minority half") {
+    // fillers must dodge every marker list ("y" is a Spanish marker!)
+    val en16 = "the the the the" + " x" * 12
+    val fr16 = "le le le le" + " q" * 12
+    val fixture = docs(
+      (1L, s"$en16 $fr16"),   // 2 segments: en then fr; doc-level pred = en
+      (2L, en16),              // 1 segment, pure en
+      (3L, "z z z"))           // 1 segment, no markers anywhere → unknown
+    val out = TextOps.langSegments(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang_pred"), r.getAs[Long]("n_segments"),
+          r.getAs[Long]("n_agree"), r.getAs[Long]("n_unknown"),
+          r.getAs[Long]("switch_ppm"))).toMap
+    assert(out(1L) == (("en", 2L, 1L, 0L, 500000L)),
+      s"half the segments confidently disagree: ${out(1L)}")
+    assert(out(2L) == (("en", 1L, 1L, 0L, 0L)))
+    assert(out(3L) == (("unknown", 1L, 0L, 1L, 0L)),
+      "unknown segments abstain — never counted as agreement or switching")
   }
 
   test("pack stats: doc/token totals per pack and the straddle flag") {
