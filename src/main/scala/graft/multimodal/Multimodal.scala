@@ -227,6 +227,24 @@ object Multimodal {
     star.unionByName(near)
   }
 
+  /** Hamming-threshold tuning sweep over the banded candidate set: pair
+    * count at every threshold 0..[[nearDupHamming]] (cumulative — a pair at
+    * distance d counts toward every t ≥ d), zero-rows kept so the curve is
+    * complete. The image twin of [[graft.operators.Dedup
+    * .jaccardThresholdSweep]]: the report read before picking the near-dup
+    * threshold, from ONE banded pass (pairs explode into their ≥-thresholds;
+    * never re-scanned per threshold). Recall caveat inherited from the band
+    * layout: exact for d < [[dhashBands]], banded-candidate recall above.
+    */
+  def mediaThresholdSweep(docs: DataFrame, maxT: Int = nearDupHamming): DataFrame = {
+    val counts = nearDupPairs(mediaFromDocuments(docs), maxT)
+      .select(explode(sequence(col("hamming"), lit(maxT.toLong))).as("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    docs.sparkSession.range(0, maxT + 1L).toDF("threshold")
+      .join(counts, Seq("threshold"), "left")
+      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** One row per media record: its image dup-cluster id — the min doc_id of
     * its dHash near-dup component (exact copies via star pairs, re-encodes
     * via the banded Hamming pairs); records with no near-dup are their own
@@ -455,6 +473,19 @@ object Multimodal {
       s"""WITH ${nearDupPairsCtes("")}
          |SELECT doc_a, doc_b, hamming FROM mp""".stripMargin) {
       (s, d) => mediaNearDups(Tables.documents(s, d))
+    },
+
+    // Threshold-tuning curve: cumulative pair count per Hamming threshold.
+    Op.sql("media_threshold_sweep",
+      s"""WITH ${nearDupPairsCtes("")},
+         |sw AS (SELECT unnest(generate_series(hamming, $nearDupHamming)) AS threshold
+         |       FROM mp),
+         |c AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |      FROM sw GROUP BY threshold)
+         |SELECT t.threshold, CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs
+         |FROM generate_series(0, $nearDupHamming) t(threshold)
+         |LEFT JOIN c USING (threshold)""".stripMargin) {
+      (s, d) => mediaThresholdSweep(Tables.documents(s, d))
     },
 
     // One row per asset: its visual-identity cluster (components over the

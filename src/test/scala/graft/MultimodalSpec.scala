@@ -248,4 +248,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.exists(_.getAs[Boolean]("keep")))
     assert(m.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("media threshold sweep: complete monotone curve, endpoint equals the pair set") {
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val curve = Multimodal.mediaThresholdSweep(docs).collect()
+      .map(r => r.getAs[Long]("threshold") -> r.getAs[Long]("n_pairs")).toMap
+    assert(curve.keySet == (0L to Multimodal.nearDupHamming).toSet,
+      "every threshold row present, including zero-pair ones")
+    (1L to Multimodal.nearDupHamming).foreach(t =>
+      assert(curve(t) >= curve(t - 1), s"cumulative curve must be monotone at $t"))
+    val nPairs = Multimodal.mediaNearDups(docs).count()
+    assert(curve(Multimodal.nearDupHamming.toLong) == nPairs,
+      "the max-threshold point IS the near-dup pair count")
+  }
 }
