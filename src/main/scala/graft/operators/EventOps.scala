@@ -264,6 +264,33 @@ object EventOps {
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Gap thresholds (minutes) swept by [[sessionGapSweep]]. */
+  val sessionGapSweepMin: Seq[Long] = Seq(5L, 15L, 30L, 60L, 120L)
+
+  /** Sessionization-threshold tuning sweep: session count and mean session
+    * size (×1000 grid) at each candidate idle-gap threshold — the report
+    * read before fixing [[sessionGapUs]] (too small fragments intent, too
+    * large merges visits). ONE user-keyed window pass computes every
+    * event's idle gap; each threshold is then a conditional count over the
+    * same gap column (events explode ×|thresholds| into a hash aggregate —
+    * never a re-sessionization per candidate).
+    */
+  def sessionGapSweep(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .select(col("gap_us"),
+        explode(array(sessionGapSweepMin.map(lit): _*)).as("gap_minutes"))
+      .groupBy(col("gap_minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap_us").isNull ||
+          col("gap_us") > col("gap_minutes") * 60000000L, 1L).otherwise(0L))
+          .as("n_sessions"))
+      .select(col("gap_minutes"), col("n_events"), col("n_sessions"),
+        expr("(n_events * 1000) div n_sessions").as("events_per_session_x1000"))
+  }
+
   /** Gap-based sessionization: a new session starts after > 30 min idle. */
   def sessionize(events: DataFrame): DataFrame =
     numberedSessions(events)
@@ -1165,6 +1192,27 @@ object EventOps {
          |       MIN(ts) AS run_start, MAX(ts) AS run_end, COUNT(*) AS run_len
          |FROM runs GROUP BY user_id, run_seq""".stripMargin) { (s, d) =>
       typeRuns(Tables.events(s, d))
+    },
+
+    // Idle-gap tuning curve: sessions + mean size per candidate threshold.
+    Op.sql("events_session_gap_sweep", {
+      val list = sessionGapSweepMin.mkString(", ")
+      s"""WITH $eventsCte,
+         |g AS (
+         |  SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+         |           ORDER BY ts, event_id)) AS gap_us
+         |  FROM ev),
+         |t AS (SELECT unnest([$list]) AS gap_minutes)
+         |SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > gap_minutes * CAST(60000000 AS BIGINT)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         |  CAST((COUNT(*) * 1000) // SUM(CASE WHEN gap_us IS NULL
+         |           OR gap_us > gap_minutes * CAST(60000000 AS BIGINT) THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS events_per_session_x1000
+         |FROM g, t GROUP BY gap_minutes""".stripMargin
+    }) { (s, d) =>
+      sessionGapSweep(Tables.events(s, d))
     },
 
     Op.sql("events_sessions",

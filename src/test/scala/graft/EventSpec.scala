@@ -583,4 +583,21 @@ class EventSpec extends AnyFunSuite {
           ts("2024-01-09 00:00:00").getTime
     })
   }
+
+  test("session gap sweep: monotone in threshold; 30-min point equals sessionize") {
+    import graft.operators.EventOps
+    val events = graft.sources.Tables.events(spark, TestSession.sf)
+    val curve = EventOps.sessionGapSweep(events).collect()
+      .map(r => r.getAs[Long]("gap_minutes") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_sessions"))).toMap
+    assert(curve.keySet == EventOps.sessionGapSweepMin.toSet)
+    val total = events.count()
+    assert(curve.values.forall(_._1 == total), "every row carries the event total")
+    // bigger allowed gap → fewer (or equal) sessions
+    EventOps.sessionGapSweepMin.sliding(2).foreach { case Seq(a, b) =>
+      assert(curve(b)._2 <= curve(a)._2, s"sessions must not grow from $a to $b min")
+    }
+    assert(curve(30L)._2 == EventOps.sessionize(events).count(),
+      "the 30-min sweep point must equal the production sessionizer")
+  }
 }
