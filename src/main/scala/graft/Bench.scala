@@ -217,6 +217,10 @@ object Bench {
     val (cg0, jit0) = warmupCounters()
     val first = runSuite()
     val (cg1, jit1) = warmupCounters()
+    // snapshot the reservoir mean BETWEEN attempts: attempt-1 compilations
+    // are systematically slower than attempt-2's, so a single process-
+    // lifetime mean would smear attempt-1's cost toward symmetry
+    val codegenMean1 = codegenHist.getSnapshot.getMean
     val firstLoad = loadMax
     val firstInvalid = isInvalid(first)
     loadMax = 0.0
@@ -269,10 +273,16 @@ object Bench {
     // diagnosable even when tail-capture truncates the full queries map.
     val top20 = results.filter(_._3).sortBy(-_._2).take(20)
       .map(r => s"${Json.quote(r._1)}:${r._2}").mkString("{", ",", "}")
-    // codegen_ms_approx = compilations × reservoir mean (the codahale
-    // histogram keeps no exact sum); jit_ms is exact. Both per attempt.
+    // codegen_ms_approx = per-attempt sum estimates from per-attempt mean
+    // snapshots (the codahale histogram keeps no exact sum): attempt 1 uses
+    // the between-attempts mean × its compile delta; attempt 2 uses the
+    // estimated total-sum delta (mean2·cg2 − mean1·cg1), so attempt-1's
+    // slower compiles don't get averaged into attempt-2's cost. Compile
+    // COUNTS are exact; jit_ms is exact.
+    val cgMs1 = (codegenMean1 * (cg1 - cg0)).round
+    val cgMs2 = math.max(0L, (codegenMeanMs * cg2 - codegenMean1 * cg1).round)
     val warmupAttribution =
-      s"""{"codegen_compiles":[${cg1 - cg0},${cg2 - cg1}],"codegen_ms_approx":[${(codegenMeanMs * (cg1 - cg0)).round},${(codegenMeanMs * (cg2 - cg1)).round}],"jit_ms":[${jit1 - jit0},${jit2 - jit1}]}"""
+      s"""{"codegen_compiles":[${cg1 - cg0},${cg2 - cg1}],"codegen_ms_approx":[$cgMs1,$cgMs2],"jit_ms":[${jit1 - jit0},${jit2 - jit1}]}"""
     val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"warmup_attribution":$warmupAttribution,"top20_s":$top20"""
     val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
       .mkString("{", ",", "}")

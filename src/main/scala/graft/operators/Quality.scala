@@ -517,7 +517,7 @@ object Quality {
          |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
          |  CAST((cnt * 1000 * n_keys) // total AS BIGINT) AS skew_x1000
          |FROM (SELECT key, cnt,
-         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, key NULLS FIRST) AS rank
          |      FROM k) r, tot
          |WHERE rank <= $joinSkewTopK""".stripMargin) { (s, d) =>
       joinSkew(Tables.events(s, d), "user_id")

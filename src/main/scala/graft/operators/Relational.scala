@@ -265,6 +265,29 @@ object Relational {
       .filter(col("day_rank") <= k)
   }
 
+  /** Target bytes per output file for [[fileSizing]] (power of two; the
+    * production knob is ~128 MiB parquet — the fixture constant keeps the
+    * report non-degenerate at test scale).
+    */
+  val targetFileBytes = 4096L
+
+  /** Writer file-sizing plan: per source, the byte estimate (text payload
+    * dominates a document table), the output file count at
+    * [[targetFileBytes]], and rows per file — the numbers a
+    * `repartition(files).write.partitionBy(source)` call is fed to avoid
+    * both the small-files problem (metadata pressure, seek-bound scans) and
+    * the giant-file problem (no intra-file parallelism). One source-grain
+    * aggregate; the plan itself is the artifact, not the write.
+    */
+  def fileSizing(docs: DataFrame, target: Long = targetFileBytes): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("est_bytes"))
+      .select(col("source"), col("n_rows"), col("est_bytes"),
+        greatest(lit(1L), expr(s"(est_bytes + ${target - 1}) div $target"))
+          .as("n_files"))
+      .withColumn("rows_per_file",
+        expr("(n_rows + n_files - 1) div n_files"))
+
   /** Simulated file count for [[pruningStats]]. */
   val pruneFiles = 64
 
@@ -296,29 +319,6 @@ object Relational {
     * 40-row frame joined to the file-stats frame. The fact table streams
     * twice (once per layout), nothing else is proportional to it.
     */
-  /** Target bytes per output file for [[fileSizing]] (power of two; the
-    * production knob is ~128 MiB parquet — the fixture constant keeps the
-    * report non-degenerate at test scale).
-    */
-  val targetFileBytes = 4096L
-
-  /** Writer file-sizing plan: per source, the byte estimate (text payload
-    * dominates a document table), the output file count at
-    * [[targetFileBytes]], and rows per file — the numbers a
-    * `repartition(files).write.partitionBy(source)` call is fed to avoid
-    * both the small-files problem (metadata pressure, seek-bound scans) and
-    * the giant-file problem (no intra-file parallelism). One source-grain
-    * aggregate; the plan itself is the artifact, not the write.
-    */
-  def fileSizing(docs: DataFrame, target: Long = targetFileBytes): DataFrame =
-    docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("est_bytes"))
-      .select(col("source"), col("n_rows"), col("est_bytes"),
-        greatest(lit(1L), expr(s"(est_bytes + ${target - 1}) div $target"))
-          .as("n_files"))
-      .withColumn("rows_per_file",
-        expr("(n_rows + n_files - 1) div n_files"))
-
   def pruningStats(lineitem: DataFrame): DataFrame = {
     val spark = lineitem.sparkSession
     import spark.implicits._
@@ -521,8 +521,6 @@ object Relational {
           .hilbert(col("l_partkey"), col("l_suppkey")).as("h"))
     },
 
-    // Data-skipping scorecard: files touched per product point query under
-    // supplier-sort vs Z-order simulated layouts (min/max stats pruning).
     // Writer file-sizing plan per source: bytes, file count, rows per file.
     Op.sql("layout_file_sizing",
       s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -538,6 +536,8 @@ object Relational {
       fileSizing(Tables.documents(s, d))
     },
 
+    // Data-skipping scorecard: files touched per product point query under
+    // supplier-sort vs Z-order simulated layouts (min/max stats pruning).
     Op.sql("layout_pruning_stats", {
       val hilbertInner = graft.functions.Portable
         .hilbertKeySql("product_id", "l_suppkey")

@@ -1425,10 +1425,15 @@ object TextOps {
     val tot = perSrc.agg(
       sum(col("pct") * col("src_tokens")).as("tot_weighted"),
       sum(col("kept_tokens")).as("tot_kept"))
+    // zero guards: an all-zero recipe (tot_weighted) or a mix that keeps no
+    // tokens (tot_kept) must yield 0, not engine-divergent NULL-vs-error
+    // (Spark div 0 → NULL, DuckDB // 0 → raise) — the splitLeakageAudit rule
     perSrc.crossJoin(broadcast(tot))
       .select(col("source"), col("pct"), col("src_tokens"), col("kept_tokens"),
-        expr("(pct * src_tokens * 1000000) div tot_weighted").as("expected_ppm"),
-        expr("(kept_tokens * 1000000) div tot_kept").as("achieved_ppm"))
+        expr("CASE WHEN tot_weighted = 0 THEN 0 ELSE (pct * src_tokens * 1000000) div tot_weighted END")
+          .as("expected_ppm"),
+        expr("CASE WHEN tot_kept = 0 THEN 0 ELSE (kept_tokens * 1000000) div tot_kept END")
+          .as("achieved_ppm"))
       .withColumn("gap_ppm", col("achieved_ppm") - col("expected_ppm"))
   }
 
@@ -2214,13 +2219,17 @@ object TextOps {
          |  GROUP BY source, pct),
          |tot AS (SELECT CAST(SUM(pct * src_tokens) AS BIGINT) AS tot_weighted,
          |               CAST(SUM(kept_tokens) AS BIGINT) AS tot_kept
-         |        FROM per)
-         |SELECT source, pct, src_tokens, kept_tokens,
-         |  CAST((pct * src_tokens * 1000000) // tot_weighted AS BIGINT) AS expected_ppm,
-         |  CAST((kept_tokens * 1000000) // tot_kept AS BIGINT) AS achieved_ppm,
-         |  CAST((kept_tokens * 1000000) // tot_kept
-         |       - (pct * src_tokens * 1000000) // tot_weighted AS BIGINT) AS gap_ppm
-         |FROM per, tot""".stripMargin
+         |        FROM per),
+         |sel AS (
+         |  SELECT source, pct, src_tokens, kept_tokens,
+         |    CAST(CASE WHEN tot_weighted = 0 THEN 0
+         |              ELSE (pct * src_tokens * 1000000) // tot_weighted END AS BIGINT) AS expected_ppm,
+         |    CAST(CASE WHEN tot_kept = 0 THEN 0
+         |              ELSE (kept_tokens * 1000000) // tot_kept END AS BIGINT) AS achieved_ppm
+         |  FROM per, tot)
+         |SELECT source, pct, src_tokens, kept_tokens, expected_ppm, achieved_ppm,
+         |       achieved_ppm - expected_ppm AS gap_ppm
+         |FROM sel""".stripMargin
     }) { (s, d) =>
       mixtureGap(Tables.documents(s, d))
     },
