@@ -935,6 +935,139 @@ object TextOps {
           col("lang_pred") === lang && col("quality") >= minQuality)
   }
 
+  /** Drop-reason priority for [[curationManifest]] — the order gates run in
+    * a production pipeline (infrastructure gates before content gates), so
+    * "first failing gate" is also "the earliest stage that would have
+    * discarded the document". A document failing several gates reports ONE
+    * reason: the FineWeb/DCLM-style ablation convention, which makes the
+    * reason histogram sum to exactly the drop count.
+    */
+  val curationReasons: Seq[String] = Seq(
+    "url_duplicate", "blocked_domain", "exact_duplicate", "near_duplicate",
+    "benchmark", "contaminated", "gopher_rules", "wordlist", "language",
+    "low_quality", "model_quality")
+
+  /** The ONE consolidated keep/drop decision over EVERY curation gate the
+    * engine implements — per document: URL-canonical first-writer, domain
+    * blocklist, exact-dup canonicity, near-dup cluster survivorship,
+    * benchmark membership + n-gram decontamination, the Gopher rule battery,
+    * the wordlist gate, language ID, heuristic quality, and the model
+    * quality score — with the final `keep` flag and the first-failing
+    * `drop_reason` code ([[curationReasons]]): the "why was this document
+    * dropped" artifact a downstream pipeline operator reads first
+    * (reference analog: the single consolidated plan feeding both KPI
+    * sinks, transform_task.py:159-211).
+    *
+    * Plan shape (the point of the op): every per-document gate — domain,
+    * benchmark, Gopher, wordlist, language, heuristic quality, model score,
+    * split bucket — is computed in ONE narrow projection over ONE scan of
+    * the corpus (plus the text-partitioned window exact canonicity
+    * inherently needs); that doc-grain gate frame is persisted and consumed
+    * twice (final join + the survivor argmax, which reuses its `quality`
+    * column instead of re-scoring the corpus). Only the gates that are
+    * irreducibly multi-document add subtrees: the URL group stats (doc_id-
+    * only column-pruned scan + one 60-bit-keyed aggregate), the MinHash
+    * cluster labels (the checkpointed [[graft.operators.Dedup.clusters]]
+    * subtree, run once), and decontamination (gram explode + broadcast
+    * benchmark semi-join). Everything reconverges on doc_id equi-joins —
+    * no orchestration layer, no corpus re-scan per gate.
+    */
+  def curationManifest(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+    val Seq(enC, deC, esC, frC) = markers.map { case (l, _) => markerCount(col("ws"), l) }
+    val base = docs
+      .withColumn("ws", words(col("text")))
+      .select(
+        col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("exact_keep"),
+        qualityExprs(col("text"), col("ws")).toMap.apply("quality").as("quality"),
+        langPredFromCounts(enC, deC, esC, frC).as("lang_pred"),
+        size(col("ws")).cast(LongType).as("n_tokens"),
+        aggregate(col("ws"), lit(0L), (a, x) => a + length(x)).as("sum_len"),
+        size(filter(col("ws"), x => x.rlike("[a-z]"))).cast(LongType).as("n_alpha"),
+        size(filter(col("ws"), x => x.rlike("^[0-9]+$"))).cast(LongType).as("n_num"),
+        markerCount(col("ws"), "en").cast(LongType).as("n_stop"),
+        size(filter(col("ws"), x => x.isInCollection(wordlistBlocked)))
+          .cast(LongType).as("n_hits"),
+        greatest(lit(0L), least(lit(1000000L), lit(qualityModelBias) +
+          aggregate(col("ws"), lit(0L), (acc, x) => acc + termWeight(x)) +
+          lit(qualityModelLenWeight) *
+            least(size(col("ws")).cast(LongType), lit(qualityModelLenCapTokens))))
+          .as("score_ppm"),
+        regexp_extract(urlCanonical(urlSynth(col("doc_id"))), "^[^/]+", 0).as("domain"),
+        (pmod(col("doc_id"), lit(benchmarkMod)) === 0).as("is_benchmark"),
+        pmod(hash60(col("doc_id").cast(StringType)), lit(100)).as("split_bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val url = urlDedup(docs)
+      .select(col("doc_id"), col("is_url_canonical").as("url_keep"))
+    val cl = Dedup.clusters(docs)
+    // survivor argmax over base's quality column — NOT clusterSurvivors(docs),
+    // which would re-score the corpus this plan already scored
+    val surv = cl.join(base.select(col("doc_id"), col("quality")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(struct(col("doc_id"), col("quality")),
+        struct(col("quality"), -col("doc_id"))).as("sw"))
+      .select(col("sw.doc_id").as("doc_id"), lit(true).as("neardup_keep"))
+    val contam = decontaminate(docs)
+      .select(col("doc_id"), lit(true).as("contam_hit"))
+    base
+      .join(url, "doc_id")
+      .join(cl, "doc_id")
+      .join(surv, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("url_keep"),
+        (!col("domain").isInCollection(domainBlocklist)).as("dom_keep"),
+        col("exact_keep"),
+        coalesce(col("neardup_keep"), lit(false)).as("neardup_keep"),
+        col("is_benchmark"),
+        col("contam_hit").isNull.as("decontam_keep"),
+        (col("n_tokens") >= 3 && col("n_tokens") <= 10000 &&
+          col("sum_len") >= col("n_tokens") * 2 &&
+          col("sum_len") <= col("n_tokens") * 12 &&
+          col("n_alpha") * 5 >= col("n_tokens") * 4 &&
+          col("n_num") * 5 <= col("n_tokens") &&
+          col("n_stop") >= 2).as("gopher_keep"),
+        (expr("(n_hits * 1000000) div n_tokens") < wordlistMaxPpm).as("wordlist_keep"),
+        col("lang_pred"),
+        (col("lang_pred") === lang).as("lang_keep"),
+        col("quality"),
+        (col("quality") >= minQuality).as("quality_keep"),
+        (col("score_ppm") >= qualityModelKeepPpm).as("model_keep"),
+        col("cluster_id"),
+        when(col("split_bucket") < splitTrainUpper, "train")
+          .when(col("split_bucket") < splitValUpper, "val")
+          .otherwise("test").as("split"))
+      .withColumn("drop_reason",
+        when(!col("url_keep"), "url_duplicate")
+          .when(!col("dom_keep"), "blocked_domain")
+          .when(!col("exact_keep"), "exact_duplicate")
+          .when(!col("neardup_keep"), "near_duplicate")
+          .when(col("is_benchmark"), "benchmark")
+          .when(!col("decontam_keep"), "contaminated")
+          .when(!col("gopher_keep"), "gopher_rules")
+          .when(!col("wordlist_keep"), "wordlist")
+          .when(!col("lang_keep"), "language")
+          .when(!col("quality_keep"), "low_quality")
+          .when(!col("model_keep"), "model_quality")
+          .otherwise("kept"))
+      .withColumn("keep", col("drop_reason") === "kept")
+  }
+
+  /** Reason-code histogram of [[curationManifest]]: documents and token
+    * mass per drop reason — the one-page curation funnel. A doc-grain
+    * collapse to ≤ |[[curationReasons]]|+1 rows in one hash aggregate over
+    * the manifest (which already carries `n_tokens` for exactly this).
+    */
+  def curationFunnel(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5): DataFrame =
+    curationManifest(docs, lang, minQuality)
+      .groupBy(col("drop_reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
   /** Oracle CTE chain (requires a `WITH RECURSIVE` prefix) ending in
     * `manifest(doc_id, is_canonical, quality, lang_pred, cluster_id,
     * is_cluster_survivor, split, model_keep, keep)` — the [[trainingManifest]]
@@ -1937,6 +2070,142 @@ object TextOps {
       s"""WITH RECURSIVE $trainingManifestCtes
          |SELECT * FROM manifest""".stripMargin) { (s, d) =>
       trainingManifest(Tables.documents(s, d))
+    },
+
+    // The consolidated keep/drop manifest over EVERY gate, with the
+    // first-failing drop_reason code — composes the training-manifest CTE
+    // chain (clusters/survivors/quality/lang/split/model) with the URL,
+    // domain, gopher, wordlist, and decontamination gate CTEs.
+    Op.sql("text_curation_manifest", {
+      val wlist = wordlistBlocked.map(x => s"'$x'").mkString(", ")
+      val dlist = domainBlocklist.map(x => s"'$x'").mkString(", ")
+      s"""WITH RECURSIVE $trainingManifestCtes,
+         |u AS ($urlCteSql),
+         |ug AS (SELECT ${hash60Sql("canonical_url")} AS ch, MIN(doc_id) AS owner_doc
+         |       FROM u GROUP BY 1),
+         |uk AS (SELECT u.doc_id, u.doc_id = ug.owner_doc AS url_keep,
+         |              regexp_extract(u.canonical_url, '^[^/]+') AS domain
+         |       FROM u JOIN ug ON ${hash60Sql("u.canonical_url")} = ug.ch),
+         |gw AS (SELECT doc_id,
+         |         CAST(len(ws) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$$'))) AS BIGINT) AS n_num,
+         |         CAST(${markerCountSql("ws", "en")} AS BIGINT) AS n_stop,
+         |         CAST(len(list_filter(ws, w -> w IN ($wlist))) AS BIGINT) AS n_hits
+         |       FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)),
+         |cgrams AS (
+         |  SELECT doc_id, ${hash60Sql("gram")} AS gh
+         |  FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+         |        WHERE len(ws) >= $contamN)),
+         |bgh AS (SELECT DISTINCT gh FROM cgrams WHERE doc_id % $benchmarkMod = 0),
+         |conta AS (SELECT DISTINCT cgrams.doc_id FROM cgrams JOIN bgh USING (gh)
+         |          WHERE doc_id % $benchmarkMod <> 0),
+         |gates AS (
+         |  SELECT d.doc_id, gw.n_tokens,
+         |    uk.url_keep,
+         |    uk.domain NOT IN ($dlist) AS dom_keep,
+         |    c.doc_id IS NOT NULL AS exact_keep,
+         |    sv.survivor_id IS NOT NULL AS neardup_keep,
+         |    d.doc_id % $benchmarkMod = 0 AS is_benchmark,
+         |    conta.doc_id IS NULL AS decontam_keep,
+         |    (gw.n_tokens >= 3 AND gw.n_tokens <= 10000
+         |     AND gw.sum_len >= gw.n_tokens * 2 AND gw.sum_len <= gw.n_tokens * 12
+         |     AND gw.n_alpha * 5 >= gw.n_tokens * 4
+         |     AND gw.n_num * 5 <= gw.n_tokens
+         |     AND gw.n_stop >= 2) AS gopher_keep,
+         |    (gw.n_hits * 1000000) // gw.n_tokens < $wordlistMaxPpm AS wordlist_keep,
+         |    l.lang_pred,
+         |    l.lang_pred = 'en' AS lang_keep,
+         |    q.quality,
+         |    q.quality >= 0.5 AS quality_keep,
+         |    qm.score_ppm >= $qualityModelKeepPpm AS model_keep,
+         |    cl.cluster_id,
+         |    sp.split
+         |  FROM documents d
+         |  JOIN uk USING (doc_id) JOIN gw USING (doc_id)
+         |  JOIN cl USING (doc_id) JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |  JOIN sp USING (doc_id) JOIN qm USING (doc_id)
+         |  LEFT JOIN canon c ON c.doc_id = d.doc_id
+         |  LEFT JOIN sv ON sv.survivor_id = d.doc_id
+         |  LEFT JOIN conta ON conta.doc_id = d.doc_id),
+         |reasons AS (
+         |  SELECT *,
+         |    CASE WHEN NOT url_keep THEN 'url_duplicate'
+         |         WHEN NOT dom_keep THEN 'blocked_domain'
+         |         WHEN NOT exact_keep THEN 'exact_duplicate'
+         |         WHEN NOT neardup_keep THEN 'near_duplicate'
+         |         WHEN is_benchmark THEN 'benchmark'
+         |         WHEN NOT decontam_keep THEN 'contaminated'
+         |         WHEN NOT gopher_keep THEN 'gopher_rules'
+         |         WHEN NOT wordlist_keep THEN 'wordlist'
+         |         WHEN NOT lang_keep THEN 'language'
+         |         WHEN NOT quality_keep THEN 'low_quality'
+         |         WHEN NOT model_keep THEN 'model_quality'
+         |         ELSE 'kept' END AS drop_reason
+         |  FROM gates)
+         |SELECT *, drop_reason = 'kept' AS keep FROM reasons""".stripMargin
+    }) { (s, d) =>
+      curationManifest(Tables.documents(s, d))
+    },
+
+    // Reason-code histogram of the consolidated manifest: the one-page
+    // curation funnel (docs and token mass lost per gate) a corpus owner
+    // reads before touching any per-document row.
+    Op.sql("text_curation_funnel",
+      s"""WITH RECURSIVE $trainingManifestCtes,
+         |u AS ($urlCteSql),
+         |ug AS (SELECT ${hash60Sql("canonical_url")} AS ch, MIN(doc_id) AS owner_doc
+         |       FROM u GROUP BY 1),
+         |uk AS (SELECT u.doc_id, u.doc_id = ug.owner_doc AS url_keep,
+         |              regexp_extract(u.canonical_url, '^[^/]+') AS domain
+         |       FROM u JOIN ug ON ${hash60Sql("u.canonical_url")} = ug.ch),
+         |gw AS (SELECT doc_id,
+         |         CAST(len(ws) AS BIGINT) AS n_tokens,
+         |         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$$'))) AS BIGINT) AS n_num,
+         |         CAST(${markerCountSql("ws", "en")} AS BIGINT) AS n_stop,
+         |         CAST(len(list_filter(ws, w -> w IN (${wordlistBlocked.map(x => s"'$x'").mkString(", ")}))) AS BIGINT) AS n_hits
+         |       FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)),
+         |cgrams AS (
+         |  SELECT doc_id, ${hash60Sql("gram")} AS gh
+         |  FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+         |        WHERE len(ws) >= $contamN)),
+         |bgh AS (SELECT DISTINCT gh FROM cgrams WHERE doc_id % $benchmarkMod = 0),
+         |conta AS (SELECT DISTINCT cgrams.doc_id FROM cgrams JOIN bgh USING (gh)
+         |          WHERE doc_id % $benchmarkMod <> 0),
+         |gates AS (
+         |  SELECT d.doc_id, gw.n_tokens,
+         |    CASE WHEN NOT uk.url_keep THEN 'url_duplicate'
+         |         WHEN uk.domain IN (${domainBlocklist.map(x => s"'$x'").mkString(", ")}) THEN 'blocked_domain'
+         |         WHEN c.doc_id IS NULL THEN 'exact_duplicate'
+         |         WHEN sv.survivor_id IS NULL THEN 'near_duplicate'
+         |         WHEN d.doc_id % $benchmarkMod = 0 THEN 'benchmark'
+         |         WHEN conta.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN NOT (gw.n_tokens >= 3 AND gw.n_tokens <= 10000
+         |           AND gw.sum_len >= gw.n_tokens * 2 AND gw.sum_len <= gw.n_tokens * 12
+         |           AND gw.n_alpha * 5 >= gw.n_tokens * 4
+         |           AND gw.n_num * 5 <= gw.n_tokens
+         |           AND gw.n_stop >= 2) THEN 'gopher_rules'
+         |         WHEN NOT ((gw.n_hits * 1000000) // gw.n_tokens < $wordlistMaxPpm) THEN 'wordlist'
+         |         WHEN NOT (l.lang_pred = 'en') THEN 'language'
+         |         WHEN NOT (q.quality >= 0.5) THEN 'low_quality'
+         |         WHEN NOT (qm.score_ppm >= $qualityModelKeepPpm) THEN 'model_quality'
+         |         ELSE 'kept' END AS drop_reason
+         |  FROM documents d
+         |  JOIN uk USING (doc_id) JOIN gw USING (doc_id)
+         |  JOIN cl USING (doc_id) JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |  JOIN sp USING (doc_id) JOIN qm USING (doc_id)
+         |  LEFT JOIN canon c ON c.doc_id = d.doc_id
+         |  LEFT JOIN sv ON sv.survivor_id = d.doc_id
+         |  LEFT JOIN conta ON conta.doc_id = d.doc_id)
+         |SELECT drop_reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM gates GROUP BY drop_reason""".stripMargin) { (s, d) =>
+      curationFunnel(Tables.documents(s, d))
     },
 
     Op.sql("text_bigram_lm",

@@ -40,6 +40,62 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == "hello world x 1")
   }
 
+  test("curation manifest: every reason code reachable, first-failing order, keep iff kept") {
+    // One engineered document per drop reason. URL synthesis keys on doc_id
+    // (host = id%6, path = id%50), so ids are chosen to control the URL
+    // gates: ids ≡ 2,3 (mod 6) land on the blocked news-site.org domain,
+    // ≡ 4 on blocked shop.example.com; 0 and 300 share canonical
+    // example.com/p/0 (url-dup pair); 0 and 97 are benchmark members
+    // (id % 97 == 0).
+    val keptText = "the a data query table fast engine runs the a data query " +
+      "table fast while alpha beta gamma delta epsilon zeta"
+    val nearA = "the a data query table fast data query table fast the a " +
+      "quick brown fox jumps over lazy dog near river bank under bright morning sun today"
+    val fixture = Seq(
+      0L -> "the a benchmark probe sequence alpha beta gamma delta",  // benchmark
+      300L -> "totally unique filler text for the url duplicate case", // url_duplicate (loses /p/0 to doc 0)
+      2L -> "another unique document text that lands on a blocked host", // blocked_domain
+      1L -> keptText,                                                  // kept
+      7L -> keptText,                                                  // exact_duplicate of 1
+      5L -> nearA,                                                     // survivor of the near-dup pair
+      11L -> (nearA.split(" ").dropRight(1).mkString(" ") + " now"), // near_duplicate (shorter variant → lower quality → 5 survives)
+      97L -> "zulu yankee xray whiskey victor uniform tango sierra romeo quebec", // benchmark (held-out source)
+      24L -> ("the a zulu yankee xray whiskey victor papa oscar november " +
+        "mike lima kilo juliet india hotel golf"),                     // contaminated (5-gram from 97)
+      6L -> "hi yo",                                                   // gopher_rules (2 tokens)
+      12L -> "the a dup data query table fast data query engine",      // wordlist (1/10 hits = cap)
+      13L -> "der die das und ist the a haus berg tal wald fluss",     // language (de)
+      18L -> "the the the the a a a a xerox xerox",                    // low_quality
+      19L -> "the a small mountain river forest valley stone cloud garden summer winter morning evening" // model_quality
+    ).map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.curationManifest(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val expected = Map(
+      0L -> "benchmark", 300L -> "url_duplicate", 2L -> "blocked_domain",
+      1L -> "kept", 7L -> "exact_duplicate", 5L -> "kept",
+      11L -> "near_duplicate", 97L -> "benchmark", 24L -> "contaminated",
+      6L -> "gopher_rules", 12L -> "wordlist", 13L -> "language",
+      18L -> "low_quality", 19L -> "model_quality")
+    expected.foreach { case (id, reason) =>
+      assert(m(id).getAs[String]("drop_reason") == reason,
+        s"doc $id: expected $reason, got ${m(id).getAs[String]("drop_reason")}")
+    }
+    // every declared reason code is exercised by the fixture
+    assert(TextOps.curationReasons.toSet.subsetOf(
+      m.values.map(_.getAs[String]("drop_reason")).toSet))
+    // keep ⟺ drop_reason == kept, everywhere
+    m.values.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("drop_reason") == "kept"))
+    }
+    // the funnel is exactly the manifest's reason histogram
+    val funnel = TextOps.curationFunnel(fixture).collect()
+      .map(r => r.getAs[String]("drop_reason") -> r.getAs[Long]("n_docs")).toMap
+    val hist = m.values.groupBy(_.getAs[String]("drop_reason"))
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(funnel == hist)
+  }
+
   test("training manifest: one row per doc; keep is exactly the documented conjunction") {
     val fixture = graft.sources.Tables.documents(spark, TestSession.sf)
     val m = TextOps.trainingManifest(fixture).collect()
