@@ -841,6 +841,138 @@ object Similarity {
         col("n_vectors"), col("min_cell"), col("max_cell"),
         expr(s"(max_cell * ${ivfCells}L * 1000000) div n_vectors").as("skew_ppm"))
 
+  /** Batch-membership rule for the registered [[ivfIndexAppend]] query:
+    * vec_id % 7 == 0 (above the codebook seeds) plays the newly arrived
+    * batch — the dedup_clusters_incremental fixture convention.
+    */
+  val appendMod = 7
+
+  /** Retrain triggers for [[ivfIndexAppend]]: the batch's mean quantization
+    * residual exceeding 1.5× the stored corpus's (×1000 grid), or the batch
+    * pushing a cell past 30% new members (ppm grid) — the two signals that
+    * the stored coarse quantizer no longer represents the data arriving.
+    */
+  val appendDriftMaxX1000 = 1500L
+  val appendShareMaxPpm = 300000L
+  /** drift_x1000 sentinel when a cell's stored residual mean is exactly 0
+    * (a cell holding only its own seed) but new residual mass arrived —
+    * infinite relative drift, clamped to a loud finite value.
+    */
+  val appendDriftInfX1000 = 1000000L
+
+  /** [[ivfAssign]]'s argmax-dot assignment against an EXPLICIT stored
+    * codebook, carrying each vector's quantized L2² residual to its
+    * centroid (x·x − 2x·c + c·c, exact integers) — the encode half of the
+    * incremental index-maintenance loop.
+    */
+  private def assignWithResidual(embs: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(
+      GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
+    embs
+      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("cell"),
+        (GraftExpressions.qdot(col("embedding"), col("embedding"))
+          - lit(2L) * GraftExpressions.qdot(col("embedding"), col("c_emb"))
+          + GraftExpressions.qdot(col("c_emb"), col("c_emb"))).as("resid"))
+  }
+
+  /** Incremental IVF index maintenance: encode a NEW vector batch against
+    * the STORED coarse quantizer (seeded from the corpus — the codebook
+    * that existed before the batch arrived) and emit the per-cell health
+    * report an ingest loop reads: stored/new fill, the batch's share of
+    * each cell (ppm), mean quantization residual on both sides (exact
+    * integer grid), relative residual drift (×1000), and the retrain flag
+    * ([[appendDriftMaxX1000]] / [[appendShareMaxPpm]]). The corpus is
+    * never re-encoded: per batch this costs one broadcast-codebook narrow
+    * assignment over the batch plus cell-grain aggregates — the
+    * [[graft.operators.Dedup.incrementalMinhashPairs]] shape for the
+    * vector tier, closing the one index family that previously required a
+    * full retrain per append. Because the codebook is FIXED, batch encode
+    * is bit-identical to what a full re-encode would assign the same rows
+    * (spec-pinned), so append-then-query equals rebuild-then-query
+    * exactly.
+    *
+    * In production `stored` cell stats come from the persisted index
+    * (caller owns storage, the SketchStore convention); here both sides
+    * compute from their slices so the whole report is oracle-checked.
+    */
+  def ivfIndexAppend(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val stored = assignWithResidual(corpus, centroids)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_stored"), sum(col("resid")).as("sr_stored"))
+    val fresh = assignWithResidual(batch, centroids)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"), sum(col("resid")).as("sr_new"))
+    stored.join(fresh, Seq("cell"), "left")
+      .select(col("cell"), col("n_stored"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("sr_stored div n_stored").as("stored_resid_mean"),
+        coalesce(expr("sr_new div n_new"), lit(0L)).as("new_resid_mean"))
+      .withColumn("new_share_ppm",
+        expr("(n_new * 1000000) div (n_stored + n_new)"))
+      .withColumn("drift_x1000",
+        when(col("n_new") === 0L, 0L)
+          .when(col("stored_resid_mean") === 0L,
+            when(col("new_resid_mean") === 0L, 1000L)
+              .otherwise(lit(appendDriftInfX1000)))
+          .otherwise(expr("(new_resid_mean * 1000) div stored_resid_mean")))
+      .withColumn("retrain",
+        col("drift_x1000") > appendDriftMaxX1000 ||
+          col("new_share_ppm") > appendShareMaxPpm)
+  }
+
+  /** Oracle twin of the registered `sim_index_append` split: stored corpus
+    * = seeds ∪ (vec_id % [[appendMod]] ≠ 0), batch = the rest.
+    */
+  private lazy val indexAppendOracle: String = {
+    val q = (x: String, y: String) => GraftExpressions.qdotSql(x, y)
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < $ivfCells),
+       |ar AS (
+       |  SELECT vec_id, cell, resid, is_new FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      (${q("e.embedding", "e.embedding")}
+       |       - 2*${q("e.embedding", "c.c_emb")}
+       |       + ${q("c.c_emb", "c.c_emb")}) AS resid,
+       |      (e.vec_id >= $ivfCells AND e.vec_id % $appendMod = 0) AS is_new,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${q("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |st AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_stored,
+       |              CAST(SUM(resid) AS BIGINT) AS sr_stored
+       |       FROM ar WHERE NOT is_new GROUP BY cell),
+       |nw AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new,
+       |              CAST(SUM(resid) AS BIGINT) AS sr_new
+       |       FROM ar WHERE is_new GROUP BY cell),
+       |j AS (
+       |  SELECT st.cell, st.n_stored,
+       |         COALESCE(nw.n_new, 0) AS n_new,
+       |         st.sr_stored // st.n_stored AS stored_resid_mean,
+       |         COALESCE(nw.sr_new // nw.n_new, 0) AS new_resid_mean
+       |  FROM st LEFT JOIN nw USING (cell)),
+       |r AS (
+       |  SELECT *, (n_new * 1000000) // (n_stored + n_new) AS new_share_ppm,
+       |    CASE WHEN n_new = 0 THEN 0
+       |         WHEN stored_resid_mean = 0 THEN
+       |           (CASE WHEN new_resid_mean = 0 THEN 1000
+       |                 ELSE $appendDriftInfX1000 END)
+       |         ELSE (new_resid_mean * 1000) // stored_resid_mean END AS drift_x1000
+       |  FROM j)
+       |SELECT cell, n_stored, n_new, stored_resid_mean, new_resid_mean,
+       |       new_share_ppm, drift_x1000,
+       |       (drift_x1000 > $appendDriftMaxX1000
+       |        OR new_share_ppm > $appendShareMaxPpm) AS retrain
+       |FROM r""".stripMargin
+  }
+
   /** Embedding-corpus health: one row of quantized-norm statistics —
     * vector count, ZERO-norm count (a zero vector has no cosine direction
     * and silently poisons every similarity op: the first thing to audit
@@ -1636,6 +1768,18 @@ object Similarity {
          |         // CAST(SUM(sz) AS BIGINT) AS skew_ppm
          |FROM sz""".stripMargin) { (s, d) =>
       ivfCellStats(Tables.embeddings(s, d))
+    },
+
+    // Incremental vector-index maintenance: the batch (vec_id % 7 == 0,
+    // above the seeds) encodes against the STORED coarse quantizer; the
+    // per-cell report carries fill, residual drift, and the retrain flag.
+    Op.sql("sim_index_append", indexAppendOracle) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      ivfIndexAppend(
+        embs.filter(col("vec_id") < ivfCells ||
+          pmod(col("vec_id"), lit(appendMod)) =!= 0),
+        embs.filter(col("vec_id") >= ivfCells &&
+          pmod(col("vec_id"), lit(appendMod)) === 0))
     },
 
     // Matryoshka truncation evaluation: recall@k of first-m-dims exact

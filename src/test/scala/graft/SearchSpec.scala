@@ -171,6 +171,41 @@ class SearchSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("index append: stored-codebook encode equals full rebuild; retrain flags recompute") {
+    import graft.operators.Similarity
+    val embs = graft.sources.Tables.embeddings(spark, TestSession.sf)
+    val corpus = embs.filter(col("vec_id") < Similarity.ivfCells ||
+      pmod(col("vec_id"), lit(Similarity.appendMod)) =!= 0)
+    val batch = embs.filter(col("vec_id") >= Similarity.ivfCells &&
+      pmod(col("vec_id"), lit(Similarity.appendMod)) === 0)
+    val rep = Similarity.ivfIndexAppend(corpus, batch).collect()
+    // per-cell composition identical to a full rebuild: the stored codebook
+    // is row-independent, so stored + appended = rebuilt, cell by cell
+    val fullCells = Similarity.ivfAssign(embs)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("count")).toMap
+    assert(rep.map(r => r.getAs[Long]("cell")).toSet == fullCells.keySet)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_stored") + r.getAs[Long]("n_new") ==
+        fullCells(r.getAs[Long]("cell")), s"cell ${r.getAs[Long]("cell")}")
+    }
+    assert(rep.map(_.getAs[Long]("n_new")).sum == batch.count())
+    // the retrain flag is exactly the documented threshold disjunction
+    rep.foreach { r =>
+      val expect = r.getAs[Long]("drift_x1000") > Similarity.appendDriftMaxX1000 ||
+        r.getAs[Long]("new_share_ppm") > Similarity.appendShareMaxPpm
+      assert(r.getAs[Boolean]("retrain") == expect)
+    }
+    // PQ tier: encoding only the corpus slice against its (identical) seed
+    // codebook reproduces the full encode row for row — append-then-encode
+    // is the rebuild, bit for bit
+    val fullCodes = Similarity.pqCodesWide(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](1)).toMap
+    Similarity.pqCodesWide(corpus).collect().foreach { r =>
+      assert(fullCodes(r.getAs[Long]("vec_id")) == r.getSeq[Int](1))
+    }
+  }
+
   test("inverted index: postings carry tf and doc length") {
     val idx = Search.invertedIndex(docs).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token")) ->
