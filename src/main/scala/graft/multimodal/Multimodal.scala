@@ -30,7 +30,8 @@ object Multimodal {
 
   final case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Int,
-      width: Int, height: Int, mean_byte: Double, entropy: Double,
+      width: Int, height: Int, mean_byte: Double,
+      min_byte: Int, max_byte: Int, entropy: Double,
       frame_checksums: Seq[Long])
 
   /** Synthesizes a media table from `documents` (payload = utf-8 bytes) —
@@ -125,8 +126,10 @@ object Multimodal {
           val mean =
             if (p.isEmpty) 0.0
             else p.map(b => (b & 0xff).toLong).sum.toDouble / p.length
+          val minB = if (p.isEmpty) 0 else p.iterator.map(_ & 0xff).min
+          val maxB = if (p.isEmpty) 0 else p.iterator.map(_ & 0xff).max
           MediaFeatures(r.doc_id, r.media_type, p.length, w, h,
-            mean, shannonEntropy(p), frameChecksums(p, nFrames))
+            mean, minB, maxB, shannonEntropy(p), frameChecksums(p, nFrames))
         }
       }
     }
@@ -436,11 +439,18 @@ object Multimodal {
         |       64 + ((octet_length(encode(text)) * 31) % 149) AS height,
         |       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
         |            ELSE CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x))) AS DOUBLE)
-        |                 / octet_length(encode(text)) END AS mean_byte
+        |                 / octet_length(encode(text)) END AS mean_byte,
+        |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |            ELSE list_min(list_transform(string_split(text, ''), x -> ord(x)))
+        |            END AS INTEGER) AS min_byte,
+        |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |            ELSE list_max(list_transform(string_split(text, ''), x -> ord(x)))
+        |            END AS INTEGER) AS max_byte
         |FROM documents""".stripMargin) { (s, d) =>
       extractFeatures(mediaDataset(s, d)).toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          col("width"), col("height"), col("mean_byte"))
+          col("width"), col("height"), col("mean_byte"),
+          col("min_byte"), col("max_byte"))
     },
 
     // Rows-only is FINAL for this op, and here is exactly why: every
@@ -545,7 +555,7 @@ object Multimodal {
     },
 
     Op.rowsOnly("media_features",
-      "entropy is order-dependent float \u03a3 \u2212p\u00b7log\u2082p and frame checksums are sequential per-byte rolling hashes — imperative state no SQL oracle expresses; both unit-tested, the decodable scalars are hash-matched as media_features_meta") { (s, d) =>
+      "entropy is order-dependent float \u03a3 \u2212p\u00b7log\u2082p and frame checksums are sequential per-byte rolling hashes — imperative state no SQL oracle expresses; both unit-tested. EVERY order-independent scalar (n_bytes, width, height, mean/min/max byte) is hash-matched as media_features_meta through the same mapPartitions extractor") { (s, d) =>
       extractFeatures(mediaDataset(s, d)).toDF()
         .withColumn("frames_digest",
           md5(concat_ws(",", transform(col("frame_checksums"), _.cast("string")))))

@@ -293,7 +293,7 @@ object Analytics {
     * order — include a unique tie-break column): range-repartition on the
     * sort key, rank WITHIN each range partition (a partitioned window — no
     * single-task sort anywhere), then add each partition's cumulative start
-    * offset. The per-partition sizes are a ≤`defaultParallelism`-row driver
+    * offset. The per-partition sizes are a ≤`Scale.maxRangePartitions`-row driver
     * artifact (the bounded-collect category: date lists, k-means codebooks),
     * folded back in as a literal map, so the plan carries NO unpartitioned
     * window and no extra join. The input is localCheckpoint-ed once so the
@@ -310,7 +310,10 @@ object Analytics {
     */
   private[graft] def rankedByRange(df: DataFrame,
       sort: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val parts = df.sparkSession.sparkContext.defaultParallelism
+    // size-based fan-out, capped at maxRangePartitions: the offsets fold
+    // back as a literal map with linear lookup, so the partition count must
+    // stay a bounded driver artifact while still growing with the data
+    val parts = graft.Scale.partitionsFor(df, graft.Scale.maxRangePartitions)
     df.repartitionByRange(parts, sort: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrn",

@@ -62,8 +62,9 @@ object Dedup {
     docs
       // the fixture table arrives as one file = one partition; the shingle+md5
       // projection is the expensive pass, so spread it across the cluster
-      // first (a 5k-row shuffle is free next to 2M digests)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // first (a 5k-row shuffle is free next to 2M digests). Size-based
+      // fan-out: grows with the corpus, floors at defaultParallelism.
+      .repartition(graft.Scale.partitionsFor(docs))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
@@ -589,7 +590,7 @@ object Dedup {
       cap: Int = exactPairDocCap): (DataFrame, DataFrame) = {
     GraftExpressions.register(docs.sparkSession)
     val hs = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(graft.Scale.partitionsFor(docs))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
@@ -747,7 +748,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame): DataFrame = {
     GraftExpressions.register(docs.sparkSession)
     val hs = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(graft.Scale.partitionsFor(docs))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
@@ -1132,7 +1133,7 @@ object Dedup {
   def bucketedWithNorm(embs: DataFrame): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
     embs
-      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(graft.Scale.partitionsFor(embs))
       .select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding")).as("bucket"),
       GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))

@@ -90,8 +90,17 @@ object Graph {
     // only the node-grain state pays a per-round exchange.
     else state
 
-  private def loopEdges(e: DataFrame, nNodes: Long): DataFrame =
-    if (nNodes <= stateBroadcastMaxNodes) e else e.repartition(col("src"))
+  /** Pre-partition the persisted loop edge table by `src` above the
+    * broadcast ceiling. The fan-out is SIZE-BASED, estimated from `sizeOf`
+    * (the raw edge frame, scan/narrow-rooted — NOT `e`, which may be
+    * join-rooted and carry a multiplied garbage estimate): the implicit
+    * `spark.sql.shuffle.partitions` this replaces left a 60 M-edge table on
+    * 32 partitions at sf10 (PERF.md r7), and AQE only coalesces down — the
+    * grow direction must be explicit.
+    */
+  private def loopEdges(e: DataFrame, sizeOf: DataFrame, nNodes: Long): DataFrame =
+    if (nNodes <= stateBroadcastMaxNodes) e
+    else e.repartition(graft.Scale.partitionsFor(sizeOf), col("src"))
 
   /** Weighted PageRank on the 2^40 integer grid, fixed iteration count.
     *
@@ -115,19 +124,25 @@ object Graph {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = outw.select(col("src").as("node")).persist()
     val n = nodes.count()
-    val e = loopEdges(edges.join(outw, "src"), n).persist()
+    val e = loopEdges(edges.join(outw, "src"), edges, n).persist()
+    // profiling only: materialize the persisted edge table as "round 0" so
+    // the per-round records measure the loop body alone, not the one-time
+    // repartition+persist that round 1 would otherwise absorb
+    if (graft.LoopProf.enabled) graft.LoopProf.timed("pagerank", 0)(e.count())
     val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / n
     var ranks = nodes.select(col("node"), lit(prGrid / n).as("p"))
-    (1 to iters).foreach { _ =>
-      val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
-        .select(col("dst"), expr("(p * w) div ow").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
-            .as("p"))
-        .localCheckpoint()
+    (1 to iters).foreach { i =>
+      graft.LoopProf.timed("pagerank", i) {
+        val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
+          .select(col("dst"), expr("(p * w) div ow").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
+              .as("p"))
+          .localCheckpoint()
+      }
     }
     e.unpersist(); nodes.unpersist()
     ranks.select(col("node").as("product_id"), col("p").as("rank_q"))
@@ -146,7 +161,7 @@ object Graph {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = outw.select(col("src").as("node")).persist()
     val n = nodes.count()
-    val e = loopEdges(edges.join(outw, "src"), n).persist()
+    val e = loopEdges(edges.join(outw, "src"), edges, n).persist()
     val nSeeds = nodes.filter(seedPred).count()
     require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
     val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / nSeeds
@@ -188,16 +203,19 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = lpaIters): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct().persist()
     val n = nodes.count()
-    val e = loopEdges(edges.select(col("src"), col("dst"), col("w")), n).persist()
+    val e = loopEdges(edges.select(col("src"), col("dst"), col("w")), edges, n).persist()
+    if (graft.LoopProf.enabled) graft.LoopProf.timed("lpa", 0)(e.count())
     var labels = nodes.select(col("node"), col("node").as("lab"))
-    (1 to iters).foreach { _ =>
-      val tally = e.join(stateHint(labels, n), e("src") === labels("node"))
-        .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wt"))
-      // argmax by (wt desc, lab asc) as a HASH aggregate, not a sort window:
-      // (wt, -lab) is unique per (dst, lab) row, so max_by is deterministic
-      labels = tally.groupBy(col("dst").as("node"))
-        .agg(max_by(col("lab"), struct(col("wt"), (-col("lab")).as("nl"))).as("lab"))
-        .localCheckpoint()
+    (1 to iters).foreach { i =>
+      graft.LoopProf.timed("lpa", i) {
+        val tally = e.join(stateHint(labels, n), e("src") === labels("node"))
+          .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wt"))
+        // argmax by (wt desc, lab asc) as a HASH aggregate, not a sort window:
+        // (wt, -lab) is unique per (dst, lab) row, so max_by is deterministic
+        labels = tally.groupBy(col("dst").as("node"))
+          .agg(max_by(col("lab"), struct(col("wt"), (-col("lab")).as("nl"))).as("lab"))
+          .localCheckpoint()
+      }
     }
     e.unpersist(); nodes.unpersist()
     labels.select(col("node").as("product_id"), col("lab").as("community"))
@@ -218,7 +236,7 @@ object Graph {
     // store otherwise (same rationale as [[weightedSssp]]/[[pageRank]])
     val nodes = edges.select(col("src").as("node")).distinct().persist()
     val n = nodes.count()
-    val e = loopEdges(edges.select(col("src"), col("dst")), n).persist()
+    val e = loopEdges(edges.select(col("src"), col("dst")), edges, n).persist()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0)).otherwise(lit(null).cast(IntegerType)).as("d"))
     (1 to hops).foreach { _ =>
@@ -374,7 +392,7 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
-    val e = loopEdges(edges.select(col("src"), col("dst"), edgeLen.as("len")), n)
+    val e = loopEdges(edges.select(col("src"), col("dst"), edgeLen.as("len")), edges, n)
       .persist()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0L)).otherwise(lit(null).cast(LongType)).as("d"))

@@ -75,7 +75,9 @@ object Relational {
     */
   def tokenBudgetSample(docs: DataFrame, budget: Long = tokenBudget): DataFrame = {
     val spark = docs.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
+    // size-based range fan-out (capped: the per-(partition, source) offsets
+    // fold back as a bounded driver artifact)
+    val parts = graft.Scale.partitionsFor(docs, graft.Scale.maxRangePartitions)
     val toks = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
       hexToLong(md5(col("doc_id").cast(StringType)), 1).as("h"))
@@ -124,7 +126,7 @@ object Relational {
     */
   def qualityBudgetSample(docs: DataFrame, budget: Long = qualityBudget): DataFrame = {
     val spark = docs.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
+    val parts = graft.Scale.partitionsFor(docs, graft.Scale.maxRangePartitions)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

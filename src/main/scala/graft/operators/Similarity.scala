@@ -114,7 +114,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(
       GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
     embs
-      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(graft.Scale.partitionsFor(embs))
       .join(broadcast(centroids))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -208,7 +208,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(
       GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
     embs
-      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(graft.Scale.partitionsFor(embs))
       .join(broadcast(centroids))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -390,13 +390,18 @@ object Similarity {
     // every round re-scans the corpus for its encode+sum pass; cache it so
     // rounds 2+ read executor-local blocks instead of re-reading parquet
     val cached = embs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // profiling only: round 0 = cache materialization + seed collect, so the
+    // per-round records isolate the Lloyd body (encode + 1024-group agg)
+    if (graft.LoopProf.enabled) graft.LoopProf.timed("pq_train", 0)(cached.count())
     var cb = pqCodebook(cached)
-    for (_ <- 1 to iters) {
-      val next = cb.map(_.map(_.clone()))
-      pqTrainStepFrom(cached, cb).collect().foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+    for (i <- 1 to iters) {
+      graft.LoopProf.timed("pq_train", i) {
+        val next = cb.map(_.map(_.clone()))
+        pqTrainStepFrom(cached, cb).collect().foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+        }
+        cb = next
       }
-      cb = next
     }
     cb
   }
@@ -870,7 +875,7 @@ object Similarity {
     val w = Window.partitionBy("vec_id").orderBy(
       GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
     embs
-      .repartition(embs.sparkSession.sparkContext.defaultParallelism)
+      .repartition(graft.Scale.partitionsFor(embs))
       .join(broadcast(centroids))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

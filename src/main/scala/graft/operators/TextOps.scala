@@ -381,7 +381,9 @@ object TextOps {
     */
   def vocabGrowth(docs: DataFrame, bucket: Long = vocabGrowthBucket): DataFrame = {
     val spark = docs.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
+    // the ranged frame is bucket-grain (corpus/25 rows) — sized from the
+    // corpus scan, so the fan-out grows with the data it aggregates from
+    val parts = graft.Scale.partitionsFor(docs, graft.Scale.maxRangePartitions)
     val ws = split(col("text"), " ")
     val firstSeen = docs.filter(size(ws) >= contamN)
       .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
