@@ -59,7 +59,9 @@ object GraftExpressions {
       args => SortedRunStats(args(0))),
     ("graft_hilbert", classOf[HilbertKey],
       args => HilbertKey(args(0), args(1))),
-    ("graft_dhash64", classOf[DHash64], args => DHash64(args(0))))
+    ("graft_dhash64", classOf[DHash64], args => DHash64(args(0))),
+    ("graft_pq_argmin", classOf[PqArgminCode],
+      args => PqArgminCode(args(0), PqArgminCode.literalCodebook(args(1)))))
 
   /** Idempotent per-session registration; call before building plans that use
     * the column wrappers below.
@@ -96,6 +98,13 @@ object GraftExpressions {
 
   /** 64-bit perceptual dHash of a binary payload ([[graft.multimodal.Dhash]]). */
   def dhash64(payload: Column): Column = call_function("graft_dhash64", payload)
+
+  /** First-hit argmin codeword index of a float sub-vector against a
+    * driver-resident codebook, in quantized L2² ([[PqArgminCode]]).
+    */
+  def pqArgmin(sub: Column, cb: Array[Array[Float]]): Column =
+    call_function("graft_pq_argmin", sub,
+      org.apache.spark.sql.functions.typedLit(cb.map(_.toSeq).toSeq))
 }
 
 /** `SparkSessionExtensions` hook so external users get the functions via
@@ -567,4 +576,126 @@ case class DHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): DHash64 =
     copy(child = newChild)
+}
+
+/** Argmin PQ codeword for ONE subspace: quantized L2² (x·x − 2·x·c + c·c,
+  * exact 2^-20-grid integers — [[QuantizedDot]]'s arithmetic) of the input
+  * slice against every codeword of a foldable codebook literal, returning
+  * the first (lowest) index attaining the minimum.
+  *
+  * Replaces the unrolled `array_position(array(d_0 … d_{k−1}), array_min(…))`
+  * tree: that shape inlines k × (2 qdots + the slice copy) per subspace into
+  * the ONE consume method of the downstream Generate, and at pqM·pqK = 64
+  * distance subtrees the method crossed janino's 64 KB limit — Spark fell
+  * back to interpreted eval for the whole encode stage at EVERY scale
+  * (`Code grows beyond 64 KB` in the executor log, easy to miss because the
+  * fallback is non-fatal). Here the codebook folds into the plan as two
+  * pre-quantized reference arrays and the argmin is one bounded loop —
+  * ~20 generated lines per subspace, firmly inside whole-stage codegen.
+  *
+  * Semantics matched to the unrolled form bit-for-bit (spec-pinned against
+  * the composed built-in formulation): quantize = ⌊float·2^20⌋ per element;
+  * each dot bounds by the shorter side (a trailing-truncated input slice
+  * scores against the codeword prefix, exactly as [[QuantizedDot]] bounds by
+  * `min(numElements)`); c·c is the FULL-codeword norm; ties break to the
+  * lowest code via strict-less (= `array_position`'s first hit). Null input
+  * → null. DuckDB twin: `qdistSql` + first-hit ROW_NUMBER in
+  * [[graft.operators.Similarity]]'s pqCodedCtes.
+  */
+case class PqArgminCode(child: Expression, codebook: Seq[Seq[Float]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty, "graft_pq_argmin requires a non-empty codebook")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_argmin"
+
+  /** Codewords on the integer grid — computed once per (de)serialized
+    * instance, shipped to executors as plan reference objects, never
+    * rebuilt per row.
+    */
+  @transient private lazy val qcb: Array[Array[Long]] =
+    codebook.map(_.map(x =>
+      math.floor(x.toDouble * GraftExpressions.Quant).toLong).toArray).toArray
+  @transient private lazy val cnorm: Array[Long] =
+    qcb.map { row =>
+      var s = 0L; var i = 0
+      while (i < row.length) { s += row(i) * row(i); i += 1 }
+      s
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val qa = new Array[Long](n)
+    var xx = 0L
+    var i = 0
+    while (i < n) {
+      val q = math.floor(x.getFloat(i).toDouble * GraftExpressions.Quant).toLong
+      qa(i) = q; xx += q * q; i += 1
+    }
+    var best = Long.MaxValue; var bi = -1
+    var j = 0
+    while (j < qcb.length) {
+      val cw = qcb(j)
+      val m = math.min(n, cw.length)
+      var dot = 0L; var t = 0
+      while (t < m) { dot += qa(t) * cw(t); t += 1 }
+      val d = xx - 2L * dot + cnorm(j)
+      if (d < best) { best = d; bi = j }
+      j += 1
+    }
+    bi
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qcbRef = ctx.addReferenceObj("qcb", qcb, "long[][]")
+    val ccRef = ctx.addReferenceObj("cnorm", cnorm, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, qa, xx, i) = (ctx.freshName("n"), ctx.freshName("qa"),
+        ctx.freshName("xx"), ctx.freshName("i"))
+      val (q, best, bi, j) = (ctx.freshName("q"), ctx.freshName("best"),
+        ctx.freshName("bi"), ctx.freshName("j"))
+      val (cw, m, dot, t, d) = (ctx.freshName("cw"), ctx.freshName("m"),
+        ctx.freshName("dot"), ctx.freshName("t"), ctx.freshName("d"))
+      s"""
+         |int $n = $a.numElements();
+         |long[] $qa = new long[$n];
+         |long $xx = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $q = (long) Math.floor(((double) $a.getFloat($i)) * ${GraftExpressions.Quant}.0D);
+         |  $qa[$i] = $q; $xx += $q * $q;
+         |}
+         |long $best = Long.MAX_VALUE; int $bi = -1;
+         |for (int $j = 0; $j < $qcbRef.length; $j++) {
+         |  long[] $cw = $qcbRef[$j];
+         |  int $m = Math.min($n, $cw.length);
+         |  long $dot = 0L;
+         |  for (int $t = 0; $t < $m; $t++) { $dot += $qa[$t] * $cw[$t]; }
+         |  long $d = $xx - 2L * $dot + $ccRef[$j];
+         |  if ($d < $best) { $best = $d; $bi = $j; }
+         |}
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqArgminCode =
+    copy(child = newChild)
+}
+
+object PqArgminCode {
+  /** The codebook argument must be a foldable array<array<float>> literal
+    * (it shapes the generated loop's reference arrays).
+    */
+  def literalCodebook(e: Expression): Seq[Seq[Float]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: ArrayData,
+        ArrayType(ArrayType(FloatType, _), _)) =>
+      (0 until v.numElements()).map(j => v.getArray(j).toFloatArray().toSeq)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_argmin codebook must be an array<array<float>> literal, got $other")
+  }
 }

@@ -301,18 +301,16 @@ object Similarity {
     }.sum
 
   /** Argmin codeword for subspace `s` — quantized L2²
-    * (x·x − 2x·c + c·c, exact integers) against each codeword literal;
-    * `array_position` of the min takes the FIRST hit, so ties break to the
-    * lowest code on both engines.
+    * (x·x − 2x·c + c·c, exact integers) against each codeword; first hit
+    * wins, so ties break to the lowest code on both engines. One
+    * [[GraftExpressions.PqArgminCode]] loop per subspace: the previous
+    * unrolled `array_position(array(d_0…d_15), array_min(…))` tree put
+    * 64 distance subtrees in one Generate consume method, crossed janino's
+    * 64 KB limit, and silently dropped the whole encode out of whole-stage
+    * codegen at every SF (r8 find — `Code grows beyond 64 KB`).
     */
-  private def pqCodeExpr(emb: Column, cbS: Array[Array[Float]], s: Int): Column = {
-    val sub = slice(emb, s * pqSubDim + 1, pqSubDim)
-    val xx = GraftExpressions.qdot(sub, sub)
-    val dists = array(cbS.map { c =>
-      xx - lit(2L) * GraftExpressions.qdot(sub, typedLit(c.toSeq)) + lit(qdotLocal(c, c))
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  private def pqCodeExpr(emb: Column, cbS: Array[Array[Float]], s: Int): Column =
+    GraftExpressions.pqArgmin(slice(emb, s * pqSubDim + 1, pqSubDim), cbS)
 
   /** One row per vector with its PQ code array — the compressed corpus
     * representation [[pqAdcTopK]] scans. Zero shuffle: the whole encode is

@@ -142,6 +142,58 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(on.getLong(1) == off.getLong(1) && on.getLong(1) == 1L)
   }
 
+  test("PqArgminCode equals the unrolled array_position(array_min) tree; ties to lowest code") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    // deterministic codebook: 16 codewords × 16 dims on an irregular grid
+    val cb: Array[Array[Float]] = Array.tabulate(16, 16)((j, i) =>
+      ((j * 31 + i * 17) % 23 - 11) / 7.0f)
+    def qdotLocal(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * GraftExpressions.Quant).toLong *
+          math.floor(y.toDouble * GraftExpressions.Quant).toLong
+      }.sum
+    val vecs = samples(vecGen, 150)
+    val unrolled = vecs.toDF("sub").select((array_position(
+      array(cb.map { c =>
+        GraftExpressions.qdot(col("sub"), col("sub")) -
+          lit(2L) * GraftExpressions.qdot(col("sub"), typedLit(c.toSeq)) +
+          lit(qdotLocal(c.toSeq, c.toSeq))
+      }: _*),
+      array_min(array(cb.map { c =>
+        GraftExpressions.qdot(col("sub"), col("sub")) -
+          lit(2L) * GraftExpressions.qdot(col("sub"), typedLit(c.toSeq)) +
+          lit(qdotLocal(c.toSeq, c.toSeq))
+      }: _*))) - 1).cast("int")).collect().map(_.getInt(0))
+    def runFast() = vecs.toDF("sub")
+      .select(GraftExpressions.pqArgmin(col("sub"), cb)).collect().map(_.getInt(0))
+    val fast = runFast()
+    assert(fast.toSeq == unrolled.toSeq)
+    // interpreted eval agrees with codegen
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try runFast()
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(interp.toSeq == fast.toSeq)
+    // duplicate codewords: the FIRST (lowest) index must win
+    val dupCb = Array(cb(3), cb(3), cb(3))
+    val tie = Seq(cb(3).toSeq).toDF("sub")
+      .select(GraftExpressions.pqArgmin(col("sub"), dupCb)).head().getInt(0)
+    assert(tie == 0)
+    // truncated input slice: dot bounds by the shorter side, like qdot
+    val short = Seq(Seq(0.5f, -0.25f)).toDF("sub")
+      .select(GraftExpressions.pqArgmin(col("sub"), cb)).head().getInt(0)
+    val shortModel = cb.zipWithIndex.map { case (c, j) =>
+      val sub = Seq(0.5f, -0.25f)
+      (qdotLocal(sub, sub) - 2L * qdotLocal(sub, c.toSeq.take(2)) +
+        qdotLocal(c.toSeq, c.toSeq), j)
+    }.min._2
+    assert(short == shortModel)
+    // null input → null
+    assert(Seq((1L, None: Option[Seq[Float]])).toDF("id", "sub")
+      .select(GraftExpressions.pqArgmin(col("sub"), cb)).head().isNullAt(0))
+  }
+
   test("HilbertKey: bijective on a sub-square and ALWAYS neighbor-adjacent") {
     import spark.implicits._
     GraftExpressions.register(spark)
