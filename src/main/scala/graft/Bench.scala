@@ -171,7 +171,10 @@ object Bench {
         ListenerBridge.flush(spark.sparkContext)
         val cpuMs = (listener.cpuNs.get() - cpu0) / 1000000L
         val gcMs = listener.gcMs.get() - gc0
-        spark.catalog.clearCache() // drop op-internal persists between queries
+        // drop op-internal persists AND finished queries' checkpoint blocks
+        // (clearCache alone leaves localCheckpoint RDDs resident — the r8
+        // sf10 OOM; Release keeps the deliberately shared memo frames)
+        Release.interQuery(spark)
         sampleLoad()
         (name, if (ok) elapsed else -1.0, ok, cpuMs, gcMs)
       }

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.typedLit
 
 /** Size-based partition counts for the explicit corpus-scale repartitions
   * the operators issue (shingle/encode fan-out, iterative-loop edge tables,
@@ -37,14 +38,58 @@ object Scale {
   val maxPartitions: Int = 1 << 14
 
   /** Tighter cap for [[graft.operators.Analytics.withGlobalRowNumber]]-style
-    * range rankings: their per-partition offsets fold back into the plan as
-    * a literal map whose lookup is linear in the partition count, so the
-    * fan-out must stay a bounded driver artifact. 1024 ranges × the byte
-    * target is ~64 GB per ranked pass — rank inputs are skinny projections
-    * (key + sort columns), so this bounds corpora far past the bench
-    * scales while keeping the literal map trivial.
+    * range rankings: their per-partition counts round-trip through a driver
+    * `collect()` (parts rows) before folding back as [[offsetArray]]
+    * constants, so the fan-out must stay a bounded driver artifact. 1024
+    * ranges × the byte target is ~64 GB per ranked pass — rank inputs are
+    * skinny projections (key + sort columns), so this bounds corpora far
+    * past the bench scales while keeping the collected totals trivial.
     */
   val maxRangePartitions: Int = 1 << 10
+
+  /** Per-partition running offsets folded back into the plan as ONE dense
+    * array-literal CONSTANT indexed by `spark_partition_id() + 1` — O(1)
+    * per-row lookup and constant generated code at any partition count.
+    * The previous `map(lit(p0), lit(o0), …)` fold generated code per ENTRY
+    * (the same janino-64 KB failure class as the r8 PQ-encode find, reached
+    * right at [[maxRangePartitions]]) and its `element_at` scanned the map
+    * linearly per row. Pids absent from `runTotals` (empty range
+    * partitions) carry the running offset forward so the array stays dense.
+    */
+  def offsetArray(runTotals: Map[Int, Long]): Column = {
+    val maxPid = if (runTotals.isEmpty) -1 else runTotals.keys.max
+    val arr = new Array[Long](maxPid + 1)
+    var acc = 0L
+    var p = 0
+    while (p <= maxPid) {
+      arr(p) = acc
+      acc += runTotals.getOrElse(p, 0L)
+      p += 1
+    }
+    typedLit(arr.toSeq)
+  }
+
+  /** [[offsetArray]] for runs keyed (partition, source): one dense pid-
+    * indexed offset array PER SOURCE, folded as a single map-of-arrays
+    * constant — lookup is one bounded map probe (|sources| is small by
+    * construction) plus the O(1) array index, and the offsets cumulate
+    * independently within each source's run.
+    */
+  def offsetArrayByKey(runTotals: Map[(Int, String), Long]): Column = {
+    val maxPid = if (runTotals.isEmpty) -1 else runTotals.keys.map(_._1).max
+    val bySrc = runTotals.keys.map(_._2).toSeq.distinct.sorted.map { src =>
+      val arr = new Array[Long](maxPid + 1)
+      var acc = 0L
+      var p = 0
+      while (p <= maxPid) {
+        arr(p) = acc
+        acc += runTotals.getOrElse((p, src), 0L)
+        p += 1
+      }
+      src -> arr.toSeq
+    }.toMap
+    typedLit(bySrc)
+  }
 
   /** Partition count for an explicit repartition of `df`: the optimized
     * plan's byte estimate over [[targetBytesPerPartition]], clamped to

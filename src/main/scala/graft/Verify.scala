@@ -41,9 +41,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // ops may persist() shared subtrees; don't let caches pile up across
-      // the ~40 queries of one session
-      spark.catalog.clearCache()
+      // ops may persist() or localCheckpoint() shared subtrees; don't let
+      // caches OR checkpoint blocks pile up across a session's queries
+      // (Release keeps the deliberately retained memo frames)
+      Release.interQuery(spark)
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }.mkString("{", ",", "}")

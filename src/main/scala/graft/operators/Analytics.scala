@@ -310,9 +310,10 @@ object Analytics {
     */
   private[graft] def rankedByRange(df: DataFrame,
       sort: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    // size-based fan-out, capped at maxRangePartitions: the offsets fold
-    // back as a literal map with linear lookup, so the partition count must
-    // stay a bounded driver artifact while still growing with the data
+    // size-based fan-out, capped at maxRangePartitions: the per-partition
+    // counts round-trip through a driver collect before folding back as one
+    // dense Scale.offsetArray constant, so the partition count must stay a
+    // bounded driver artifact while still growing with the data
     val parts = graft.Scale.partitionsFor(df, graft.Scale.maxRangePartitions)
     df.repartitionByRange(parts, sort: _*)
       .withColumn("_pid", spark_partition_id())
@@ -327,10 +328,8 @@ object Analytics {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = sizes.map(_._2).sum
     if (sizes.isEmpty) return (df.withColumn(out, lit(null).cast(LongType)), 0L)
-    var acc = 0L
-    val offsets = sizes.map { case (pid, cnt) => val o = (pid, acc); acc += cnt; o }
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    (local.withColumn(out, element_at(offMap, col("_pid")) + col("_lrn"))
+    val offArr = graft.Scale.offsetArray(sizes.toMap)
+    (local.withColumn(out, element_at(offArr, col("_pid") + 1) + col("_lrn"))
       .drop("_pid", "_lrn"), n)
   }
 

@@ -619,14 +619,14 @@ object Dedup {
     * the driver harnesses run them back to back, so without sharing the
     * suite pays the global-rank + cap pass three times (they were bench
     * ranks 1/2/4 in r7). `localCheckpoint` rather than `persist` because
-    * the verify harness calls `spark.catalog.clearCache()` between
-    * queries — that clears SQL cache entries but not checkpoint RDD
-    * blocks, so the shared frames survive exactly the lifecycle they need
-    * to. A new key (different fixture, session, or cap) replaces the entry;
-    * the old checkpoint's blocks are reclaimed by Spark's ContextCleaner
-    * once the dropped DataFrame is garbage collected. At most one corpus's
-    * frames are ever resident (doc-grain shingle arrays — the size of one
-    * stored minhash index shard, not the corpus).
+    * the harnesses clear the SQL cache between queries; the frames are
+    * [[graft.Release.retain]]ed so the harness's inter-query RDD release
+    * (which DOES drop checkpoint blocks — the r8 sf10 OOM fix) leaves
+    * exactly these resident. A new key (different fixture, session, or
+    * cap) replaces the entry and unretains the old frames — their blocks
+    * go at the next inter-query release. At most one corpus's frames are
+    * ever resident (doc-grain shingle arrays — the size of one stored
+    * minhash index shard, not the corpus).
     */
   private var cappedShingleMemo:
       Option[((SparkSession, Int, Int), (DataFrame, DataFrame))] = None
@@ -637,8 +637,12 @@ object Dedup {
     cappedShingleMemo match {
       case Some((k, v)) if k == key => v
       case _ =>
+        // a replaced entry loses its cross-query retention — its blocks
+        // are reclaimed at the harness's next inter-query release
+        cappedShingleMemo.foreach { case (_, (h0, s0)) => graft.Release.unretain(h0, s0) }
         val (hs, stats) = cappedShingleBuckets(docs, cap)
         val v = (hs.localCheckpoint(), stats.localCheckpoint())
+        graft.Release.retain(v._1, v._2)
         cappedShingleMemo = Some((key, v))
         v
     }

@@ -93,15 +93,10 @@ object Relational {
     val runTotals = local.groupBy(col("_pid"), col("source"))
       .agg(sum(col("n_tokens")).as("t")).collect()
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val offsets = runTotals.keys.toSeq.sorted.map { case (pid, src) =>
-      val off = runTotals.collect {
-        case ((p, s), t) if s == src && p < pid => t }.sum
-      (s"$pid|$src", off)
-    }
-    val offMap = map(offsets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val offArr = graft.Scale.offsetArrayByKey(runTotals)
     local
       .withColumn("cum_tokens",
-        element_at(offMap, concat(col("_pid"), lit("|"), col("source"))) + col("_lcs"))
+        element_at(element_at(offArr, col("source")), col("_pid") + 1) + col("_lcs"))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
@@ -141,13 +136,9 @@ object Relational {
       .localCheckpoint()
     val runTotals = local.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
-    val offsets = runTotals.keys.toSeq.sorted.map { pid =>
-      val o = (pid, acc); acc += runTotals(pid); o
-    }
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val offArr = graft.Scale.offsetArray(runTotals)
     local
-      .withColumn("cum_tokens", element_at(offMap, col("_pid")) + col("_lcs"))
+      .withColumn("cum_tokens", element_at(offArr, col("_pid") + 1) + col("_lcs"))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }

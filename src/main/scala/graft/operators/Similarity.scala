@@ -431,6 +431,10 @@ object Similarity {
   private def pqAdcScored(embs: DataFrame, queryPred: Column): DataFrame =
     pqAdcScored(embs, queryPred, pqCodebook(embs))
 
+  /** Test hook: the flat ADC-scored pair frame, for subset checks. */
+  private[graft] def pqAdcScoredForTest(embs: DataFrame, queryPred: Column): DataFrame =
+    pqAdcScored(embs, queryPred)
+
   private def pqAdcScored(embs: DataFrame, queryPred: Column,
       cb: Array[Array[Array[Float]]]): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
@@ -487,6 +491,57 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** IVF-PQ / ADC top-k — the composed production ANN shape (the inverted-
+    * file + product-quantization pairing of Jégou et al.'s ADC paper):
+    * the coarse quantizer restricts each query to its `probes` nearest
+    * cells' posting lists, and those candidates score by ADC over their
+    * PQ codes instead of raw floats. [[ivfMultiprobeTopK]] bounds the
+    * CANDIDATE COUNT (N·probes/cells per query); [[pqAdcTopK]] bounds the
+    * BYTES PER CANDIDATE (pqM small codes); this op composes both bounds
+    * into the read path that serves 100 TB: the scan side is the
+    * cell-keyed codes table (a few bytes per vector — never the embedding
+    * column past the one-time encode), each broadcast query row carries
+    * its m×k LUT, and scoring a candidate is [[pqM]] integer array
+    * lookups. Exact quantized integers + cell/code/id tie-breaks end to
+    * end → fully oracle-checked; with `probes = ivfCells` the cell
+    * restriction vanishes and the op equals [[pqAdcTopK]] row-for-row
+    * (the composition identity the spec pins).
+    */
+  def ivfpqTopK(embs: DataFrame, queryPred: Column,
+      probes: Int = ivfProbes, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val cb = pqCodebook(embs)
+    // corpus side: cell + codes travel together; one narrow encode pass
+    val codedCells = ivfAssign(embs).select(col("vec_id"), col("cell"),
+      array((0 until pqM).map(s => pqCodeExpr(col("embedding"), cb(s), s)): _*).as("codes"))
+    val centroids = embs.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(
+      GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
+    val lut = array((0 until pqM).map { s =>
+      val qSub = slice(col("q_emb"), s * pqSubDim + 1, pqSubDim)
+      array(cb(s).map(c => GraftExpressions.qdot(qSub, typedLit(c.toSeq))): _*)
+    }: _*)
+    val qcells = embs.filter(queryPred)
+      .join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= probes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"))
+      .withColumn("lut", lut)
+      .select(col("query_id"), col("q_cell"), col("lut"))
+    val adc = (0 until pqM).map { s =>
+      element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    // a corpus vector lives in exactly ONE cell, so it meets at most one of
+    // a query's (distinct) probe rows — no dedup needed before ranking
+    val scored = codedCells.join(broadcast(qcells),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+    val wr = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
   }
 
   /** Semantic near-dup pairs within IVF cells (the SemDeDup shape): candidate
@@ -770,6 +825,41 @@ object Similarity {
        |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= $defaultK""".stripMargin
 
+  /** Oracle twin of [[ivfpqTopK]]: the multiprobe cell restriction joined
+    * into the flat ADC scan (shared with the recall report).
+    */
+  private lazy val ivfpqOracle: String =
+    s"""WITH $ivfAssignedCte,
+       |$pqCodedCtes,
+       |qc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT e.vec_id AS query_id, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${GraftExpressions.qdotSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c
+       |    WHERE e.vec_id < 5)
+       |  WHERE rn <= $ivfProbes),
+       |qsub AS (
+       |  SELECT e.vec_id AS query_id, CAST(s.s AS INTEGER) AS subspace,
+       |         e.embedding[s.s*$pqSubDim+1 : s.s*$pqSubDim+$pqSubDim] AS q_sub
+       |  FROM embeddings e CROSS JOIN generate_series(0, ${pqM - 1}) s(s)
+       |  WHERE e.vec_id < 5),
+       |scored AS (
+       |  SELECT qs.query_id, c.vec_id AS neighbor_id,
+       |         CAST(SUM(${GraftExpressions.qdotSql("qs.q_sub", "cb.c_sub")}) AS BIGINT) AS adc
+       |  FROM coded c
+       |  JOIN cb ON cb.subspace = c.subspace AND cb.code = c.code
+       |  JOIN assigned a ON a.vec_id = c.vec_id
+       |  JOIN qc ON qc.cell = a.cell
+       |  JOIN qsub qs ON qs.subspace = c.subspace AND qs.query_id = qc.query_id
+       |  WHERE c.vec_id <> qc.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $defaultK""".stripMargin
+
   /** Oracle twin of the ADC scan (shared by the window and aggregator ops). */
   private lazy val pqAdcOracle: String =
     s"""WITH $pqCodedCtes,
@@ -813,6 +903,7 @@ object Similarity {
     Seq(
       "ivf" -> ivfTopK(embs, qp, k),
       "ivf_multiprobe" -> ivfMultiprobeTopK(embs, qp, k = k),
+      "ivfpq" -> ivfpqTopK(embs, qp, k = k),
       "pq_adc" -> pqAdcTopK(embs, qp, k),
       "sq8" -> sq8TopK(embs, qp, k),
       "sq8_rerank" -> sq8RerankTopK(embs, qp, k))
@@ -1103,11 +1194,13 @@ object Similarity {
        |mi AS ($ivfQ),
        |mp AS ($mpQ),
        |mq AS (SELECT query_id, neighbor_id FROM ($pqAdcOracle)),
+       |mv AS (SELECT query_id, neighbor_id FROM ($ivfpqOracle)),
        |ms AS ($sq8Q),
        |mr AS ($rrQ),
        |r AS (
        |  ${row("ivf", "mi")}
        |  UNION ALL ${row("ivf_multiprobe", "mp")}
+       |  UNION ALL ${row("ivfpq", "mv")}
        |  UNION ALL ${row("pq_adc", "mq")}
        |  UNION ALL ${row("sq8", "ms")}
        |  UNION ALL ${row("sq8_rerank", "mr")})
@@ -1903,6 +1996,12 @@ object Similarity {
     // codewords → re-encode → search, all composed in one oracle.
     Op.sql("sim_topk_pq_adc_refined", pqAdcRefinedOracle) { (s, d) =>
       pqAdcTopKRefined(Tables.embeddings(s, d), col("vec_id") < 5)
+    },
+
+    // IVF-PQ: coarse cells bound the candidate count, PQ codes bound the
+    // bytes per candidate — the composed production ANN read path.
+    Op.sql("sim_topk_ivfpq", ivfpqOracle) { (s, d) =>
+      ivfpqTopK(Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     Op.sql("sim_topk_lsh",

@@ -403,13 +403,9 @@ object TextOps {
       .localCheckpoint()
     val runTotals = local.groupBy(col("_pid")).agg(sum(col("new_types")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
-    val offsets = runTotals.keys.toSeq.sorted.map { pid =>
-      val o = (pid, acc); acc += runTotals(pid); o
-    }
-    val offMap = map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val offArr = graft.Scale.offsetArray(runTotals)
     local
-      .withColumn("cum_types", element_at(offMap, col("_pid")) + col("_lcs"))
+      .withColumn("cum_types", element_at(offArr, col("_pid") + 1) + col("_lcs"))
       .select(col("bucket"), col("new_types"), col("cum_types"))
   }
 

@@ -29,4 +29,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(expect(100L << 30, Scale.maxRangePartitions) == Scale.maxRangePartitions.toLong,
       "range rankings clamp at the bounded-driver-artifact cap")
   }
+
+  test("offsetArray: dense over pid gaps, exclusive running sums, O(1) plan constant") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    // pid 1 absent (an empty range partition) must carry the offset forward
+    val off = Scale.offsetArray(Map(0 -> 5L, 2 -> 7L, 3 -> 2L))
+    val got = Seq(0, 1, 2, 3).toDF("pid")
+      .select(element_at(off, col("pid") + 1)).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 5L, 5L, 12L))
+    // at the maxRangePartitions cap the fold must stay ONE constant: the
+    // old per-entry map(lit, lit, …) fold crossed janino's 64 KB method
+    // limit exactly here (the r8 PQ-encode failure class) — this evaluates
+    // under codegen or the test fails
+    val wide = Scale.offsetArray((0 until Scale.maxRangePartitions).map(p => p -> 3L).toMap)
+    val last = Seq(Scale.maxRangePartitions - 1).toDF("pid")
+      .select(element_at(wide, col("pid") + 1)).head().getLong(0)
+    assert(last == 3L * (Scale.maxRangePartitions - 1))
+  }
+
+  test("offsetArrayByKey: offsets cumulate independently per source") {
+    import org.apache.spark.sql.functions.{col, element_at}
+    val off = Scale.offsetArrayByKey(Map(
+      (0, "a") -> 10L, (2, "a") -> 4L, (0, "b") -> 1L, (1, "b") -> 2L))
+    val got = Seq((0, "a"), (1, "a"), (2, "a"), (0, "b"), (1, "b"), (2, "b"))
+      .toDF("pid", "src")
+      .select(element_at(element_at(off, col("src")), col("pid") + 1))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 10L, 10L, 0L, 1L, 3L))
+    // unknown source → null, matching the old concat-keyed map fold
+    assert(Seq((0, "zz")).toDF("pid", "src")
+      .select(element_at(element_at(off, col("src")), col("pid") + 1))
+      .head().isNullAt(0))
+  }
 }
