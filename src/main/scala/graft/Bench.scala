@@ -135,6 +135,7 @@ object Bench {
       try {
         operators.Kpi.ensureFixtureStore(spark, sfDir)
         sources.SketchStore.ensureFixture(spark, sfDir) // same argument: ingest-time
+        operators.Similarity.ensureCodes(spark, sfDir) // one-time vector encode
         None
       }
       catch { case e: Throwable =>
@@ -218,6 +219,11 @@ object Bench {
     def warmupCounters(): (Long, Long) =
       (codegenHist.getCount, if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported) jitBean.getTotalCompilationTime else -1L)
     val (cg0, jit0) = warmupCounters()
+    // snapshot the mean at cg0 too: the estimated-total-sum delta estimator
+    // below needs the same baseline treatment for BOTH attempts, or
+    // attempt-1's estimate silently absorbs setup/warm-up compiles that
+    // happened before cg0 (ADVICE r8)
+    val codegenMean0 = codegenHist.getSnapshot.getMean
     val first = runSuite()
     val (cg1, jit1) = warmupCounters()
     // snapshot the reservoir mean BETWEEN attempts: attempt-1 compilations
@@ -263,6 +269,11 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline run failed: ${e.getMessage}"); -1.0
       }
+    // Per-stage walls of that run (reference SLAs are per-stage: validate
+    // 120 s, transform 300 s — step-function-definition.json TimeoutSeconds)
+    val pipelineStages = pipeline.Pipeline.lastStageWalls.toSeq.sortBy(_._1)
+      .map { case (n, w) => s"${Json.quote(n)}:${"%.3f".format(w)}" }
+      .mkString("{", ",", "}")
     def obj(f: ((String, Double, Boolean, Long, Long)) => String): String =
       results.map(r => s"${Json.quote(r._1)}:${f(r)}").mkString("{", ",", "}")
     val qs = obj(_._2.toString)
@@ -276,17 +287,19 @@ object Bench {
     // diagnosable even when tail-capture truncates the full queries map.
     val top20 = results.filter(_._3).sortBy(-_._2).take(20)
       .map(r => s"${Json.quote(r._1)}:${r._2}").mkString("{", ",", "}")
-    // codegen_ms_approx = per-attempt sum estimates from per-attempt mean
-    // snapshots (the codahale histogram keeps no exact sum): attempt 1 uses
-    // the between-attempts mean × its compile delta; attempt 2 uses the
-    // estimated total-sum delta (mean2·cg2 − mean1·cg1), so attempt-1's
-    // slower compiles don't get averaged into attempt-2's cost. Compile
-    // COUNTS are exact; jit_ms is exact.
-    val cgMs1 = (codegenMean1 * (cg1 - cg0)).round
+    // codegen_ms_approx = per-attempt estimated-total-sum deltas,
+    // mean_i·cg_i − mean_{i-1}·cg_{i-1}, computed THE SAME WAY for both
+    // attempts from mean snapshots bracketing each attempt (the codahale
+    // histogram keeps no exact sum; its exponentially-decaying reservoir
+    // makes this an estimate — clamped at 0 where decay drifts it
+    // negative). One consistent estimator per ADVICE r8: setup compiles
+    // before cg0 cancel out of attempt 1's delta instead of smearing into
+    // its mean. Compile COUNTS are exact; jit_ms is exact.
+    val cgMs1 = math.max(0L, (codegenMean1 * cg1 - codegenMean0 * cg0).round)
     val cgMs2 = math.max(0L, (codegenMeanMs * cg2 - codegenMean1 * cg1).round)
     val warmupAttribution =
       s"""{"codegen_compiles":[${cg1 - cg0},${cg2 - cg1}],"codegen_ms_approx":[$cgMs1,$cgMs2],"jit_ms":[${jit1 - jit0},${jit2 - jit1}]}"""
-    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"warmup_attribution":$warmupAttribution,"top20_s":$top20"""
+    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"pipeline_stages_s":$pipelineStages,"warmup_attribution":$warmupAttribution,"top20_s":$top20"""
     val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
       .mkString("{", ",", "}")
     val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")

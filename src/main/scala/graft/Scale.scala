@@ -96,13 +96,24 @@ object Scale {
     * [defaultParallelism, cap]. At bench scale this floors to
     * defaultParallelism (existing plans unchanged); past ~2 GB of input it
     * grows with the data.
+    *
+    * UNKNOWN-size plans fall back to defaultParallelism, not the cap: a
+    * plan whose stats degrade to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue — e.g. a localCheckpoint-ed LogicalRDD root, or any
+    * join-rooted estimate at/above the sentinel) carries no size signal,
+    * and scheduling the 2^14-partition cap off garbage stats is a
+    * pathological repartition, not a safe default (ADVICE r8). Callers
+    * should pass scan/narrow-rooted frames; this guard makes a violation
+    * cheap rather than catastrophic.
     */
   def partitionsFor(df: DataFrame, cap: Int = maxPartitions): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes =
-      if (bytes.isValidLong) bytes.toLong / targetBytesPerPartition + 1
-      else cap.toLong
+    val defaultSentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
     val floor = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val byBytes =
+      if (bytes.isValidLong && bytes < defaultSentinel)
+        bytes.toLong / targetBytesPerPartition + 1
+      else floor
     math.min(cap.toLong, math.max(floor, byBytes)).toInt
   }
 }

@@ -612,8 +612,8 @@ object Dedup {
     (hs.join(kept, "doc_id"), stats)
   }
 
-  /** One-entry memo of the CHECKPOINTED capped-shingle frames, keyed by
-    * (session, input-plan semantic hash, cap). The three exact-baseline
+  /** One-entry [[graft.SharedCheckpoint]] memo of the capped-shingle frames,
+    * keyed by (session, input plan — `sameResult`-confirmed, cap). The three exact-baseline
     * queries ([[ngramJaccardPairs]], [[jaccardThresholdSweep]],
     * [[lshRecallReport]]) start from the identical rank-capped subtree and
     * the driver harnesses run them back to back, so without sharing the
@@ -628,24 +628,15 @@ object Dedup {
     * ever resident (doc-grain shingle arrays — the size of one stored
     * minhash index shard, not the corpus).
     */
-  private var cappedShingleMemo:
-      Option[((SparkSession, Int, Int), (DataFrame, DataFrame))] = None
+  private val cappedShingleMemo = new graft.SharedCheckpoint[Int]
 
   private[graft] def cappedShingleShared(docs: DataFrame,
-      cap: Int = exactPairDocCap): (DataFrame, DataFrame) = synchronized {
-    val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), cap)
-    cappedShingleMemo match {
-      case Some((k, v)) if k == key => v
-      case _ =>
-        // a replaced entry loses its cross-query retention — its blocks
-        // are reclaimed at the harness's next inter-query release
-        cappedShingleMemo.foreach { case (_, (h0, s0)) => graft.Release.unretain(h0, s0) }
-        val (hs, stats) = cappedShingleBuckets(docs, cap)
-        val v = (hs.localCheckpoint(), stats.localCheckpoint())
-        graft.Release.retain(v._1, v._2)
-        cappedShingleMemo = Some((key, v))
-        v
+      cap: Int = exactPairDocCap): (DataFrame, DataFrame) = {
+    val Seq(hs, stats) = cappedShingleMemo.getOrBuild(docs, cap) { d =>
+      val (h, s) = cappedShingleBuckets(d, cap)
+      Seq(h, s)
     }
+    (hs, stats)
   }
 
   /** Direct shingle-Jaccard ≥ 0.5 restricted to same length-bucket

@@ -436,7 +436,16 @@ object Similarity {
     pqAdcScored(embs, queryPred)
 
   private def pqAdcScored(embs: DataFrame, queryPred: Column,
-      cb: Array[Array[Array[Float]]]): DataFrame = {
+      cb: Array[Array[Array[Float]]]): DataFrame =
+    pqAdcScored(embs, queryPred, cb, pqCodesWide(embs, cb))
+
+  /** The ADC pair scan over an EXPLICIT corpus codes frame (vec_id, codes)
+    * — fresh-encoded by the overloads above, or read from the build-once
+    * [[storedIndex]] artifact by the registered read ops (the two are
+    * bit-identical; spec-pinned).
+    */
+  private def pqAdcScored(embs: DataFrame, queryPred: Column,
+      cb: Array[Array[Array[Float]]], corpusCodes: DataFrame): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
     val lut = array((0 until pqM).map { s =>
       val qSub = slice(col("q_emb"), s * pqSubDim + 1, pqSubDim)
@@ -449,13 +458,25 @@ object Similarity {
     val adc = (0 until pqM).map { s =>
       element_at(element_at(col("lut"), s + 1), element_at(col("codes"), s + 1) + 1)
     }.reduce(_ + _)
-    pqCodesWide(embs, cb).join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    corpusCodes.select(col("vec_id"), col("codes"))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
   }
 
   def pqAdcTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
     pqAdcScored(embs, queryPred)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** [[pqAdcTopK]] over a pre-encoded corpus codes frame (vec_id, codes) —
+    * the stored-index read path: the scan never touches the float
+    * embeddings except for the |Q| query rows' LUTs.
+    */
+  def pqAdcTopKFrom(codes: DataFrame, embs: DataFrame, queryPred: Column,
+      k: Int = defaultK): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    pqAdcScored(embs, queryPred, pqCodebook(embs), codes)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
@@ -478,10 +499,20 @@ object Similarity {
     * shuffles |Q|·k·tasks. Combined with the codes-only scan, this is the
     * full 100 TB ANN read path: compressed corpus in, bounded heaps out.
     */
-  def pqAdcTopKAgg(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
-    val spark = embs.sparkSession
+  def pqAdcTopKAgg(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame =
+    pqAdcAggRank(pqAdcScored(embs, queryPred), k)
+
+  /** [[pqAdcTopKAgg]] over a pre-encoded corpus codes frame — the bounded-
+    * heap formulation of the stored-index read path.
+    */
+  def pqAdcTopKAggFrom(codes: DataFrame, embs: DataFrame, queryPred: Column,
+      k: Int = defaultK): DataFrame =
+    pqAdcAggRank(pqAdcScored(embs, queryPred, pqCodebook(embs), codes), k)
+
+  private def pqAdcAggRank(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    pqAdcScored(embs, queryPred).as[(Long, Long, Long)]
+    scored.as[(Long, Long, Long)]
       .groupByKey(_._1)
       .agg(new TopKAggregator[(Long, Long, Long)](k,
         { case (_, id, adc) => Scored(id, adc.toDouble) }).toColumn)
@@ -511,11 +542,27 @@ object Similarity {
     */
   def ivfpqTopK(embs: DataFrame, queryPred: Column,
       probes: Int = ivfProbes, k: Int = defaultK): DataFrame = {
-    GraftExpressions.register(embs.sparkSession)
     val cb = pqCodebook(embs)
     // corpus side: cell + codes travel together; one narrow encode pass
     val codedCells = ivfAssign(embs).select(col("vec_id"), col("cell"),
       array((0 until pqM).map(s => pqCodeExpr(col("embedding"), cb(s), s)): _*).as("codes"))
+    ivfpqTopKImpl(codedCells, embs, queryPred, cb, probes, k)
+  }
+
+  /** [[ivfpqTopK]] over a pre-encoded (vec_id, cell, codes) frame — the
+    * stored-index read path: cells bound the candidates, stored codes bound
+    * the bytes, and the one-time encode cost lives at index-build time
+    * where it belongs ([[ensureCodes]]).
+    */
+  def ivfpqTopKFrom(codedCells: DataFrame, embs: DataFrame, queryPred: Column,
+      probes: Int = ivfProbes, k: Int = defaultK): DataFrame =
+    ivfpqTopKImpl(codedCells.select(col("vec_id"), col("cell"), col("codes")),
+      embs, queryPred, pqCodebook(embs), probes, k)
+
+  private def ivfpqTopKImpl(codedCells: DataFrame, embs: DataFrame,
+      queryPred: Column, cb: Array[Array[Array[Float]]],
+      probes: Int, k: Int): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
     val centroids = embs.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("vec_id").orderBy(
@@ -997,16 +1044,43 @@ object Similarity {
   def ivfIndexAppend(corpus: DataFrame, batch: DataFrame): DataFrame = {
     val centroids = corpus.filter(col("vec_id") < ivfCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    val stored = assignWithResidual(corpus, centroids)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_stored"), sum(col("resid")).as("sr_stored"))
+    ivfIndexAppendImpl(
+      assignWithResidual(corpus, centroids).groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_stored"), sum(col("resid")).as("sr_stored")),
+      batch, centroids)
+  }
+
+  /** [[ivfIndexAppend]] with the stored side's cell stats read from a
+    * pre-encoded (vec_id, cell, resid) index frame ([[storedIndex]]) — the
+    * maintenance loop that actually composes with the store: the corpus is
+    * NEVER re-encoded, only the incoming batch pays an encode, and the
+    * health report aggregates the artifact's own rows. Per-vector (cell,
+    * resid) depend only on the FIXED centroid set, so filtering the full-
+    * table store to the corpus slice is bit-identical to encoding that
+    * slice (the append-equals-rebuild contract, spec-pinned).
+    */
+  def ivfIndexAppendFrom(index: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame =
+    ivfIndexAppendImpl(
+      index.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_stored"), sum(col("resid")).as("sr_stored")),
+      batch, centroids)
+
+  private def ivfIndexAppendImpl(stored: DataFrame, batch: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val fresh = assignWithResidual(batch, centroids)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_new"), sum(col("resid")).as("sr_new"))
-    stored.join(fresh, Seq("cell"), "left")
-      .select(col("cell"), col("n_stored"),
+    // FULL outer on cell: argmax-dot assignment does not guarantee a seed
+    // lands in its own cell, so a cell whose members are ALL from the new
+    // batch must still surface (n_stored = 0, share = 100%, drift = the
+    // infinite-relative sentinel → retrain) — only-new cells are the
+    // strongest retrain signal the report exists for (ADVICE r8).
+    stored.join(fresh, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_stored"), lit(0L)).as("n_stored"),
         coalesce(col("n_new"), lit(0L)).as("n_new"),
-        expr("sr_stored div n_stored").as("stored_resid_mean"),
+        coalesce(expr("sr_stored div n_stored"), lit(0L)).as("stored_resid_mean"),
         coalesce(expr("sr_new div n_new"), lit(0L)).as("new_resid_mean"))
       .withColumn("new_share_ppm",
         expr("(n_new * 1000000) div (n_stored + n_new)"))
@@ -1020,6 +1094,67 @@ object Similarity {
         col("drift_x1000") > appendDriftMaxX1000 ||
           col("new_share_ppm") > appendShareMaxPpm)
   }
+
+  // --------------------------------------------------------------------------
+  // Vector index store: the one-time encode as a build-once artifact
+  // --------------------------------------------------------------------------
+
+  /** Baked into the store dir name — bump on any index-schema/build change. */
+  val VectorStoreVersion = "v1"
+
+  /** The full per-vector index row in ONE narrow encode pass: coarse cell,
+    * quantized L2² residual to its centroid, PQ codes, and SQ8 codes —
+    * everything the ANN read ops and the append health report consume.
+    * Every column is bit-identical to the per-op fresh encodes
+    * ([[ivfAssign]] / [[assignWithResidual]] / [[pqCodesWide]] /
+    * [[sq8CodesWide]]) because each is a deterministic function of the
+    * vector and the FIXED seeds — spec-pinned, so stored-read ≡ fresh-
+    * encode row for row.
+    */
+  private[graft] def indexFrame(embs: DataFrame): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
+    val cb = pqCodebook(embs)
+    val centroids = embs.filter(col("vec_id") < ivfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(
+      GraftExpressions.qdot(col("embedding"), col("c_emb")).desc, col("cell"))
+    embs
+      .repartition(graft.Scale.partitionsFor(embs))
+      .join(broadcast(centroids))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("n2", GraftExpressions.qdot(col("embedding"), col("embedding")))
+      .select(col("vec_id"), col("cell"),
+        (col("n2")
+          - lit(2L) * GraftExpressions.qdot(col("embedding"), col("c_emb"))
+          + GraftExpressions.qdot(col("c_emb"), col("c_emb"))).as("resid"),
+        array((0 until pqM).map(s => pqCodeExpr(col("embedding"), cb(s), s)): _*)
+          .as("codes"),
+        transform(col("embedding"), x =>
+          when(col("n2") === 0, lit(0)).otherwise(
+            round(floor(x.cast("double") * GraftExpressions.Quant) * lit(127.0) /
+              sqrt(col("n2").cast("double"))).cast("int"))).as("sq8"))
+  }
+
+  /** Build-once vector index for the fixture under `srcDir` (content-
+    * stamped dir — the [[graft.sources.ArtifactStore]] convention shared
+    * with the graph edge store). At 100 TB the one-time encode IS the point
+    * of PQ/SQ8: the float corpus is read once at index-build time, and
+    * every ANN read op scans the bytes-per-vector artifact instead of
+    * re-encoding embeddings per query. Results are identical either way —
+    * the oracles re-derive everything from the raw embeddings table.
+    */
+  def ensureCodes(spark: SparkSession, srcDir: String): String =
+    graft.sources.ArtifactStore.ensure(srcDir, "vecstore", VectorStoreVersion) { dir =>
+      indexFrame(Tables.embeddings(spark, srcDir))
+        .write.mode("overwrite").parquet(s"$dir/index")
+    }
+
+  /** The stored (vec_id, cell, resid, codes, sq8) index (building it on
+    * first use).
+    */
+  def storedIndex(spark: SparkSession, srcDir: String): DataFrame =
+    spark.read.parquet(s"${ensureCodes(spark, srcDir)}/index")
 
   /** Oracle twin of the registered `sim_index_append` split: stored corpus
     * = seeds ∪ (vec_id % [[appendMod]] ≠ 0), batch = the rest.
@@ -1047,11 +1182,12 @@ object Similarity {
        |              CAST(SUM(resid) AS BIGINT) AS sr_new
        |       FROM ar WHERE is_new GROUP BY cell),
        |j AS (
-       |  SELECT st.cell, st.n_stored,
+       |  SELECT cell,
+       |         COALESCE(st.n_stored, 0) AS n_stored,
        |         COALESCE(nw.n_new, 0) AS n_new,
-       |         st.sr_stored // st.n_stored AS stored_resid_mean,
+       |         COALESCE(st.sr_stored // st.n_stored, 0) AS stored_resid_mean,
        |         COALESCE(nw.sr_new // nw.n_new, 0) AS new_resid_mean
-       |  FROM st LEFT JOIN nw USING (cell)),
+       |  FROM st FULL OUTER JOIN nw USING (cell)),
        |r AS (
        |  SELECT *, (n_new * 1000000) // (n_stored + n_new) AS new_share_ppm,
        |    CASE WHEN n_new = 0 THEN 0
@@ -1269,8 +1405,15 @@ object Similarity {
     * rounding of the unit vector, so recall is near-1 (spec-measured) at a
     * quarter of the scan bytes.
     */
-  def sq8TopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
-    val codes = sq8CodesWide(embs)
+  def sq8TopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame =
+    sq8TopKFrom(sq8CodesWide(embs), queryPred, k)
+
+  /** [[sq8TopK]] over a pre-encoded (vec_id, codes) frame — the stored-
+    * index read path (queries pull their own code rows from the same
+    * frame, so the float corpus is never touched).
+    */
+  def sq8TopKFrom(codes: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(codes.sparkSession)
     val queries = codes.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("codes").as("q_codes"))
     // codegen kernel, not aggregate(zip_with(...)): the HOF materializes a
@@ -1290,9 +1433,16 @@ object Similarity {
     * |Q|·C candidate rows only (the candidate frame broadcasts — the corpus
     * never shuffles).
     */
-  def sq8RerankTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
+  def sq8RerankTopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame =
+    sq8RerankTopKFrom(sq8CodesWide(embs), embs, queryPred, k)
+
+  /** [[sq8RerankTopK]] with the candidate scan over a pre-encoded codes
+    * frame; only the |Q|·C candidate re-rank touches floats.
+    */
+  def sq8RerankTopKFrom(codes: DataFrame, embs: DataFrame, queryPred: Column,
+      k: Int = defaultK): DataFrame = {
     GraftExpressions.register(embs.sparkSession)
-    val cand = sq8TopK(embs, queryPred, rerankCandidates)
+    val cand = sq8TopKFrom(codes, queryPred, rerankCandidates)
       .select(col("query_id"), col("neighbor_id"))
     val corpus = embs.select(col("vec_id"), col("embedding"),
       GraftExpressions.qdot(col("embedding"), col("embedding")).as("n2"))
@@ -1315,9 +1465,16 @@ object Similarity {
     * lists plus |Q|·C float rows — neither the codes nor the corpus ever
     * shuffle (queries, candidate ids, and stats all broadcast).
     */
-  def ivfSq8TopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame = {
-    val indexed = ivfAssign(embs).select(col("vec_id"), col("cell"))
-      .join(sq8CodesWide(embs), "vec_id")
+  def ivfSq8TopK(embs: DataFrame, queryPred: Column, k: Int = defaultK): DataFrame =
+    ivfSq8TopKFrom(ivfAssign(embs).select(col("vec_id"), col("cell"))
+      .join(sq8CodesWide(embs), "vec_id"), embs, queryPred, k)
+
+  /** [[ivfSq8TopK]] over a pre-encoded (vec_id, cell, codes) frame — the
+    * stored-index read path for the composed IVF+SQ8+refine stack.
+    */
+  def ivfSq8TopKFrom(indexed: DataFrame, embs: DataFrame, queryPred: Column,
+      k: Int = defaultK): DataFrame = {
+    GraftExpressions.register(embs.sparkSession)
     val q = indexed.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("cell").as("q_cell"),
         col("codes").as("q_codes"))
@@ -1687,7 +1844,8 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, neighbor_id, qscore, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
-      sq8TopK(Tables.embeddings(s, d), col("vec_id") < 5)
+      sq8TopKFrom(storedIndex(s, d).select(col("vec_id"), col("sq8").as("codes")),
+        col("vec_id") < 5)
     },
 
     // The composed IVF→SQ8-scan→exact-refine stack, one oracle.
@@ -1722,7 +1880,9 @@ object Similarity {
          |  FROM rescored)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
-      ivfSq8TopK(Tables.embeddings(s, d), col("vec_id") < 5)
+      ivfSq8TopKFrom(
+        storedIndex(s, d).select(col("vec_id"), col("cell"), col("sq8").as("codes")),
+        Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     // Candidate-generation → exact re-rank, composed in one oracle.
@@ -1746,7 +1906,8 @@ object Similarity {
          |  FROM rescored)
          |SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $defaultK""".stripMargin) { (s, d) =>
-      sq8RerankTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+      sq8RerankTopKFrom(storedIndex(s, d).select(col("vec_id"), col("sq8").as("codes")),
+        Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     // Same query through the bounded aggregator — must equal the window
@@ -1867,15 +2028,19 @@ object Similarity {
     },
 
     // Incremental vector-index maintenance: the batch (vec_id % 7 == 0,
-    // above the seeds) encodes against the STORED coarse quantizer; the
-    // per-cell report carries fill, residual drift, and the retrain flag.
+    // above the seeds) encodes against the STORED coarse quantizer, and the
+    // stored side's cell stats aggregate the build-once index artifact —
+    // the corpus is never re-encoded. The per-cell report carries fill,
+    // residual drift, and the retrain flag.
     Op.sql("sim_index_append", indexAppendOracle) { (s, d) =>
       val embs = Tables.embeddings(s, d)
-      ivfIndexAppend(
-        embs.filter(col("vec_id") < ivfCells ||
-          pmod(col("vec_id"), lit(appendMod)) =!= 0),
-        embs.filter(col("vec_id") >= ivfCells &&
-          pmod(col("vec_id"), lit(appendMod)) === 0))
+      val corpusPred = col("vec_id") < ivfCells ||
+        pmod(col("vec_id"), lit(appendMod)) =!= 0
+      ivfIndexAppendFrom(
+        storedIndex(s, d).filter(corpusPred).select(col("cell"), col("resid")),
+        embs.filter(!corpusPred),
+        embs.filter(col("vec_id") < ivfCells)
+          .select(col("vec_id").as("cell"), col("embedding").as("c_emb")))
     },
 
     // Matryoshka truncation evaluation: recall@k of first-m-dims exact
@@ -1971,13 +2136,13 @@ object Similarity {
     },
 
     Op.sql("sim_topk_pq_adc", pqAdcOracle) { (s, d) =>
-      pqAdcTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+      pqAdcTopKFrom(storedIndex(s, d), Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     // Same ADC scan through the bounded aggregator — must equal the window
     // formulation's oracle exactly (same integer scores, same tie-break).
     Op.sql("sim_topk_pq_adc_agg", pqAdcOracle) { (s, d) =>
-      pqAdcTopKAgg(Tables.embeddings(s, d), col("vec_id") < 5)
+      pqAdcTopKAggFrom(storedIndex(s, d), Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     // One per-subspace Lloyd step over the seed-coded corpus — the PQ
@@ -1998,10 +2163,10 @@ object Similarity {
       pqAdcTopKRefined(Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
-    // IVF-PQ: coarse cells bound the candidate count, PQ codes bound the
-    // bytes per candidate — the composed production ANN read path.
+    // IVF-PQ: coarse cells bound the candidate count, stored PQ codes bound
+    // the bytes per candidate — the composed production ANN read path.
     Op.sql("sim_topk_ivfpq", ivfpqOracle) { (s, d) =>
-      ivfpqTopK(Tables.embeddings(s, d), col("vec_id") < 5)
+      ivfpqTopKFrom(storedIndex(s, d), Tables.embeddings(s, d), col("vec_id") < 5)
     },
 
     Op.sql("sim_topk_lsh",

@@ -279,8 +279,29 @@ object Pipeline {
     }
   }
 
+  /** Wall seconds of the LAST run's timed stages (validate / transform /
+    * archive), keyed by stage name — the per-stage view of the reference's
+    * Step Function `TimeoutSeconds` SLAs (validate 120 s, transform 300 s),
+    * published by the bench artifact as `pipeline_stages_s` so the SLA
+    * check is per-stage, not just the aggregate wall. Last-run-wins
+    * convention, same single-threaded-harness contract as
+    * [[graft.Release.interQuery]].
+    */
+  private val lastStageWallsRef =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+  def lastStageWalls: Map[String, Double] = lastStageWallsRef.get
+
+  private def timedStage[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    try f finally {
+      val w = (System.nanoTime() - t0) / 1e9
+      lastStageWallsRef.updateAndGet(m => m + (name -> w))
+    }
+  }
+
   private def runStages(spark: SparkSession, root: String, date: String,
       knownFiles: Option[BatchFiles], log: RunLog): Result = {
+    lastStageWallsRef.set(Map.empty)
     knownFiles.map(Right(_)).getOrElse(completeness(spark, root, date)) match {
       case Left(missing) =>
         log.warn(s"batch $date: incomplete, missing ${missing.mkString(", ")}")
@@ -290,7 +311,8 @@ object Pipeline {
         // O3: transient failures (FS hiccups) retry with backoff; a Rejected
         // REPORT is a value, not an exception, so rejection never retries.
         // Each attempt is bounded by the stage SLA (reference TimeoutSeconds).
-        val report = withRetry(timeoutMs = validateTimeoutMs)(validate(spark, root, files))
+        val report = timedStage("validate")(
+          withRetry(timeoutMs = validateTimeoutMs)(validate(spark, root, files)))
         if (!report.ok) {
           report.rejections.foreach(r => log.error(s"batch $date: REJECTED ${r.file}: ${r.reason}"))
           rejectBatch(spark, root, files, report)
@@ -303,8 +325,8 @@ object Pipeline {
           def toValidated(f: String): String = s"$root/validated/${relUnderRaw(root, f)}"
           // raw/ → validated/ (a reused validated products master stays put)
           val rawFiles = files.all.filter(underRaw(root, _))
-          rawFiles.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
-          val (c, d) =
+          val (c, d) = timedStage("transform") {
+            rawFiles.foreach(f => Csv.moveFile(spark, s"$root/raw", s"$root/validated", f))
             try withRetry(timeoutMs = transformTimeoutMs)(
               transform(spark, root, date, files.orders.map(toValidated)))
             catch { case e: Throwable =>
@@ -316,9 +338,12 @@ object Pipeline {
                 .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/raw", f))
               throw e
             }
+          }
           // validated/ → processed/ (products master stays in validated/)
-          (files.orders ++ files.items).map(toValidated)
-            .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/processed", f))
+          timedStage("archive") {
+            (files.orders ++ files.items).map(toValidated)
+              .foreach(f => Csv.moveFile(spark, s"$root/validated", s"$root/processed", f))
+          }
           log.info(s"batch $date: succeeded ($c category rows, $d daily rows), archived")
           Succeeded(date, c, d)
         }

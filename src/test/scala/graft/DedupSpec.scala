@@ -828,4 +828,66 @@ class DedupSpec extends AnyFunSuite {
     val ppm = if (pairs.isEmpty) 0L else expectLeaks.toLong * 1000000L / pairs.length
     assert(row.getAs[Long]("leak_ppm_doc_keyed") == ppm)
   }
+
+  test("vector index store: stored ≡ fresh encode, and every stored-read op matches its fresh twin") {
+    import org.apache.spark.sql.functions.pmod
+    val sf = TestSession.sf
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val stored = Similarity.storedIndex(spark, sf)
+    // the artifact row-for-row equals the one-pass fresh encode
+    def idx(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "resid", "codes", "sq8").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3), r.getSeq[Int](4))).toSet
+    assert(idx(stored) == idx(Similarity.indexFrame(e)))
+    // stored-read ANN ops ≡ the fresh-encode formulations, row for row
+    val qp = col("vec_id") < 5
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rs(Similarity.pqAdcTopKFrom(stored, e, qp)) == rs(Similarity.pqAdcTopK(e, qp)))
+    assert(rs(Similarity.pqAdcTopKAggFrom(stored, e, qp)) == rs(Similarity.pqAdcTopKAgg(e, qp)))
+    assert(rs(Similarity.ivfpqTopKFrom(stored, e, qp)) == rs(Similarity.ivfpqTopK(e, qp)))
+    val sq8 = stored.select(col("vec_id"), col("sq8").as("codes"))
+    assert(rs(Similarity.sq8TopKFrom(sq8, qp)) == rs(Similarity.sq8TopK(e, qp)))
+    assert(rs(Similarity.sq8RerankTopKFrom(sq8, e, qp)) == rs(Similarity.sq8RerankTopK(e, qp)))
+    val cellSq8 = stored.select(col("vec_id"), col("cell"), col("sq8").as("codes"))
+    assert(rs(Similarity.ivfSq8TopKFrom(cellSq8, e, qp)) == rs(Similarity.ivfSq8TopK(e, qp)))
+    // append health report off the store ≡ re-encoding the corpus slice
+    val corpusPred = col("vec_id") < Similarity.ivfCells ||
+      pmod(col("vec_id"), lit(Similarity.appendMod)) =!= 0
+    val centroids = e.filter(col("vec_id") < Similarity.ivfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    assert(rs(Similarity.ivfIndexAppendFrom(
+      stored.filter(corpusPred).select(col("cell"), col("resid")),
+      e.filter(!corpusPred), centroids)) ==
+      rs(Similarity.ivfIndexAppend(e.filter(corpusPred), e.filter(!corpusPred))))
+  }
+
+  test("index append surfaces only-new cells: n_stored 0, share 100%, drift sentinel, retrain") {
+    // argmax-dot does not guarantee a seed lands in its own cell: centroid 5
+    // (0.5·e16 + 0.9·e6) loses its seed to centroid 6 (2·e6) because
+    // dot(c5,c6)=1.8 > dot(c5,c5)=1.06, so cell 5 starts EMPTY. The batch
+    // vector e16 then assigns to cell 5 (its only positive dot) — a cell
+    // whose members are all new must still appear in the report (full
+    // outer join), carrying the strongest retrain signal (ADVICE r8).
+    val dim = 64
+    def vec(pairs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0f); pairs.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    val corpus = (0 until Similarity.ivfCells).map { i =>
+      if (i == 5) (i.toLong, vec(16 -> 0.5f, 6 -> 0.9f))
+      else if (i == 6) (i.toLong, vec(6 -> 2.0f))
+      else (i.toLong, vec(i -> 1.0f))
+    }.toDF("vec_id", "embedding")
+    val batch = Seq((100L, vec(16 -> 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfIndexAppend(corpus, batch).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(out.contains(5L), "cell 5 must be present in the report")
+    val c5 = out(5L)
+    assert(c5.getAs[Long]("n_stored") == 0L && c5.getAs[Long]("n_new") == 1L)
+    assert(c5.getAs[Long]("new_share_ppm") == 1000000L)
+    assert(c5.getAs[Long]("drift_x1000") == Similarity.appendDriftInfX1000)
+    assert(c5.getAs[Boolean]("retrain"))
+    // the displaced seed counts as stored mass in the cell it actually chose
+    assert(out(6L).getAs[Long]("n_stored") == 2L)
+  }
 }

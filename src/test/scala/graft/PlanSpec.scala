@@ -466,6 +466,37 @@ class PlanSpec extends AnyFunSuite {
       s"raw text must never be a shuffle key (module contract): $textish of $partKeys")
   }
 
+  test("curation manifests: exact-canonicity partition keys are digests, never the raw text column") {
+    // The r8 demerit: Window.partitionBy(col("text")) made the ENTIRE
+    // document body the shuffle + sort key — corpus-sized keys at 100 TB.
+    // The fix keys the canonicity window on md5(text) (the exactGroups
+    // contract); this pin asserts no hash-partitioning in the family uses
+    // the raw `text` attribute ITSELF as a key. (md5(text) still
+    // *references* text, so the check is on bare-attribute keys, which is
+    // exactly the corpus-sized-key failure shape.)
+    def rawAttrKeys(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e.outputPartitioning match {
+            case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+              h.expressions.collect {
+                case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+              }
+            case _ => Nil
+          }
+      }.flatten.toSet
+    val docs = Tables.documents(spark, TestSession.sf)
+    val fams = Seq(
+      "curate" -> graft.operators.TextOps.curate(docs),
+      "training_manifest" -> graft.operators.TextOps.trainingManifest(docs),
+      "curation_manifest" -> graft.operators.TextOps.curationManifest(docs))
+    fams.foreach { case (name, df) =>
+      val keys = rawAttrKeys(df)
+      assert(!keys.contains("text"),
+        s"$name hash-partitions on the raw text column: $keys")
+    }
+  }
+
   test("chunk overlap is a pure narrow plan: no exchange, pruned scan") {
     val df = graft.operators.TextOps.chunkOverlap(Tables.documents(spark, TestSession.sf))
     assert(df.queryExecution.sparkPlan.collect {

@@ -46,4 +46,24 @@ class ReleaseSpec extends AnyFunSuite {
     val (hs2, _) = graft.operators.Dedup.cappedShingleShared(docs)
     assert(hs2.count() == n)
   }
+
+  test("the curation-manifest memo is shared, retained across releases, and keyed by plan identity") {
+    val docs = graft.sources.Tables.documents(spark, TestSession.sf)
+    val m1 = graft.operators.TextOps.curationManifestShared(docs)
+    val ids1 = Release.ckptIdsForTest(m1)
+    assert(ids1.nonEmpty, "the shared manifest must be checkpointed")
+    // the funnel consumes the SAME checkpointed frame — no eleven-gate rebuild
+    val funnelLeafIds = Release.ckptIdsForTest(
+      graft.operators.TextOps.curationFunnel(docs))
+    assert(funnelLeafIds.toSet == ids1.toSet,
+      s"funnel must read the shared manifest checkpoint: $funnelLeafIds vs $ids1")
+    Release.interQuery(spark)
+    val m2 = graft.operators.TextOps.curationManifestShared(docs)
+    assert(Release.ckptIdsForTest(m2).toSet == ids1.toSet,
+      "the memo entry must survive an inter-query release")
+    // a semantically different input plan misses the memo (sameResult check)
+    val m3 = graft.operators.TextOps.curationManifestShared(docs.filter(col("doc_id") >= 0))
+    assert(Release.ckptIdsForTest(m3).toSet != ids1.toSet,
+      "a different input plan must rebuild, not serve the old corpus")
+  }
 }
