@@ -103,9 +103,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // AQE sizes every shuffle DOWN from its initial count, never up — so the
+    // grow direction must be explicit, sized from the data like every other
+    // fan-out in this engine. Measured at sf10 (PERF.md r9): the graph
+    // loops' super-linear per-round term was reduce-side SPILL at
+    // `shuffle.partitions` = cpus (LPA −34% once raised), while a flat high
+    // constant (512) regressed small fixtures ~3× on pure exchange overhead
+    // — hence ~32 MB of input parquet per initial reduce partition, clamped
+    // to [cpus, 1024]: small fixtures stay at cpus (plans unchanged — 8 MB
+    // per partition was measured +20% pure overhead at sf1), sf10 gets ~57.
+    // A production cluster sets the same knob per deployment; the harness
+    // mirrors that sizing rule.
+    val fixtureBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(0L)
+    val initialParts =
+      math.min(1024L, math.max(cpus.toLong, fixtureBytes / (32L << 20)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // local-FS directory listing is cheap; a distributed listing job for a

@@ -46,6 +46,23 @@ object Release {
   def unretain(dfs: DataFrame*): Unit =
     dfs.foreach(df => ckptIds(df).foreach(id => retained.remove(id)))
 
+  /** Release a superseded loop round's checkpoint blocks NOW (bounded
+    * in-flight state for the iterative ops). `Dataset.unpersist` is the
+    * WRONG tool for this: it only uncaches the SQL CacheManager entry,
+    * while a localCheckpoint's blocks live in RDD storage — they need
+    * `rdd.unpersist` (the same distinction behind [[interQuery]]).
+    * Callers must pass only frames the loop itself checkpointed, from the
+    * second round on: an earlier frame's leaves may be a loop-INVARIANT
+    * checkpoint (e.g. a transition matrix) that later rounds still read,
+    * and dropping a checkpoint under a future reader is unrecoverable.
+    */
+  def releaseCheckpoint(dfs: DataFrame*): Unit =
+    dfs.foreach(_.queryExecution.optimizedPlan.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        if (!retained.contains(l.rdd.id)) l.rdd.unpersist(blocking = false)
+      case _ =>
+    })
+
   /** The inter-query hook: SQL cache + all non-retained RDD blocks.
     *
     * CONTRACT: single-threaded harness use only (Bench/Verify run queries

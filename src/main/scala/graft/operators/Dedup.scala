@@ -982,13 +982,25 @@ object Dedup {
   /** One row per document: its duplicate-cluster id (min doc_id of its
     * MinHash near-dup component; docs with no near-dup are their own cluster).
     * The downstream curation join: keep `doc_id == cluster_id`.
+    *
+    * Memoized per (session, input plan) via [[graft.SharedCheckpoint]]: the
+    * iterative connected-components stage is the priciest subtree of every
+    * consumer — the dedup cluster family, the leakage-safe split, and all
+    * THREE manifests (training / curation / cross-modal) — and the label
+    * frame is doc-grain, so one build serves the whole suite (the
+    * production shape: cluster labels are computed once per corpus version
+    * and read everywhere).
     */
   def clusters(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
-      .join(connectedComponents(minhashPairs(docs))
-          .select(col("node").as("doc_id"), col("label").as("cid")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+    clustersMemo.getOrBuild(docs, ()) { d =>
+      Seq(d.select(col("doc_id"))
+        .join(connectedComponents(minhashPairs(d))
+            .select(col("node").as("doc_id"), col("label").as("cid")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id")))
+    }.head
+
+  private val clustersMemo = new graft.SharedCheckpoint[Unit]
 
   // --------------------------------------------------------------------------
   // Leakage-safe train/val/test split (cluster-keyed)

@@ -141,14 +141,18 @@ object EventOps {
     val (t, states) = transitionsPpm(events)
     val k = states.count()
     var pi = states.withColumn("pi_q", lit(piGrid / k))
-    for (_ <- 1 to stationaryRounds) {
+    for (i <- 1 to stationaryRounds) {
       val moved = t
         .join(broadcast(pi.withColumnRenamed("event_type", "from_type")), "from_type")
         .groupBy(col("to_type").as("event_type"))
         .agg(sum(expr("(pi_q * p_ppm) div 1000000")).as("m"))
+      val prev = pi
       pi = states.join(moved, Seq("event_type"), "left")
         .select(col("event_type"), coalesce(col("m"), lit(0L)).as("pi_q"))
         .localCheckpoint()
+      // i > 1 is load-bearing: round 1's prev is a projection OVER the
+      // loop-invariant `states` checkpoint that every later round reads
+      if (i > 1) graft.Release.releaseCheckpoint(prev)
     }
     pi
   }
@@ -174,18 +178,22 @@ object EventOps {
     val (t, states) = transitionsPpm(events)
     var v = states.withColumn("v_q",
       when(col("event_type") === target, lit(1000000L)).otherwise(lit(0L)))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val u = v.select(col("event_type").as("to_type"),
         when(col("event_type") === target, lit(1000000L)).otherwise(col("v_q"))
           .as("u_q"))
       val moved = t.join(broadcast(u), "to_type")
         .groupBy(col("from_type").as("event_type"))
         .agg(sum(expr("(p_ppm * u_q) div 1000000")).as("m"))
+      val prev = v
       v = states.join(moved, Seq("event_type"), "left")
         .select(col("event_type"),
           when(col("event_type") === target, lit(1000000L))
             .otherwise(coalesce(col("m"), lit(0L))).as("v_q"))
         .localCheckpoint()
+      // i > 1 load-bearing: round 1's prev sits over the shared `states`
+      // checkpoint (see markovStationary)
+      if (i > 1) graft.Release.releaseCheckpoint(prev)
     }
     v
   }

@@ -136,12 +136,19 @@ object Graph {
         val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
           .select(col("dst"), expr("(p * w) div ow").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val prev = ranks
         ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(col("node"),
             (lit(base) +
               expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
               .as("p"))
           .localCheckpoint()
+        // bounded in-flight state: the eager checkpoint above no longer
+        // reads prev, so round i-1's blocks release NOW, not at the end of
+        // the query — at scale, iters × node-grain block accumulation is
+        // storage pressure the loop never needs (i > 1: round 1's prev is
+        // the seed frame, whose leaves are not the loop's to drop)
+        if (i > 1) graft.Release.releaseCheckpoint(prev)
       }
     }
     e.unpersist(); nodes.unpersist()
@@ -168,16 +175,18 @@ object Graph {
     val baseCol = when(seedPred, lit(base)).otherwise(lit(0L))
     var ranks = nodes.select(col("node"),
       when(seedPred, lit(prGrid / nSeeds)).otherwise(lit(0L)).as("p"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
         .select(col("dst"), expr("(p * w) div ow").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val prev = ranks
       ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (baseCol +
             expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
             .as("p"))
         .localCheckpoint()
+      if (i > 1) graft.Release.releaseCheckpoint(prev) // bounded in-flight state (see pageRank)
     }
     e.unpersist(); nodes.unpersist()
     ranks.filter(col("p") > 0)
@@ -212,9 +221,11 @@ object Graph {
           .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("wt"))
         // argmax by (wt desc, lab asc) as a HASH aggregate, not a sort window:
         // (wt, -lab) is unique per (dst, lab) row, so max_by is deterministic
+        val prev = labels
         labels = tally.groupBy(col("dst").as("node"))
           .agg(max_by(col("lab"), struct(col("wt"), (-col("lab")).as("nl"))).as("lab"))
           .localCheckpoint()
+        if (i > 1) graft.Release.releaseCheckpoint(prev) // bounded in-flight state (see pageRank)
       }
     }
     e.unpersist(); nodes.unpersist()
@@ -239,13 +250,15 @@ object Graph {
     val e = loopEdges(edges.select(col("src"), col("dst")), edges, n).persist()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0)).otherwise(lit(null).cast(IntegerType)).as("d"))
-    (1 to hops).foreach { _ =>
+    (1 to hops).foreach { i =>
       val relaxed = e.join(stateHint(dist.filter(col("d").isNotNull), n),
           e("src") === col("node"))
         .groupBy(col("dst")).agg((min(col("d")) + 1).as("nd"))
+      val prev = dist
       dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
         .select(dist("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint()
+      if (i > 1) graft.Release.releaseCheckpoint(prev) // bounded in-flight state (see pageRank)
     }
     e.unpersist(); nodes.unpersist() // final dist state is checkpoint-materialized
     dist.filter(col("d").isNotNull)
@@ -396,13 +409,15 @@ object Graph {
       .persist()
     var dist = nodes.select(col("node"),
       when(seedPred, lit(0L)).otherwise(lit(null).cast(LongType)).as("d"))
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { i =>
       val relaxed = e.join(stateHint(dist.filter(col("d").isNotNull), n),
           e("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("d") + col("len")).as("nd"))
+      val prev = dist
       dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
         .select(dist("node"), least(col("d"), col("nd")).as("d"))
         .localCheckpoint()
+      if (i > 1) graft.Release.releaseCheckpoint(prev) // bounded in-flight state (see pageRank)
     }
     e.unpersist(); nodes.unpersist() // final dist state is checkpoint-materialized
     dist.filter(col("d").isNotNull)
@@ -764,36 +779,20 @@ object Graph {
   /** Baked into the store dir name — bump on any edge-schema/build change. */
   val EdgeStoreVersion = "v1"
 
-  private def md5hex(s: String): String = java.security.MessageDigest
-    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private val builtDirs = scala.collection.mutable.Set[String]()
-
   /** Build-once co-purchase edge table for the fixture under `srcDir`
-    * (content-stamped temp dir — the FactStore/SketchStore convention). An
+    * (content-stamped [[graft.sources.ArtifactStore]] dir — the FactStore/
+    * SketchStore convention). An
     * edge table IS a maintained index at 100 TB: the fact scan + basket
     * explode runs once per corpus version, and every graph query
     * (PageRank, LPA, triangles, BFS, centrality) reads the KB..GB-scale
     * artifact instead of re-deriving it from the fact table. Results are
     * identical either way — the oracles derive edges from scratch.
     */
-  def ensureEdges(spark: SparkSession, srcDir: String): String = synchronized {
-    val stamp = Option(new java.io.File(srcDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
-      .getOrElse("")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-edgestore-$EdgeStoreVersion-" +
-      md5hex(s"$srcDir|$stamp")
-    if (builtDirs.contains(dir)) return dir
-    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
-    if (!marker.exists()) {
+  def ensureEdges(spark: SparkSession, srcDir: String): String =
+    graft.sources.ArtifactStore.ensure(srcDir, "edgestore", EdgeStoreVersion) { dir =>
       copurchaseEdges(Tables.orderItems(spark, srcDir))
         .write.mode("overwrite").parquet(s"$dir/edges")
-      marker.createNewFile()
     }
-    builtDirs += dir
-    dir
-  }
 
   /** The stored edge table (building it on first use). */
   def storedEdges(spark: SparkSession, srcDir: String): DataFrame =
@@ -808,23 +807,11 @@ object Graph {
     * propagation. Stamped by the same source-fixture stamp as the edge
     * store, so a regenerated fixture rebuilds both.
     */
-  def ensureCommunities(spark: SparkSession, srcDir: String): String = synchronized {
-    val stamp = Option(new java.io.File(srcDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
-      .getOrElse("")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-commstore-$CommunityStoreVersion-" +
-      md5hex(s"$srcDir|$stamp")
-    if (builtDirs.contains(dir)) return dir
-    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
-    if (!marker.exists()) {
+  def ensureCommunities(spark: SparkSession, srcDir: String): String =
+    graft.sources.ArtifactStore.ensure(srcDir, "commstore", CommunityStoreVersion) { dir =>
       labelPropagation(storedEdges(spark, srcDir))
         .write.mode("overwrite").parquet(s"$dir/labels")
-      marker.createNewFile()
     }
-    builtDirs += dir
-    dir
-  }
 
   /** The stored community labels (building them on first use). */
   def storedCommunities(spark: SparkSession, srcDir: String): DataFrame =

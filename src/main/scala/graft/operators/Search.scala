@@ -449,25 +449,12 @@ object Search {
     */
   val IndexStoreVersion = "v2"
 
-  private def md5hex(s: String): String = java.security.MessageDigest
-    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private val builtDirs = scala.collection.mutable.Set[String]()
-
-  /** Build-once BM25 index bundle for the documents fixture under `srcDir`.
-    * Stamped by the source files' (name, mtime, size) so a regenerated
-    * fixture rebuilds; reruns on the same corpus are a marker-file check.
+  /** Build-once BM25 index bundle for the documents fixture under `srcDir`
+    * (content-stamped [[graft.sources.ArtifactStore]] dir, shared
+    * mechanics with the edge/tokenizer/vector stores).
     */
-  def ensureIndex(spark: SparkSession, srcDir: String): String = synchronized {
-    val stamp = Option(new java.io.File(srcDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
-      .getOrElse("")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-searchstore-$IndexStoreVersion-" +
-      md5hex(s"$srcDir|$stamp")
-    if (builtDirs.contains(dir)) return dir
-    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
-    if (!marker.exists()) {
+  def ensureIndex(spark: SparkSession, srcDir: String): String =
+    graft.sources.ArtifactStore.ensure(srcDir, "searchstore", IndexStoreVersion) { dir =>
       // ONE tokenization pass: the positional layer lands first, and the
       // (doc, token) postings aggregate off the cached occurrences, so the
       // corpus text is split exactly once per store build.
@@ -482,11 +469,7 @@ object Search {
       corpusStats(postings).write.mode("overwrite").parquet(s"$dir/stats")
       postings.unpersist()
       pos.unpersist()
-      marker.createNewFile()
     }
-    builtDirs += dir
-    dir
-  }
 
   /** The stored index bundle (building it on first use). */
   def storedIndex(spark: SparkSession, srcDir: String): Bm25Index = {

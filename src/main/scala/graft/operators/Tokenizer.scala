@@ -96,11 +96,18 @@ object Tokenizer {
           col("m") && (col("pos") - min(col("pos")).over(island)) % 2 === 0)
         .withColumn("dropped",
           coalesce(lag(col("kp"), 1).over(byWord), lit(false)))
+      val prev = syms
       syms = kept.filter(!col("dropped"))
         .select(col("word"), col("freq"),
           row_number().over(byWord).cast(LongType).as("pos"),
           when(col("kp"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
         .localCheckpoint()
+      // bounded in-flight state: the new checkpoint no longer reads prev's
+      // blocks, so round r-1's symbol frame releases now — merges × vocab-
+      // grain accumulation is storage pressure the trainer never needs.
+      // (No round guard here: round 1's prev is the initial symbol
+      // checkpoint, created by this loop and read by nothing later.)
+      graft.Release.releaseCheckpoint(prev)
     }
     (out.result().toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
       .select(col("merge_rank").cast(IntegerType), col("left_sym"),
@@ -151,33 +158,16 @@ object Tokenizer {
   /** Baked into the store dir name — bump on any trainer/schema change. */
   val TokenizerStoreVersion = "v1"
 
-  private def md5hex(s: String): String = java.security.MessageDigest
-    .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private val builtDirs = scala.collection.mutable.Set[String]()
-
   /** Train-once BPE artifact for the documents fixture under `srcDir`:
     * `merges` (the ranked merge table) + `syms` (the final word→symbol
-    * state). Stamped by the source files' (name, mtime, size).
+    * state) — a content-stamped [[graft.sources.ArtifactStore]] dir.
     */
-  def ensureTrained(spark: SparkSession, srcDir: String): String = synchronized {
-    val stamp = Option(new java.io.File(srcDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
-      .getOrElse("")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-bpestore-$TokenizerStoreVersion-" +
-      md5hex(s"$srcDir|$stamp")
-    if (builtDirs.contains(dir)) return dir
-    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
-    if (!marker.exists()) {
+  def ensureTrained(spark: SparkSession, srcDir: String): String =
+    graft.sources.ArtifactStore.ensure(srcDir, "bpestore", TokenizerStoreVersion) { dir =>
       val (merges, syms) = bpeTrainState(Tables.documents(spark, srcDir), bpeMerges)
       merges.write.mode("overwrite").parquet(s"$dir/merges")
       syms.write.mode("overwrite").parquet(s"$dir/syms")
-      marker.createNewFile()
     }
-    builtDirs += dir
-    dir
-  }
 
   /** Stored merge table (training on first use). */
   def storedMerges(spark: SparkSession, srcDir: String): DataFrame =

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,29 +80,12 @@ object SketchStore {
   // Fixture store (registered-op support, mirrors FactStore.ensureFixture)
   // --------------------------------------------------------------------------
 
-  private def md5hex(s: String): String = MessageDigest.getInstance("MD5")
-    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private val builtDirs = scala.collection.mutable.Set[String]()
-
   /** Build-once daily sketch store for the `events` fixture under `srcDir`
-    * (content-stamped temp dir, same convention as the FactStore fixture).
+    * (content-stamped [[ArtifactStore]] dir, same convention as the
+    * FactStore fixture).
     */
-  def ensureFixture(spark: SparkSession, srcDir: String): String = synchronized {
-    val stamp = Option(new java.io.File(srcDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
-      .getOrElse("")
-    // Version in the dir name (like FactStore): a schema or build-logic
-    // change must never silently reuse a stale cached fixture
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-sketchstore-$Version-${md5hex(s"$srcDir|$stamp")}"
-    if (builtDirs.contains(dir)) return dir
-    val marker = new java.io.File(dir, "_GRAFT_STORE_OK")
-    if (!marker.exists()) {
+  def ensureFixture(spark: SparkSession, srcDir: String): String =
+    ArtifactStore.ensure(srcDir, "sketchstore", Version) { dir =>
       buildDaily(Tables.events(spark, srcDir), dir)
-      marker.createNewFile()
     }
-    builtDirs += dir
-    dir
-  }
 }

@@ -127,6 +127,24 @@ class GraphSpec extends AnyFunSuite {
     assert(re == c, "LPA must be partitioning-invariant")
   }
 
+  test("iterative loops hold bounded in-flight state: only the final round's checkpoint survives") {
+    // each round localCheckpoints node-grain state; the loop must release
+    // round r-1's blocks as soon as round r materializes — iters × |V|
+    // block accumulation inside one query is storage pressure at scale
+    val und = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (4L, 6L, 2L), (5L, 6L, 2L), (3L, 4L, 1L))
+    val edges = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .toDF("src", "dst", "w")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Graph.labelPropagation(edges)
+    labels.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the returned frame's own (final-round) checkpoint is the only
+    // loop block allowed to remain resident
+    assert(leaked.size <= 1,
+      s"LPA left ${leaked.size} persistent RDDs resident: $leaked")
+  }
+
   test("bfs: path graph distances from the seed, hop limit cuts the tail") {
     // path 1—2—3—4—5—6, seed {1}: dist = position − 1, hop limit 3 drops 5,6
     val und = (1L to 5L).map(i => (i, i + 1))

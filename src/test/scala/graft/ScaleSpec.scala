@@ -30,6 +30,27 @@ class ScaleSpec extends AnyFunSuite {
       "range rankings clamp at the bounded-driver-artifact cap")
   }
 
+  test("unknown-size plans (default-size sentinel stats) fall back to the floor, never the cap") {
+    // an RDD-rooted LogicalRDD carries no size signal — its stats degrade
+    // to spark.sql.defaultSizeInBytes (Long.MaxValue); scheduling the 2^14
+    // cap off that sentinel would be a pathological repartition (ADVICE r8)
+    val rdd = spark.sparkContext.parallelize(1 to 1000)
+      .map(i => org.apache.spark.sql.Row(i))
+    val df = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType))))
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      "precondition: the RDD root must carry sentinel stats")
+    assert(Scale.partitionsFor(df) == spark.sparkContext.defaultParallelism,
+      s"sentinel stats must floor, got ${Scale.partitionsFor(df)}")
+    // checkpointed frames (however their stats surface) must also never cap
+    val ck = (1 to 1000).toDF("x").localCheckpoint()
+    assert(Scale.partitionsFor(ck) == spark.sparkContext.defaultParallelism)
+    ck.unpersist(blocking = true)
+  }
+
   test("offsetArray: dense over pid gaps, exclusive running sums, O(1) plan constant") {
     import org.apache.spark.sql.functions.{col, element_at}
     // pid 1 absent (an empty range partition) must carry the offset forward
