@@ -405,34 +405,55 @@ object Analytics {
         dsum(coalesce(col("order_revenue"), lit(0.0))).as("monetary"))
   }
 
-  /** The 100 TB variant of [[rfmSegments]]: quintile BOUNDARIES from one
-    * `percentile_approx` pass (sketches merge map-side — the
-    * [[priceQuantilesApprox]] shape), then each user scores against the
-    * broadcast 1-row boundary frame — no global row_number sort anywhere, so
-    * no single-task stage at any user count. Approximate by design (sketch
-    * boundaries + no tie-splitting: equal metric values always land in the
-    * same bucket, where exact ranks split ties across buckets) → rows-only
-    * check; agreement with the exact scorer is spec-tested.
+  /** The 100 TB variant of [[rfmSegments]]: quintile BOUNDARIES from
+    * deterministic fixed-grid histogram sketches — integer grids for
+    * recency (days since epoch: the value IS the bucket) and frequency
+    * (order counts), the [[quantileGridCents]]-cent grid for monetary —
+    * then each user scores against the broadcast 4-boundary arrays. No
+    * global row_number sort anywhere: per metric, one bounded hash
+    * aggregate (≤ value-range/grid buckets, map-side partials absorb the
+    * corpus) and a cumulative pass over the bucket rows (the bounded-
+    * driver-artifact size class). Approximate by design at BUCKET grain:
+    * boundaries are bucket lower bounds and scores compare bucketized
+    * values, so equal-bucket values always share a score where exact
+    * ranks split ties (agreement vs the exact scorer is spec-tested).
+    * Replaces the `percentile_approx` (Greenwald-Khanna) formulation:
+    * integer bucket counts sum exactly on ANY partitioning, so this
+    * scorer is partitioning-invariant and bit-reproduced by the DuckDB
+    * oracle (the [[priceQuantilesApprox]] conversion applied to
+    * segmentation; boundary rank convention `(k·(n+1)) div 5`).
     */
   def rfmSegmentsApprox(orders: DataFrame, items: DataFrame,
-      accuracy: Int = 10000): DataFrame = {
-    val users = rfmUsers(orders, items)
-    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-    // recency must be numeric for the sketch: days since epoch, exact for DATE
-    val withDays = users.withColumn("r_days",
-      datediff(col("last_order_date"), lit("1970-01-01").cast(DateType)))
-    val bounds = withDays.agg(
-      percentile_approx(col("r_days"), qs, lit(accuracy)).as("rb"),
-      percentile_approx(col("n_orders"), qs, lit(accuracy)).as("fb"),
-      percentile_approx(col("monetary"), qs, lit(accuracy)).as("mb"))
-    // score = 1 + #boundaries strictly below the value — monotone, 1..5
+      gridCents: Long = quantileGridCents): DataFrame = {
+    val withB = rfmUsers(orders, items)
+      .select(col("user_id"), col("last_order_date"), col("n_orders"),
+        col("monetary"),
+        datediff(col("last_order_date"), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("r_b"),
+        col("n_orders").as("f_b"),
+        floor(col("monetary") * lit(100.0) / lit(gridCents.toDouble))
+          .cast(LongType).as("m_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per metric: bounded histogram → cumulative counts → the four
+    // boundary buckets, as one 1-row frame each; cross-joined broadcast
+    val bounds = Seq("r_b", "f_b", "m_b").map { m =>
+      val hb = withB.groupBy(col(m).as("bucket")).agg(count(lit(1)).as("cnt"))
+      hb
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .agg(array((1 to 4).map(k =>
+          min(when(col("cum") >= expr(s"(n * $k + $k) div 5"), col("bucket")))): _*)
+          .as(s"${m}q"))
+    }.reduce(_.crossJoin(_))
+    // score = 1 + #boundary buckets strictly below the value's bucket
     def score(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (lit(1) + size(filter(b, x => v > x))).cast(LongType)
-    withDays.crossJoin(broadcast(bounds))
+    withB.crossJoin(broadcast(bounds))
       .select(col("user_id"), col("last_order_date"), col("n_orders"), col("monetary"),
-        score(col("r_days"), col("rb")).as("r_score"),
-        score(col("n_orders"), col("fb")).as("f_score"),
-        score(col("monetary"), col("mb")).as("m_score"))
+        score(col("r_b"), col("r_bq")).as("r_score"),
+        score(col("f_b"), col("f_bq")).as("f_score"),
+        score(col("m_b"), col("m_bq")).as("m_score"))
       .withColumn("rfm_code",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
@@ -983,13 +1004,54 @@ object Analytics {
       priceQuantilesApprox(Kpi.consolidatedOf(s, d))
     },
 
-    // CANNOT be bit-matched: segment boundaries come from percentile_approx
-    // (Greenwald-Khanna, see above), so segment assignments near boundaries
-    // are sketch-artifacts. The exact op is the oracle-checked path;
-    // agreement with it is spec-tested (≥95% on near-unique dimensions;
-    // tie-group span containment on the discrete frequency dimension).
-    Op.rowsOnly("analytics_rfm_segments_approx",
-      "segment boundaries from Greenwald-Khanna sketch quantiles; boundary-adjacent assignments are sketch artifacts; agreement vs exact twin spec-tested") { (s, d) =>
+    // Bit-matched since the histogram-sketch conversion: boundaries come
+    // from deterministic fixed-grid histograms (day / order-count /
+    // 25-cent grids) both engines reproduce exactly; agreement with the
+    // exact rank-based scorer remains spec-tested (≥95% on near-unique
+    // dimensions; tie-group span containment on frequency).
+    Op.sql("analytics_rfm_segments_approx",
+      s"""${Tables.domainCtes},
+         |rev AS (SELECT order_id, ${dsumSql("sale_price")} AS order_revenue
+         |        FROM order_items GROUP BY order_id),
+         |u AS (
+         |  SELECT o.user_id, MAX(CAST(o.created_at AS DATE)) AS last_order_date,
+         |         COUNT(*) AS n_orders,
+         |         ${dsumSql("COALESCE(rev.order_revenue, 0)")} AS monetary
+         |  FROM orders_v o LEFT JOIN rev USING (order_id)
+         |  GROUP BY o.user_id),
+         |ub AS (
+         |  SELECT user_id, last_order_date, CAST(n_orders AS BIGINT) AS n_orders,
+         |         monetary,
+         |         CAST(DATEDIFF('day', DATE '1970-01-01', last_order_date) AS BIGINT) AS r_b,
+         |         CAST(n_orders AS BIGINT) AS f_b,
+         |         CAST(FLOOR(monetary * 100.0 / $quantileGridCents.0) AS BIGINT) AS m_b
+         |  FROM u),
+         |rc AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum, SUM(cnt) OVER () AS n
+         |       FROM (SELECT r_b AS bucket, COUNT(*) AS cnt FROM ub GROUP BY 1)),
+         |rq AS (SELECT [MIN(CASE WHEN cum >= (n*1+1)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*2+2)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*3+3)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*4+4)//5 THEN bucket END)] AS q FROM rc),
+         |fc AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum, SUM(cnt) OVER () AS n
+         |       FROM (SELECT f_b AS bucket, COUNT(*) AS cnt FROM ub GROUP BY 1)),
+         |fq AS (SELECT [MIN(CASE WHEN cum >= (n*1+1)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*2+2)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*3+3)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*4+4)//5 THEN bucket END)] AS q FROM fc),
+         |mc AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum, SUM(cnt) OVER () AS n
+         |       FROM (SELECT m_b AS bucket, COUNT(*) AS cnt FROM ub GROUP BY 1)),
+         |mq AS (SELECT [MIN(CASE WHEN cum >= (n*1+1)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*2+2)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*3+3)//5 THEN bucket END),
+         |               MIN(CASE WHEN cum >= (n*4+4)//5 THEN bucket END)] AS q FROM mc),
+         |s AS (
+         |  SELECT ub.user_id, ub.last_order_date, ub.n_orders, ub.monetary,
+         |    CAST(1 + len(list_filter(rq.q, x -> ub.r_b > x)) AS BIGINT) AS r_score,
+         |    CAST(1 + len(list_filter(fq.q, x -> ub.f_b > x)) AS BIGINT) AS f_score,
+         |    CAST(1 + len(list_filter(mq.q, x -> ub.m_b > x)) AS BIGINT) AS m_score
+         |  FROM ub CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq)
+         |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_code
+         |FROM s""".stripMargin) { (s, d) =>
       rfmSegmentsApprox(Tables.ordersDomain(s, d), Tables.orderItems(s, d))
     },
 

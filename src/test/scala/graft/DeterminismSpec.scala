@@ -19,8 +19,7 @@ class DeterminismSpec extends AnyFunSuite {
 
   /** Partitioning-sensitive by design (sketch merge trees / sampled probe). */
   private val sketchOps = Set(
-    "analytics_daily_uniques_approx",
-    "analytics_rfm_segments_approx", "analytics_weekly_overlap_approx",
+    "analytics_daily_uniques_approx", "analytics_weekly_overlap_approx",
     "events_range_uniques_sketch", "text_heavy_hitters_approx",
     "text_decontaminate_bloom", "media_features")
 

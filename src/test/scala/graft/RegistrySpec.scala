@@ -43,8 +43,7 @@ class RegistrySpec extends AnyFunSuite {
     // and the list itself is pinned: a new rows-only op is a deliberate act
     val rowsOnly = SparkEntry.allOps.filter(_.oracle.isEmpty).map(_.name).toSet
     val expected = Set(
-      "analytics_daily_uniques_approx",
-      "analytics_rfm_segments_approx", "analytics_weekly_overlap_approx",
+      "analytics_daily_uniques_approx", "analytics_weekly_overlap_approx",
       "text_heavy_hitters_approx", "text_decontaminate_bloom",
       "events_range_uniques_sketch", "media_features")
     assert(rowsOnly == expected,
