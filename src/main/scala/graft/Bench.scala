@@ -114,9 +114,9 @@ object Bench {
     // per partition was measured +20% pure overhead at sf1), sf10 gets ~57.
     // A production cluster sets the same knob per deployment; the harness
     // mirrors that sizing rule.
-    val fixtureBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
-      .getOrElse(0L)
+    // (shared recursive walker: a Spark-style parquet DIRECTORY fixture
+    // would otherwise measure ~0 bytes and silently drop this sizing)
+    val fixtureBytes = sources.ArtifactStore.parquetBytes(sfDir)
     val initialParts =
       math.min(1024L, math.max(cpus.toLong, fixtureBytes / (32L << 20)))
     val spark = SparkSession.builder()
@@ -288,7 +288,11 @@ object Bench {
         System.err.println(s"[bench] pipeline run failed: ${e.getMessage}"); -1.0
       }
     // Per-stage walls of that run (reference SLAs are per-stage: validate
-    // 120 s, transform 300 s — step-function-definition.json TimeoutSeconds)
+    // 120 s, transform 300 s — step-function-definition.json TimeoutSeconds).
+    // Convention (documented IN the artifact as pipeline_stages_mode): each
+    // value is the LAST completed attempt's wall of the LAST batch — the
+    // SLA-bounded unit itself, excluding file moves (timed separately as
+    // "promote") and retry backoff.
     val pipelineStages = pipeline.Pipeline.lastStageWalls.toSeq.sortBy(_._1)
       .map { case (n, w) => s"${Json.quote(n)}:${"%.3f".format(w)}" }
       .mkString("{", ",", "}")
@@ -317,7 +321,7 @@ object Bench {
     val cgMs2 = math.max(0L, (codegenMeanMs * cg2 - codegenMean1 * cg1).round)
     val warmupAttribution =
       s"""{"codegen_compiles":[${cg1 - cg0},${cg2 - cg1}],"codegen_ms_approx":[$cgMs1,$cgMs2],"jit_ms":[${jit1 - jit0},${jit2 - jit1}]}"""
-    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"pipeline_wall_s":$pipelineWall,"pipeline_stages_s":$pipelineStages,"warmup_attribution":$warmupAttribution,"top20_s":$top20"""
+    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"release_skipped":${Release.skippedCount},"pipeline_wall_s":$pipelineWall,"pipeline_stages_s":$pipelineStages,"pipeline_stages_mode":"last_attempt_last_batch","warmup_attribution":$warmupAttribution,"top20_s":$top20"""
     val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
       .mkString("{", ",", "}")
     val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")

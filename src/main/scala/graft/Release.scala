@@ -63,6 +63,22 @@ object Release {
       case _ =>
     })
 
+  /** Count of [[interQuery]] calls that skipped the sweep because jobs were
+    * still active — the sole reclamation point for non-retained blocks, so
+    * repeated skips mean storage is silently accumulating. Bench surfaces
+    * this in the health JSON (`release_skipped`, ADVICE r9) so accumulation
+    * is visible in the artifact, not just a stderr line.
+    */
+  private val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
+  def skippedCount: Int = skipped.get
+
+  /** How long [[interQuery]] waits for straggler jobs before skipping.
+    * Straggler cleanup jobs (e.g. a cancelled stage's teardown) clear in
+    * milliseconds; a genuinely concurrent caller violates the contract and
+    * should be skipped, not waited out.
+    */
+  private val waitForIdleMs = 2000L
+
   /** The inter-query hook: SQL cache + all non-retained RDD blocks.
     *
     * CONTRACT: single-threaded harness use only (Bench/Verify run queries
@@ -70,14 +86,23 @@ object Release {
     * checkpoint block out from under a CONCURRENTLY running query is
     * unrecoverable ("checkpoint block not found"), not slow. The guard
     * below makes a violating caller fail loudly instead of corrupting a
-    * running job (ADVICE r8).
+    * running job (ADVICE r8) — after a short bounded wait, because a
+    * just-finished query's async teardown job must not starve the only
+    * reclamation point this harness has (ADVICE r9).
     */
   def interQuery(spark: SparkSession): Unit = {
-    val active = spark.sparkContext.statusTracker.getActiveJobIds()
+    def activeJobs() = spark.sparkContext.statusTracker.getActiveJobIds()
+    var active = activeJobs()
+    val deadline = System.nanoTime() + waitForIdleMs * 1000000L
+    while (active.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      active = activeJobs()
+    }
     if (active.nonEmpty) {
       // a violated contract must fail SAFE: releasing now could drop a
       // checkpoint block under the running job (unrecoverable); skipping
       // the sweep merely delays reclamation to the next idle call
+      skipped.incrementAndGet()
       System.err.println(s"[graft] Release.interQuery skipped: " +
         s"${active.length} active job(s) — release is single-threaded-harness-only")
       return

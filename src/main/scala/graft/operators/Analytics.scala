@@ -433,27 +433,44 @@ object Analytics {
         col("n_orders").as("f_b"),
         floor(col("monetary") * lit(100.0) / lit(gridCents.toDouble))
           .cast(LongType).as("m_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per metric: bounded histogram → cumulative counts → the four
-    // boundary buckets, as one 1-row frame each; cross-joined broadcast
-    val bounds = Seq("r_b", "f_b", "m_b").map { m =>
-      val hb = withB.groupBy(col(m).as("bucket")).agg(count(lit(1)).as("cnt"))
-      hb
-        .withColumn("cum",
-          sum(col("cnt")).over(Window.orderBy(col("bucket"))))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-        .agg(array((1 to 4).map(k =>
-          min(when(col("cum") >= expr(s"(n * $k + $k) div 5"), col("bucket")))): _*)
-          .as(s"${m}q"))
-    }.reduce(_.crossJoin(_))
+    // All three histograms in ONE fused pass (explode to (metric, bucket)
+    // rows, one hash aggregate — bucket counts are exact integers on any
+    // partitioning), then the four boundary buckets per metric collect as a
+    // BOUNDED driver artifact (3 metrics × 4 longs — the codebook size
+    // class) and re-enter the scoring pass as literals. No user-grain
+    // persist: the previous MEMORY_AND_DISK cache of withB had no matching
+    // unpersist and leaked per invocation for direct library callers
+    // (ADVICE r9); now withB is streamed twice (histogram, scoring) and the
+    // op leaves no resident state behind.
+    val hist = withB
+      .select(explode(map(
+        lit("r"), col("r_b"), lit("f"), col("f_b"), lit("m"), col("m_b")))
+        .as(Seq("metric", "bucket")))
+      .groupBy(col("metric"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val byMetric = Window.partitionBy(col("metric"))
+    val bq: Map[String, Seq[Option[Long]]] = hist
+      .withColumn("cum", sum(col("cnt")).over(byMetric.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(byMetric))
+      .groupBy(col("metric"))
+      .agg(array((1 to 4).map(k =>
+        min(when(col("cum") >= expr(s"(n * $k + $k) div 5"), col("bucket")))): _*)
+        .as("bq"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Any](1).map(v => Option(v).map(_.asInstanceOf[Long])))
+      .toMap
     // score = 1 + #boundary buckets strictly below the value's bucket
+    // (a null boundary — n < 4 users — compares null and is filtered out,
+    // the same semantics the crossJoin formulation had)
+    def bounds(m: String) =
+      typedLit(bq.getOrElse(m, Seq.fill[Option[Long]](4)(None)))
     def score(v: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       (lit(1) + size(filter(b, x => v > x))).cast(LongType)
-    withB.crossJoin(broadcast(bounds))
+    withB
       .select(col("user_id"), col("last_order_date"), col("n_orders"), col("monetary"),
-        score(col("r_b"), col("r_bq")).as("r_score"),
-        score(col("f_b"), col("f_bq")).as("f_score"),
-        score(col("m_b"), col("m_bq")).as("m_score"))
+        score(col("r_b"), bounds("r")).as("r_score"),
+        score(col("f_b"), bounds("f")).as("f_score"),
+        score(col("m_b"), bounds("m")).as("m_score"))
       .withColumn("rfm_code",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }

@@ -125,12 +125,25 @@ object Graph {
     val nodes = outw.select(col("src").as("node")).persist()
     val n = nodes.count()
     val e = loopEdges(edges.join(outw, "src"), edges, n).persist()
+    val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / n
+    var ranks = nodes.select(col("node"), lit(prGrid / n).as("p"))
+    // Round-0 state materialization (r9 LoopProf find): above the broadcast
+    // ceiling, rounds 2+ read their state from a checkpointed LogicalRDD
+    // while round 1 re-derived the seed projection through the persisted
+    // node frame and paid the first adaptive state exchange on top — a ~2×
+    // super-linear round-1 residual at sf10. Checkpointing the sized seed
+    // BEFORE the loop gives round 1 exactly the shape rounds 2+ have; the
+    // one-time cost moves into setup where the edge repartition already
+    // lives. Below the ceiling the state broadcasts and the seed exchange
+    // would be pure overhead, so small-fixture plans are unchanged.
+    val seedCheckpointed = n > stateBroadcastMaxNodes
+    if (seedCheckpointed)
+      ranks = ranks.repartition(graft.Scale.partitionsFor(nodes), col("node"))
+        .localCheckpoint()
     // profiling only: materialize the persisted edge table as "round 0" so
     // the per-round records measure the loop body alone, not the one-time
     // repartition+persist that round 1 would otherwise absorb
     if (graft.LoopProf.enabled) graft.LoopProf.timed("pagerank", 0)(e.count())
-    val base = (prGrid * (prDampDen - prDampNum) / prDampDen) / n
-    var ranks = nodes.select(col("node"), lit(prGrid / n).as("p"))
     (1 to iters).foreach { i =>
       graft.LoopProf.timed("pagerank", i) {
         val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
@@ -146,9 +159,9 @@ object Graph {
         // bounded in-flight state: the eager checkpoint above no longer
         // reads prev, so round i-1's blocks release NOW, not at the end of
         // the query — at scale, iters × node-grain block accumulation is
-        // storage pressure the loop never needs (i > 1: round 1's prev is
-        // the seed frame, whose leaves are not the loop's to drop)
-        if (i > 1) graft.Release.releaseCheckpoint(prev)
+        // storage pressure the loop never needs (round 1's prev is the seed
+        // frame: only the loop's own round-0 checkpoint is its to drop)
+        if (i > 1 || seedCheckpointed) graft.Release.releaseCheckpoint(prev)
       }
     }
     e.unpersist(); nodes.unpersist()
@@ -175,6 +188,11 @@ object Graph {
     val baseCol = when(seedPred, lit(base)).otherwise(lit(0L))
     var ranks = nodes.select(col("node"),
       when(seedPred, lit(prGrid / nSeeds)).otherwise(lit(0L)).as("p"))
+    // round-0 state materialization above the broadcast ceiling (see pageRank)
+    val seedCheckpointed = n > stateBroadcastMaxNodes
+    if (seedCheckpointed)
+      ranks = ranks.repartition(graft.Scale.partitionsFor(nodes), col("node"))
+        .localCheckpoint()
     (1 to iters).foreach { i =>
       val contrib = e.join(stateHint(ranks, n), e("src") === ranks("node"))
         .select(col("dst"), expr("(p * w) div ow").as("c"))
@@ -186,7 +204,8 @@ object Graph {
             expr(s"($prDampNum * coalesce(s, CAST(0 AS BIGINT))) div $prDampDen"))
             .as("p"))
         .localCheckpoint()
-      if (i > 1) graft.Release.releaseCheckpoint(prev) // bounded in-flight state (see pageRank)
+      // bounded in-flight state (see pageRank)
+      if (i > 1 || seedCheckpointed) graft.Release.releaseCheckpoint(prev)
     }
     e.unpersist(); nodes.unpersist()
     ranks.filter(col("p") > 0)

@@ -20,12 +20,38 @@ object ArtifactStore {
   private def md5hex(s: String): String = java.security.MessageDigest
     .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Every data file under the fixture dir's `*.parquet` entries, keyed by
+    * its path relative to the fixture dir. An entry is either a flat file
+    * (the driver's fixture layout) or a Spark-style `*.parquet` DIRECTORY —
+    * recursed here, skipping `_SUCCESS`/`.crc` bookkeeping — so both the
+    * content stamp and the byte total survive either layout instead of
+    * silently collapsing to empty on directory-shaped fixtures (ADVICE r9;
+    * Bench's AQE initial-partition sizing shares this walker for exactly
+    * that reason).
+    */
+  private def parquetFiles(srcDir: String): Seq[(String, java.io.File)] = {
+    def walk(rel: String, f: java.io.File): Seq[(String, java.io.File)] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .flatMap(c => walk(s"$rel/${c.getName}", c))
+      else Seq((rel, f))
+    Option(new java.io.File(srcDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap(e => walk(e.getName, e))
+  }
+
+  /** Total data bytes of the fixture dir's parquet entries (flat files or
+    * Spark-style directories) — the one fixture-size estimate shared by the
+    * stores and Bench's reduce-partition sizing.
+    */
+  def parquetBytes(srcDir: String): Long = parquetFiles(srcDir).map(_._2.length).sum
+
   /** The content stamp of a fixture dir's parquet files. */
   def stampOf(srcDir: String): String =
-    Option(new java.io.File(srcDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").sorted.mkString(","))
-      .getOrElse("")
+    parquetFiles(srcDir)
+      .map { case (rel, f) => s"$rel:${f.lastModified}:${f.length}" }
+      .sorted.mkString(",")
 
   /** Resolve (and build, exactly once per content stamp) the artifact dir
     * for `srcDir`. `build` writes the artifact's files under the dir it is
