@@ -2,26 +2,41 @@
 """Round-over-round per-query bench regression gate.
 
 Usage:
-  python3 tools/bench_diff.py                    # two newest BENCH_r*.json
-  python3 tools/bench_diff.py OLD.json NEW.json  # explicit pair
-  python3 tools/bench_diff.py --selftest         # planted-regression check
+  python3 tools/bench_diff.py                        # two newest BENCH_r*.json
+  python3 tools/bench_diff.py OLD.json NEW.json      # explicit pair
+  python3 tools/bench_diff.py OLD1,OLD2 NEW1,NEW2,NEW3   # median-of-N per side
+  python3 tools/bench_diff.py --selftest             # planted-regression check
 
-Compares the `top20_s` maps of consecutive driver bench artifacts and
-prints one line per query that got >25% slower round-over-round (absolute
-slowdown must also exceed 0.25 s, so sub-second noise-band wobble never
-flags), plus any new top-20 entrant whose cost exceeds the old round's
-median — the two shapes that slipped through in r8 (the funnel entered at
-bench rank 1 unflagged). Exit code 1 when anything flags.
+Adjudication hardening (r9 verdict #1): wall clock at 32 threads is noisy —
+identical-code back-to-back runs flag non-overlapping 2-3 s queries. So when
+every recording on both sides carries the full `cpu_ms` map, the gate flags
+on per-query executor CPU (the stable signal) and reports the wall delta as
+context; wall is the fallback for old artifacts that only carry `top20_s`.
+Each side may be a comma-separated list of recordings — per-query medians
+(true median: mean of the middle two for even counts) absorb single-run
+noise, so a median-of-3 recording is one command, not a by-hand ritual.
 
-Dev-only tool — NOT part of the shipped Scala library.
+Flags:
+  REGRESSION — primary metric >25% AND above the absolute floor
+               (0.25 s wall / 1000 ms cpu) slower than the old median.
+  NEW-HEAVY  — a query absent from the old round's FULL map whose cost
+               exceeds the old top-20 median (a genuinely new op entering
+               heavy). When the old artifact carries the full queries map,
+               a returning query is diffed against its real old time instead
+               of being mislabeled an entrant (r9 ADVICE).
+
+Exit code 1 when anything flags. Dev-only tool — NOT part of the shipped
+Scala library.
 """
 import json
 import re
 import sys
 from pathlib import Path
+from statistics import median
 
-REL_THRESHOLD = 0.25   # >25% slower flags...
-ABS_FLOOR_S = 0.25     # ...but only if also >0.25s slower in absolute terms
+REL_THRESHOLD = 0.25      # >25% slower flags...
+ABS_FLOOR_WALL_S = 0.25   # ...but only past the absolute floor (wall metric)
+ABS_FLOOR_CPU_MS = 1000   # absolute floor when CPU is the primary metric
 
 
 def payload(path):
@@ -46,27 +61,66 @@ def payload(path):
     return best
 
 
-def diff(old, new):
-    """Regression lines for new-vs-old top20 maps. Pure function — the
-    selftest runs it on planted data."""
-    o, n = old["top20_s"], new["top20_s"]
-    med_old = sorted(o.values())[len(o) // 2] if o else 0.0
+def median_map(payloads, key):
+    """Per-query median of `key` maps across recordings; None unless EVERY
+    recording carries the map (a median over a partial set would silently
+    change what the number means)."""
+    maps = [p.get(key) for p in payloads]
+    if not maps or any(m is None for m in maps):
+        return None
+    out = {}
+    for q in set().union(*maps):
+        vals = [m[q] for m in maps if q in m and m[q] >= 0]
+        if vals:
+            out[q] = median(vals)
+    return out
+
+
+def diff(olds, news):
+    """Regression lines for new-vs-old recording lists. Pure function —
+    the selftest runs it on planted data."""
+    old_wall = median_map(olds, "queries") or median_map(olds, "top20_s")
+    new_wall = median_map(news, "queries") or median_map(news, "top20_s")
+    old_cpu = median_map(olds, "cpu_ms")
+    new_cpu = median_map(news, "cpu_ms")
+    use_cpu = old_cpu is not None and new_cpu is not None
+    o, n = (old_cpu, new_cpu) if use_cpu else (old_wall, new_wall)
+    floor = ABS_FLOOR_CPU_MS if use_cpu else ABS_FLOOR_WALL_S
+    unit = "ms cpu" if use_cpu else "s"
+    old_full = median_map(olds, "queries")  # full map when available
+    # old top-20 median for the entrant test (true median)
+    old_top = median_map(olds, "top20_s") or {}
+    med_old_top = median(old_top.values()) if old_top else 0.0
+    # scope: with full maps, every query; top-20 only otherwise
+    scope = sorted(n, key=lambda q: -n[q])
     lines = []
-    for q, t in sorted(n.items(), key=lambda kv: -kv[1]):
+    for q in scope:
+        t = n[q]
         if q in o:
             dt = t - o[q]
-            if dt > ABS_FLOOR_S and dt / o[q] > REL_THRESHOLD:
-                lines.append(f"REGRESSION {q}: {o[q]:.2f}s -> {t:.2f}s "
-                             f"(+{100 * dt / o[q]:.0f}%)")
-        elif t > med_old:
-            lines.append(f"NEW-HEAVY  {q}: {t:.2f}s entered the top-20 "
-                         f"above the prior round's median ({med_old:.2f}s)")
+            if dt > floor and dt / o[q] > REL_THRESHOLD:
+                ctx = ""
+                if use_cpu and old_wall and new_wall \
+                        and q in old_wall and q in new_wall:
+                    ctx = (f" [wall {old_wall[q]:.2f}s -> "
+                           f"{new_wall[q]:.2f}s]")
+                lines.append(
+                    f"REGRESSION {q}: {o[q]:.2f} -> {t:.2f} {unit} "
+                    f"(+{100 * dt / o[q]:.0f}%){ctx}")
+        elif old_full is not None and q in old_full:
+            pass  # wall-only info for a cpu-scoped query set; not an entrant
+        elif (old_full is None or q not in old_full) \
+                and new_wall and new_wall.get(q, 0.0) > med_old_top > 0.0:
+            lines.append(
+                f"NEW-HEAVY  {q}: {new_wall[q]:.2f}s entered above the "
+                f"prior round's top-20 median ({med_old_top:.2f}s)")
     return lines
 
 
 def selftest():
-    old = {"top20_s": {"a": 4.0, "b": 2.0, "c": 1.0, "d": 0.4}}
-    new = {"top20_s": {"a": 5.5, "b": 2.1, "c": 1.2, "d": 0.6, "e": 3.0}}
+    # wall-only artifacts (legacy shape): regression + entrant
+    old = [{"top20_s": {"a": 4.0, "b": 2.0, "c": 1.0, "d": 0.4}}]
+    new = [{"top20_s": {"a": 5.5, "b": 2.1, "c": 1.2, "d": 0.6, "e": 3.0}}]
     got = diff(old, new)
     assert any(l.startswith("REGRESSION a:") for l in got), got   # +37%, +1.5s
     assert any(l.startswith("NEW-HEAVY  e:") for l in got), got   # new, > median
@@ -74,6 +128,30 @@ def selftest():
     assert not any(" d:" in l for l in got), got                  # +50% but +0.2s
     assert not any(" c:" in l for l in got), got                  # +20%: under rel
     assert len(got) == 2, got
+    # true median: even-sized top20 must average the middle two (the old
+    # upper-middle bug made 2.0 the median of [0.4, 1.0, 2.0, 4.0])
+    assert median([0.4, 1.0, 2.0, 4.0]) == 1.5
+    # cpu-primary: wall noise alone must NOT flag when cpu is flat...
+    oldc = [{"top20_s": {"a": 2.0}, "queries": {"a": 2.0, "z": 0.1},
+             "cpu_ms": {"a": 8000, "z": 100}}]
+    newc = [{"top20_s": {"a": 3.0}, "queries": {"a": 3.0, "z": 0.1},
+             "cpu_ms": {"a": 8200, "z": 100}}]
+    assert diff(oldc, newc) == [], diff(oldc, newc)
+    # ...and a real cpu regression flags with wall context
+    newc2 = [{"top20_s": {"a": 3.0}, "queries": {"a": 3.0, "z": 0.1},
+              "cpu_ms": {"a": 12000, "z": 100}}]
+    got2 = diff(oldc, newc2)
+    assert len(got2) == 1 and "REGRESSION a:" in got2[0] and "wall" in got2[0], got2
+    # a query hovering below the old top-20 that re-enters is NOT an entrant
+    # when the old full map knows its real time (r9 ADVICE: bench_diff.py)
+    oldf = [{"top20_s": {"a": 4.0}, "queries": {"a": 4.0, "hover": 1.0}}]
+    newf = [{"top20_s": {"a": 4.0, "hover": 1.1},
+             "queries": {"a": 4.0, "hover": 1.1}}]
+    assert diff(oldf, newf) == [], diff(oldf, newf)
+    # median-of-3: one noisy recording must not flag
+    old3 = [{"top20_s": {"a": 2.0}, "queries": {"a": 2.0}}]
+    new3 = [{"top20_s": {"a": t}, "queries": {"a": t}} for t in (2.1, 6.0, 2.0)]
+    assert diff(old3, new3) == [], diff(old3, new3)
     print("selftest ok")
 
 
@@ -81,17 +159,22 @@ def main(argv):
     if argv[1:2] == ["--selftest"]:
         return selftest()
     if len(argv) == 3:
-        paths = [argv[1], argv[2]]
+        sides = [argv[1].split(","), argv[2].split(",")]
     else:
         benches = sorted(Path(__file__).resolve().parent.parent
                          .glob("BENCH_r*.json"),
                          key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
         if len(benches) < 2:
             raise SystemExit("need two BENCH_r*.json artifacts to diff")
-        paths = [str(benches[-2]), str(benches[-1])]
-    old, new = payload(paths[0]), payload(paths[1])
-    lines = diff(old, new)
-    print(f"bench diff {Path(paths[0]).name} -> {Path(paths[1]).name}: "
+        sides = [[str(benches[-2])], [str(benches[-1])]]
+    olds = [payload(p) for p in sides[0]]
+    news = [payload(p) for p in sides[1]]
+    lines = diff(olds, news)
+    metric = ("cpu_ms" if median_map(olds, "cpu_ms") is not None
+              and median_map(news, "cpu_ms") is not None else "wall")
+    print(f"bench diff {[Path(p).name for p in sides[0]]} -> "
+          f"{[Path(p).name for p in sides[1]]} "
+          f"(metric={metric}, {len(olds)}v{len(news)} recordings): "
           f"{len(lines)} flag(s)")
     for l in lines:
         print(l)
