@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values distinct-count sketch (Bar-Yossef et al., RANDOM'02;
+  * Beyer et al., SIGMOD'07 "On synopses for distinct-value estimation")
+  * over the engine's portable 60-bit hash.
+  *
+  * Why KMV and not HLL here: the r9 engine sketched uniques with Spark's
+  * `hll_sketch_agg`, whose binary registers no other engine can
+  * deserialize — the three uniques ops were the bulk of the rows-only
+  * (no-hash-signal) surface. A KMV synopsis is just "the k smallest
+  * DISTINCT hash values": with [[Portable.hash60]] as the hash, the
+  * synopsis and its estimate are exact integer arithmetic both engines
+  * reproduce BIT-FOR-BIT, so the ops graduate to the full
+  * rows/schema/hash oracle gate while keeping every sketch property the
+  * HLL had —
+  *
+  *  - mergeable & order-independent: k-min of a union = k-min of the
+  *    per-part k-mins, so day sketches build on any partitioning, in any
+  *    arrival order, and union across any date range (the
+  *    [[graft.sources.SketchStore]] contract);
+  *  - bounded state: k longs (1 KB at k=128) per group map-side and in
+  *    the store, vs the corpus-sized exact distinct;
+  *  - known error: RSE ≈ 1/√(k−2) (≈ 9% at k=128; a production
+  *    deployment raises k — the store row grows linearly and nothing
+  *    else changes). Below k distinct values the sketch IS the value set
+  *    and the estimate is exact.
+  *
+  * Estimator: d < k → d (exact); else `(k−1)·2^60 div h_(k)` with h_(k)
+  * the k-th smallest distinct hash — the unbiased KMV estimator on the
+  * [0, 2^60) hash space, evaluated in DECIMAL(38,0)·div so both engines
+  * floor the same exact integers (the product is ~2^67, past BIGINT but
+  * nowhere near decimal range).
+  */
+object Kmv {
+
+  /** Sketch size. 128 keeps the registered ops' estimator branch exercised
+    * by the sf0.01 oracle gate (fixture days hold >128 distinct users) while
+    * staying inside the ops' spec-tested ≤15% error claims (observed max
+    * 12.4% across both fixture scales; RSE 1/√126 ≈ 8.9%).
+    */
+  val K = 128
+
+  /** 2^60 — the [[Portable.hash60]] value space. */
+  val HashSpace = "1152921504606846976"
+
+  /** Bounded k-min-distinct aggregator: state is a sorted ascending vector
+    * of ≤ k distinct hashes. The common case past warm-up (`h` above the
+    * current k-th minimum) is a single comparison, no allocation.
+    */
+  final class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] = {
+      if (buf.nonEmpty && buf.size >= k && h >= buf.last) return buf
+      val i = insertionPoint(buf, h)
+      if (i < 0) buf // already present (distinctness)
+      else {
+        val grown = (buf.take(i) :+ h) ++ buf.drop(i)
+        if (grown.size > k) grown.take(k) else grown
+      }
+    }
+
+    /** Insertion index keeping ascending order, or -1 if `h` is present. */
+    private def insertionPoint(buf: Seq[Long], h: Long): Int = {
+      var lo = 0
+      var hi = buf.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val v = buf(mid)
+        if (v == h) return -1
+        else if (v < h) lo = mid + 1
+        else hi = mid
+      }
+      lo
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      // merge two sorted distinct runs, keep the k smallest
+      val out = Vector.newBuilder[Long]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.size || j < b.size)) {
+        val takeA = j >= b.size || (i < a.size && a(i) <= b(j))
+        val v = if (takeA) { val x = a(i); i += 1; x } else { val x = b(j); j += 1; x }
+        while (i < a.size && a(i) == v) i += 1 // drop cross-run duplicates
+        while (j < b.size && b(j) == v) j += 1
+        out += v; n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `agg`-ready k-min-distinct of a LONG hash column. */
+  def kminDistinct(k: Int = K): UserDefinedFunction =
+    udaf(new KmvAggregator(k), Encoders.scalaLong)
+
+  /** Distinct-count estimate from a k-min array column named `sk`
+    * (ascending, ≤ k entries). BIGINT on both engines.
+    */
+  def estimate(sk: String, k: Int = K): Column =
+    expr(s"CASE WHEN size($sk) < $k THEN CAST(size($sk) AS BIGINT) " +
+      s"ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0)))" +
+      s" div element_at($sk, $k) AS BIGINT) END")
+
+  /** DuckDB twin of [[estimate]] over a kept-count `dk` and k-th minimum
+    * `vk` (the SQL formulation keeps the k-min set relational — `dk` =
+    * COUNT of rows with rank ≤ k, `vk` = MAX of those hashes).
+    */
+  def estimateSql(dk: String, vk: String, k: Int = K): String =
+    s"CASE WHEN $dk < $k THEN $dk " +
+      s"ELSE CAST((${k - 1} * CAST($HashSpace AS HUGEINT)) // $vk AS BIGINT) END"
+
+  /** DuckDB twin over a sorted k-min LIST column (for merged-sketch
+    * algebra: |A∪B| from the union of two k-min lists).
+    */
+  def estimateListSql(sk: String, k: Int = K): String =
+    s"CASE WHEN len($sk) < $k THEN CAST(len($sk) AS BIGINT) " +
+      s"ELSE CAST((${k - 1} * CAST($HashSpace AS HUGEINT)) // $sk[$k] AS BIGINT) END"
+
+  /** Merge two sorted k-min array COLUMNS into the union's k-min array —
+    * pure array expressions (sort of ≤ 2k longs per row), the sketch-
+    * algebra primitive behind overlap estimates.
+    */
+  def mergeArrays(a: Column, b: Column, k: Int = K): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** DuckDB twin of [[mergeArrays]]. */
+  def mergeArraysSql(a: String, b: String, k: Int = K): String =
+    s"list_sort(list_distinct(list_concat($a, $b)))[1:$k]"
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
+import graft.functions.{Kmv, Portable}
 import graft.sources.Tables
 
 /** Analytics operators beyond the reference's inventory (it has no sorts,
@@ -82,18 +83,28 @@ object Analytics {
           / count(lit(1)).over(trail)))
   }
 
-  /** The 100 TB variant of A4's exact countDistinct: HyperLogLog++ sketches
-    * merge associatively, so uniques come from the same single shuffle as the
-    * other aggregates instead of a distinct-expand. Not oracle-comparable
-    * (approximate by design) — accuracy is spec-tested against the exact op.
+  /** The 100 TB variant of A4's exact countDistinct: KMV synopses
+    * ([[graft.functions.Kmv]]) merge associatively, so both uniques come
+    * from the same single shuffle as any other aggregate instead of a
+    * distinct-expand, with ≤ [[Kmv.K]] longs of state per (day, metric).
+    * r10: converted from `approx_count_distinct` (HLL++, engine-private
+    * registers) to KMV over [[Portable.hash60]] — same sketch properties,
+    * but the estimates are exact integer arithmetic the DuckDB oracle
+    * reproduces bit-for-bit, so the op graduated from rows-only to the
+    * full hash gate. Accuracy vs the exact op stays spec-tested.
     */
-  def dailyUniquesApprox(orders: DataFrame, rsd: Double = 0.05): DataFrame =
+  def dailyUniquesApprox(orders: DataFrame, k: Int = Kmv.K): DataFrame =
     orders
-      .withColumn("order_date", to_date(col("created_at")))
+      .select(to_date(col("created_at")).as("order_date"),
+        Portable.hash60(col("order_id").cast(StringType)).as("ho"),
+        Portable.hash60(col("user_id").cast(StringType)).as("hu"))
       .groupBy(col("order_date"))
       .agg(
-        approx_count_distinct(col("order_id"), rsd).as("total_orders_approx"),
-        approx_count_distinct(col("user_id"), rsd).as("unique_customers_approx"))
+        Kmv.kminDistinct(k)(col("ho")).as("sko"),
+        Kmv.kminDistinct(k)(col("hu")).as("sku"))
+      .select(col("order_date"),
+        Kmv.estimate("sko", k).as("total_orders_approx"),
+        Kmv.estimate("sku", k).as("unique_customers_approx"))
 
   /** Exact per-category price quantiles by explicit rank selection
     * (`value at row ceil(p·n)` — the percentile_disc definition, spelled out
@@ -630,33 +641,41 @@ object Analytics {
         min(col("n_orders")).as("min_orders"),
         max(col("n_orders")).as("max_orders"))
 
-  /** HLL-sketch week-over-week audience overlap: per ISO week, the
+  /** KMV-sketch week-over-week audience overlap: per ISO week, the
     * approximate count of active users, and — via sketch ALGEBRA
-    * (|A∩B| = |A| + |B| − |A∪B|, the union estimated from merged sketches,
-    * never from rows) — the approximate overlap with the FOLLOWING week
-    * (each week a pairs with week a+7d; the `next_users_approx` column
-    * carries that forward-looking semantics).
+    * (|A∩B| = |A| + |B| − |A∪B|, the union estimated from merged k-min
+    * arrays, never from rows) — the approximate overlap with the FOLLOWING
+    * week (each week a pairs with week a+7d; the `next_users_approx`
+    * column carries that forward-looking semantics).
     *
     * This is what survives 100 TB where an exact self-join of week×users
-    * would shuffle the user universe twice: sketches are a few KB per week,
-    * mergeable map-side, and the join carries sketches, not users. Estimates
-    * are approximate by design → rows-only gate; the error bound vs the
-    * exact intersection is spec-tested.
+    * would shuffle the user universe twice: sketches are ~1 KB per week,
+    * mergeable map-side, and the join carries sketches, not users. r10:
+    * HLL → KMV over [[Portable.hash60]] ([[graft.functions.Kmv]]) — union
+    * is `k smallest of the concatenated arrays`, pure integer array
+    * expressions both engines evaluate identically, so the whole overlap
+    * algebra is hash-gated; the error bound vs the exact intersection
+    * stays spec-tested.
     */
-  def weeklyOverlapApprox(events: DataFrame): DataFrame = {
+  def weeklyOverlapApprox(events: DataFrame, k: Int = Kmv.K): DataFrame = {
     val weekly = events
-      .groupBy(date_trunc("week", col("ts")).as("week_start"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(date_trunc("week", col("ts")).as("week_start"),
+        Portable.hash60(col("user_id").cast(StringType)).as("h"))
+      .groupBy(col("week_start"))
+      .agg(Kmv.kminDistinct(k)(col("h")).as("sk"))
     weekly.alias("a")
       .join(weekly.alias("b"),
         col("b.week_start") === col("a.week_start") + expr("INTERVAL 7 DAYS"))
       .select(
         col("a.week_start").as("week_start"),
-        hll_sketch_estimate(col("a.sk")).as("users_approx"),
-        hll_sketch_estimate(col("b.sk")).as("next_users_approx"),
-        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
-          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
-          .as("overlap_approx"))
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("sku", Kmv.mergeArrays(col("ska"), col("skb"), k))
+      .select(
+        col("week_start"),
+        Kmv.estimate("ska", k).as("users_approx"),
+        Kmv.estimate("skb", k).as("next_users_approx"),
+        (Kmv.estimate("ska", k) + Kmv.estimate("skb", k) -
+          Kmv.estimate("sku", k)).as("overlap_approx"))
   }
 
   def marketBasket(orderItems: DataFrame): DataFrame = {
@@ -806,13 +825,31 @@ object Analytics {
          |FROM events GROUP BY user_id""".stripMargin
     }) { (s, d) => userEventPivot(Tables.events(s, d)) },
 
-    // CANNOT be bit-matched: Spark's approx_count_distinct is a specific
-    // HyperLogLog++ implementation (register layout, hash function, bias
-    // correction); DuckDB's approx_count_distinct is a different HLL.
-    // Identical inputs yield different estimates by construction, so the
-    // only honest cross-engine claims are row count + the ≤15%-error spec.
-    Op.rowsOnly("analytics_daily_uniques_approx",
-      "Spark HLL++ vs DuckDB HLL: different sketches, different estimates by construction; row count + \u226415% error bound are the checked claims") { (s, d) =>
+    // Hash-gated since r10 (previously rows-only over approx_count_distinct
+    // = HLL++, whose estimates no other engine reproduces): the KMV
+    // formulation is deterministic integer arithmetic, so the oracle
+    // replays the IDENTICAL sketch and estimate. Estimator branch exercised
+    // at gate scale (fixture days hold > K distinct customers).
+    Op.sql("analytics_daily_uniques_approx",
+      s"""${Tables.domainCtes},
+         |b AS (SELECT CAST(created_at AS DATE) AS order_date,
+         |             ${graft.functions.Portable.hash60Sql("CAST(order_id AS VARCHAR)")} AS ho,
+         |             ${graft.functions.Portable.hash60Sql("CAST(user_id AS VARCHAR)")} AS hu
+         |      FROM orders_v),
+         |ro AS (SELECT order_date, ho,
+         |              ROW_NUMBER() OVER (PARTITION BY order_date ORDER BY ho) AS rn
+         |       FROM (SELECT DISTINCT order_date, ho FROM b)),
+         |eo AS (SELECT order_date, COUNT(*) AS dk, MAX(ho) AS vk
+         |       FROM ro WHERE rn <= ${Kmv.K} GROUP BY order_date),
+         |ru AS (SELECT order_date, hu,
+         |              ROW_NUMBER() OVER (PARTITION BY order_date ORDER BY hu) AS rn
+         |       FROM (SELECT DISTINCT order_date, hu FROM b)),
+         |eu AS (SELECT order_date, COUNT(*) AS dk, MAX(hu) AS vk
+         |       FROM ru WHERE rn <= ${Kmv.K} GROUP BY order_date)
+         |SELECT eo.order_date,
+         |       ${Kmv.estimateSql("eo.dk", "eo.vk")} AS total_orders_approx,
+         |       ${Kmv.estimateSql("eu.dk", "eu.vk")} AS unique_customers_approx
+         |FROM eo JOIN eu USING (order_date)""".stripMargin) { (s, d) =>
       dailyUniquesApprox(Tables.ordersDomain(s, d))
     },
 
@@ -1131,10 +1168,28 @@ object Analytics {
       popularityHistogram(Tables.orderItems(s, d))
     },
 
-    // Sketch estimates are approximate by design → rows-only; the error
-    // bound vs exact intersections is spec-tested (AnalyticsSpec).
-    Op.rowsOnly("analytics_weekly_overlap_approx",
-      "HLL sketch union/intersection estimates are implementation-specific; error bound vs exact intersections spec-tested") { (s, d) =>
+    // Hash-gated since r10 (previously rows-only over HLL union algebra):
+    // the whole KMV overlap algebra — per-week k-min, array union, the
+    // |A|+|B|−|A∪B| estimate — is integer arithmetic both engines evaluate
+    // identically. Error bound vs exact intersections stays spec-tested.
+    Op.sql("analytics_weekly_overlap_approx",
+      s"""WITH b AS (SELECT date_trunc('week', ts) AS week_start,
+         |                  ${graft.functions.Portable.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |           FROM events),
+         |r AS (SELECT week_start, h,
+         |             ROW_NUMBER() OVER (PARTITION BY week_start ORDER BY h) AS rn
+         |      FROM (SELECT DISTINCT week_start, h FROM b)),
+         |sk AS (SELECT week_start, list(h ORDER BY h) AS sk
+         |       FROM r WHERE rn <= ${Kmv.K} GROUP BY week_start),
+         |j AS (SELECT a.week_start, a.sk AS ska, b.sk AS skb,
+         |             ${Kmv.mergeArraysSql("a.sk", "b.sk")} AS sku
+         |      FROM sk a JOIN sk b ON b.week_start = a.week_start + INTERVAL 7 DAY)
+         |SELECT week_start,
+         |       ${Kmv.estimateListSql("ska")} AS users_approx,
+         |       ${Kmv.estimateListSql("skb")} AS next_users_approx,
+         |       ${Kmv.estimateListSql("ska")} + ${Kmv.estimateListSql("skb")}
+         |         - ${Kmv.estimateListSql("sku")} AS overlap_approx
+         |FROM j""".stripMargin) { (s, d) =>
       weeklyOverlapApprox(Tables.events(s, d))
     },
 

@@ -1326,14 +1326,30 @@ object EventOps {
       conversionPaths(Tables.events(s, d))
     },
 
-    // CANNOT be bit-matched: the stored sketches are Spark's HLL++ binary
-    // registers (hll_sketch_agg); their estimates are implementation-
-    // specific and DuckDB can neither deserialize the sketch bytes nor
-    // reproduce the same HLL variant. The properties that ARE deterministic
-    // — ≤15% error vs exact, incremental-equals-rebuild, partition pruning,
-    // redelivery idempotence — are spec-tested (SketchStoreSpec).
-    Op.rowsOnly("events_range_uniques_sketch",
-      "stored HLL++ binary registers: DuckDB can neither deserialize nor reproduce the variant; error/incremental/pruning claims spec-tested") { (s, d) =>
+    // Range uniques from the day-partitioned KMV sketch store. Hash-gated
+    // since r10 (previously rows-only over HLL++ binary registers): the
+    // k-min synopsis is portable integers, and k-min of the union ≡ k-min
+    // of the per-day k-mins, so the oracle derives the SAME estimate from
+    // the raw events that the engine reads off merged stored sketches —
+    // the store path (partition pruning, merge algebra, incremental
+    // rebuild) is what the hash now certifies. Estimator branch exercised
+    // at gate scale (fixture range holds > K distinct users).
+    Op.sql("events_range_uniques_sketch", {
+      import graft.functions.{Kmv, Portable}
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |         ${Portable.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'),
+         |km AS (SELECT h FROM (SELECT DISTINCT h FROM ev) ORDER BY h LIMIT ${Kmv.K}),
+         |est AS (SELECT COUNT(*) AS dk, MAX(h) AS vk FROM km)
+         |SELECT (SELECT MIN(day) FROM ev) AS day_from,
+         |       (SELECT MAX(day) FROM ev) AS day_to,
+         |       (SELECT COUNT(DISTINCT day) FROM ev) AS n_days,
+         |       ${Kmv.estimateSql("dk", "vk")} AS users_approx,
+         |       (SELECT COUNT(*) FROM ev) AS n_events
+         |FROM est""".stripMargin
+    }) { (s, d) =>
       graft.sources.SketchStore.uniquesBetween(s,
         graft.sources.SketchStore.ensureFixture(s, d), "2024-01-08", "2024-01-21")
     },

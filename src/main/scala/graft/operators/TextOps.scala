@@ -808,20 +808,24 @@ object TextOps {
     * with the exact op as its spec twin.
     *
     * Build side: k positions per benchmark gram via double hashing (low
-    * bits index, high bits stride) of ONE native `xxhash64` — the op is
-    * rows-only, so unlike the exact op it owes DuckDB nothing and skips the
-    * portable md5/conv string hashing entirely. Positions OR-fold into
-    * 64-bit words by one small aggregate (duplicates are absorbed by the
-    * OR — no distinct); the dense array is collected driver-side (16 K
-    * longs — the `DataFrameStatFunctions.bloomFilter` shape) and re-enters
-    * the plan as a literal.
+    * bits index, high bits stride) of ONE [[graft.functions.Portable
+    * .hash60]]. r10: converted from native `xxhash64` — with the portable
+    * hash the ENTIRE construction (bit positions, the double-hash
+    * schedule, the probe conjunction) is integer arithmetic the DuckDB
+    * oracle replays bit-for-bit, so the op graduated from rows-only to
+    * the full hash gate: the oracle reproduces the identical flagged set
+    * INCLUDING any false positives. Positions OR-fold into 64-bit words
+    * by one small aggregate (duplicates are absorbed by the OR — no
+    * distinct); the dense array is collected driver-side (16 K longs —
+    * the `DataFrameStatFunctions.bloomFilter` shape) and re-enters the
+    * plan as a literal.
     */
   def decontaminateBloom(docs: DataFrame, bits: Int = bloomBits,
       k: Int = bloomHashes): DataFrame = {
     val ws = split(col("text"), " ")
     val grams = docs.filter(size(ws) >= contamN)
       .select(col("doc_id"), explode(shingles(ws, contamN)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h1"))
+      .select(col("doc_id"), hash60(col("gram")).as("h1"))
       // stride from the high bits (the index uses the low 20), forced odd
       // so it cycles the whole table
       .withColumn("h2", shiftrightunsigned(col("h1"), 24).bitwiseOR(lit(1L)))
@@ -2069,14 +2073,33 @@ object TextOps {
       dupNgramFraction(Tables.documents(s, d))
     },
 
-    // CANNOT be bit-matched: a Bloom filter admits false positives at the
-    // sized-for rate by design, and WHICH grams collide is a function of the
-    // concrete bit layout + double-hash schedule — an engine-specific
-    // artifact no oracle shares (DuckDB has no xxhash64-double-hash Bloom).
-    // The deterministic claim — no false NEGATIVES, i.e. a superset of the
-    // exact op's hits — is spec-tested; text_decontaminate is the exact twin.
-    Op.rowsOnly("text_decontaminate_bloom",
-      "Bloom false-positive set is a bit-layout artifact no oracle shares; no-false-negatives vs the exact twin is spec-tested") { (s, d) =>
+    // Hash-gated since r10 (previously rows-only over an xxhash64 bit
+    // layout no oracle shares): the hash60 double-hash Bloom is replayed
+    // position-for-position by the oracle — bp is the set-bit set, a
+    // corpus gram is flagged iff all k of its probe positions are set
+    // (COUNT(*) = k over the position semi-join), false positives
+    // included. The no-false-negatives superset claim vs the exact twin
+    // stays spec-tested.
+    Op.sql("text_decontaminate_bloom",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, gh AS h1, (gh >> 24) | 1 AS h2
+         |  FROM (SELECT doc_id, ${hash60Sql("gram")} AS gh
+         |        FROM (SELECT doc_id, unnest(${shinglesSql("ws", contamN)}) AS gram
+         |              FROM ws WHERE len(ws) >= $contamN))),
+         |bp AS (SELECT DISTINCT (h1 + i * h2) % $bloomBits AS p
+         |       FROM g2 CROSS JOIN generate_series(0, ${bloomHashes - 1}) t(i)
+         |       WHERE doc_id % $benchmarkMod = 0),
+         |corpus AS (SELECT DISTINCT doc_id, h1, h2 FROM g2
+         |           WHERE doc_id % $benchmarkMod <> 0),
+         |hits AS (
+         |  SELECT c.doc_id, c.h1
+         |  FROM corpus c
+         |  CROSS JOIN generate_series(0, ${bloomHashes - 1}) t(i)
+         |  JOIN bp ON bp.p = (c.h1 + t.i * c.h2) % $bloomBits
+         |  GROUP BY c.doc_id, c.h1
+         |  HAVING COUNT(*) = $bloomHashes)
+         |SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id""".stripMargin) { (s, d) =>
       decontaminateBloom(Tables.documents(s, d))
     },
 

@@ -2,17 +2,28 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
-/** Persisted daily HLL sketch store: one mergeable sketch of the day's
-  * active users per calendar day, written as `day=`-partitioned parquet.
+import graft.functions.{Kmv, Portable}
+
+/** Persisted daily distinct-users sketch store: one mergeable KMV synopsis
+  * (the k smallest distinct [[Portable.hash60]] values — [[graft.functions
+  * .Kmv]]) of the day's active users per calendar day, written as
+  * `day=`-partitioned parquet.
   *
   * The point at 100 TB: "unique users between any two dates" becomes a scan
-  * of a FEW-KB-per-day sketch table plus a sketch-union aggregate — the raw
-  * event history is read once per day, ever (when that day's sketch is
-  * built), and never again for any range query. The same shape answers
-  * per-day, weekly, or arbitrary-window uniques from one store, and sketch
-  * union is commutative/associative, so days can be built or re-built in
-  * any order and on any partitioning.
+  * of a ~1-KB-per-day sketch table plus a k-min merge — the raw event
+  * history is read once per day, ever (when that day's sketch is built),
+  * and never again for any range query. The same shape answers per-day,
+  * weekly, or arbitrary-window uniques from one store, and k-min union is
+  * commutative/associative, so days can be built or re-built in any order
+  * and on any partitioning.
+  *
+  * Why KMV rather than HLL (the r9 representation): identical store shape
+  * and merge algebra, but the synopsis is portable integers instead of
+  * engine-private registers, so every read op is hash-gated by the DuckDB
+  * oracle (r9 verdict #3) — the conversion recipe that took the quantile
+  * sketches oracle-backed, applied to uniques.
   *
   * Contract: a day's events are sketched together — [[upsertDaily]]
   * recomputes COMPLETE arriving days via dynamic partition overwrite (the
@@ -23,15 +34,20 @@ object SketchStore {
 
   /** Baked into the fixture dir name (like [[FactStore.Version]]): bump on
     * any sketch-schema or build-logic change so a stale cached fixture from
-    * a previous build is never silently reused.
+    * a previous build is never silently reused. v2 = the HLL→KMV conversion.
     */
-  val Version = "v1"
+  val Version = "v2"
 
-  /** (day, sk, n_events) daily sketch rows for every day present in `events`. */
+  /** (day, sk, n_events) daily sketch rows for every day present in `events`:
+    * `sk` = ascending k-min array of distinct user-id hashes (≤ [[Kmv.K]]
+    * longs — bounded map-side state, no day-grain sort anywhere).
+    */
   def dailySketches(events: DataFrame): DataFrame =
     events
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+      .select(to_date(col("ts")).as("day"),
+        Portable.hash60(col("user_id").cast(StringType)).as("h"))
+      .groupBy(col("day"))
+      .agg(Kmv.kminDistinct()(col("h")).as("sk"),
         count(lit(1)).as("n_events"))
 
   /** Full build: sketch every day in `events` and (re)write the store. */
@@ -58,23 +74,32 @@ object SketchStore {
   /** Per-day approximate uniques straight from the stored sketches. */
   def dailyEstimates(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir)
-      .select(col("day"), hll_sketch_estimate(col("sk")).as("users_approx"),
+      .select(col("day"), Kmv.estimate("sk").as("users_approx"),
         col("n_events"))
 
-  /** Approximate distinct users over [from, to] (inclusive): union the
+  /** Approximate distinct users over [from, to] (inclusive): merge the
     * stored day sketches — the day filter prunes at the partition level,
-    * and the aggregate carries sketches, never user rows.
+    * and the aggregate carries k-min arrays, never user rows (k-min of the
+    * union ≡ k-min of the per-day k-mins, so the merged estimate equals
+    * the one a direct scan of the range would produce).
     */
   def uniquesBetween(spark: SparkSession, dir: String,
-      from: String, to: String): DataFrame =
-    read(spark, dir)
+      from: String, to: String): DataFrame = {
+    val days = read(spark, dir)
       .filter(col("day") >= lit(from) && col("day") <= lit(to))
-      .agg(
-        min(col("day")).as("day_from"),
-        max(col("day")).as("day_to"),
-        count(lit(1)).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_approx"),
-        sum(col("n_events")).as("n_events"))
+    val meta = days.agg(
+      min(col("day")).as("day_from"),
+      max(col("day")).as("day_to"),
+      count(lit(1)).as("n_days"),
+      sum(col("n_events")).as("n_events"))
+    val merged = days
+      .select(explode(col("sk")).as("h"))
+      .agg(Kmv.kminDistinct()(col("h")).as("sk"))
+      .select(Kmv.estimate("sk").as("users_approx"))
+    meta.crossJoin(merged)
+      .select(col("day_from"), col("day_to"), col("n_days"),
+        col("users_approx"), col("n_events"))
+  }
 
   // --------------------------------------------------------------------------
   // Fixture store (registered-op support, mirrors FactStore.ensureFixture)
