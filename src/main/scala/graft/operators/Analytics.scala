@@ -98,6 +98,10 @@ object Analytics {
       .select(to_date(col("created_at")).as("order_date"),
         Portable.hash60(col("order_id").cast(StringType)).as("ho"),
         Portable.hash60(col("user_id").cast(StringType)).as("hu"))
+      // NULL ids hash to NULL, and the UDAF's Long input encoder is
+      // non-nullable — pin "nulls don't count as a distinct value" on both
+      // engines instead of leaving the behavior encoder-defined.
+      .filter(col("ho").isNotNull && col("hu").isNotNull)
       .groupBy(col("order_date"))
       .agg(
         Kmv.kminDistinct(k)(col("ho")).as("sko"),
@@ -433,6 +437,13 @@ object Analytics {
     * scorer is partitioning-invariant and bit-reproduced by the DuckDB
     * oracle (the [[priceQuantilesApprox]] conversion applied to
     * segmentation; boundary rank convention `(k·(n+1)) div 5`).
+    *
+    * EAGER: the boundary collect runs the histogram job at CALL time (not
+    * at the returned frame's first action), and the scoring pass re-reads
+    * the input from source — callers timing the op should time the call,
+    * and callers with non-deterministic inputs must checkpoint upstream
+    * (the registered fixtures are deterministic parquet, where a second
+    * scan is cheaper than holding a user-grain cache).
     */
   def rfmSegmentsApprox(orders: DataFrame, items: DataFrame,
       gridCents: Long = quantileGridCents): DataFrame = {
@@ -659,8 +670,12 @@ object Analytics {
     */
   def weeklyOverlapApprox(events: DataFrame, k: Int = Kmv.K): DataFrame = {
     val weekly = events
-      .select(date_trunc("week", col("ts")).as("week_start"),
+      // DATE, not the raw date_trunc TIMESTAMP: DuckDB's date_trunc('week')
+      // return type changed across versions (TIMESTAMP→DATE), so both sides
+      // pin DATE explicitly — the cohort-week convention in EventOps.
+      .select(to_date(date_trunc("week", col("ts"))).as("week_start"),
         Portable.hash60(col("user_id").cast(StringType)).as("h"))
+      .filter(col("h").isNotNull) // non-nullable UDAF input; see dailyUniquesApprox
       .groupBy(col("week_start"))
       .agg(Kmv.kminDistinct(k)(col("h")).as("sk"))
     weekly.alias("a")
@@ -835,7 +850,8 @@ object Analytics {
          |b AS (SELECT CAST(created_at AS DATE) AS order_date,
          |             ${graft.functions.Portable.hash60Sql("CAST(order_id AS VARCHAR)")} AS ho,
          |             ${graft.functions.Portable.hash60Sql("CAST(user_id AS VARCHAR)")} AS hu
-         |      FROM orders_v),
+         |      FROM orders_v
+         |      WHERE order_id IS NOT NULL AND user_id IS NOT NULL),
          |ro AS (SELECT order_date, ho,
          |              ROW_NUMBER() OVER (PARTITION BY order_date ORDER BY ho) AS rn
          |       FROM (SELECT DISTINCT order_date, ho FROM b)),
@@ -1173,9 +1189,9 @@ object Analytics {
     // |A|+|B|−|A∪B| estimate — is integer arithmetic both engines evaluate
     // identically. Error bound vs exact intersections stays spec-tested.
     Op.sql("analytics_weekly_overlap_approx",
-      s"""WITH b AS (SELECT date_trunc('week', ts) AS week_start,
+      s"""WITH b AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
          |                  ${graft.functions.Portable.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
-         |           FROM events),
+         |           FROM events WHERE user_id IS NOT NULL),
          |r AS (SELECT week_start, h,
          |             ROW_NUMBER() OVER (PARTITION BY week_start ORDER BY h) AS rn
          |      FROM (SELECT DISTINCT week_start, h FROM b)),

@@ -1340,7 +1340,8 @@ object EventOps {
          |  SELECT CAST(ts AS DATE) AS day,
          |         ${Portable.hash60Sql("CAST(user_id AS VARCHAR)")} AS h
          |  FROM events
-         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'),
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+         |    AND user_id IS NOT NULL),
          |km AS (SELECT h FROM (SELECT DISTINCT h FROM ev) ORDER BY h LIMIT ${Kmv.K}),
          |est AS (SELECT COUNT(*) AS dk, MAX(h) AS vk FROM km)
          |SELECT (SELECT MIN(day) FROM ev) AS day_from,

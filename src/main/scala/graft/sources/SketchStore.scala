@@ -46,6 +46,10 @@ object SketchStore {
     events
       .select(to_date(col("ts")).as("day"),
         Portable.hash60(col("user_id").cast(StringType)).as("h"))
+      // NULL user_id hashes to NULL; the KMV UDAF input encoder is a
+      // non-nullable Long — exclude nulls so "distinct users" means the
+      // same thing on both engines (oracle CTEs carry the same WHERE).
+      .filter(col("h").isNotNull)
       .groupBy(col("day"))
       .agg(Kmv.kminDistinct()(col("h")).as("sk"),
         count(lit(1)).as("n_events"))

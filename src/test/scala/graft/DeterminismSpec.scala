@@ -17,11 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class DeterminismSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
-  /** Partitioning-sensitive by design (sketch merge trees / sampled probe). */
-  private val sketchOps = Set(
-    "analytics_daily_uniques_approx", "analytics_weekly_overlap_approx",
-    "events_range_uniques_sketch", "text_heavy_hitters_approx",
-    "text_decontaminate_bloom", "media_features")
+  /** Partitioning-sensitive by design (sketch merge trees / sampled probe).
+    * The r10 KMV/Bloom conversions made `analytics_daily_uniques_approx`,
+    * `analytics_weekly_overlap_approx`, `events_range_uniques_sketch` and
+    * `text_decontaminate_bloom` exact integer arithmetic — they now RUN the
+    * 3-vs-7-partition proof their conversion earned. `media_features` is a
+    * per-row map (entropy/checksums are functions of the row alone), so it
+    * was never partitioning-shaped; only the Misra-Gries survivor set is.
+    */
+  private val sketchOps = Set("text_heavy_hitters_approx")
 
   private def canon(df: DataFrame): String = {
     val rows = df.collect().map(_.toString).sorted

@@ -42,10 +42,7 @@ class RegistrySpec extends AnyFunSuite {
       s"rows-only ops without a stated oracle blocker: ${bad.mkString(", ")}")
     // and the list itself is pinned: a new rows-only op is a deliberate act
     val rowsOnly = SparkEntry.allOps.filter(_.oracle.isEmpty).map(_.name).toSet
-    val expected = Set(
-      "analytics_daily_uniques_approx", "analytics_weekly_overlap_approx",
-      "text_heavy_hitters_approx", "text_decontaminate_bloom",
-      "events_range_uniques_sketch", "media_features")
+    val expected = Set("media_features", "text_heavy_hitters_approx")
     assert(rowsOnly == expected,
       s"rows-only set changed: +${rowsOnly -- expected} -${expected -- rowsOnly}")
   }

@@ -8,9 +8,12 @@ Usage:
       [--sf-dir /root/testdata/sf0.01] [--verify-out /tmp/verify_out]
       [--old-bench OLD.json[,...]]      # default: newest BENCH_r*.json
       [--skip-oracle]                   # when Verify hasn't been re-run
+      [--skip-sbt-test]                 # when the suite just ran green
   python3 tools/close_gate.py --selftest
 
 Checks:
+  0. sbtTest  — `sbt test` must exit 0 (r10 verdict #1: the r10 snapshot
+                shipped a red suite; a close can never do that again).
   1. oracle   — tools/oracle_check.py over --verify-out (the Verify dump):
                 every oracle-backed query must PASS.
   2. bench    — tools/bench_diff.py old -> new: no REGRESSION/NEW-HEAVY
@@ -81,28 +84,58 @@ def selftest():
 def main(argv):
     if "--selftest" in argv:
         return selftest()
-    args = dict(zip(argv[1::2], argv[2::2]))
-    sf_dir = args.get("--sf-dir", "/root/testdata/sf0.01")
-    verify_out = args.get("--verify-out", "/tmp/verify_out")
-    new = args.get("--new-bench")
-    if not new:
-        raise SystemExit("close_gate: --new-bench is required "
-                         "(the round's fresh recording)")
+    # argparse, not positional zip-pairing: the valueless --skip-* flags
+    # would shift a dict(zip(argv[1::2], argv[2::2])) and silently drop the
+    # flag after them (r10 advice).
+    import argparse
+    ap = argparse.ArgumentParser(prog="close_gate")
+    ap.add_argument("--new-bench", required=True)
+    ap.add_argument("--old-bench", default=None)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--verify-out", default="/tmp/verify_out")
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--skip-sbt-test", action="store_true")
+    a = ap.parse_args(argv[1:])
+    sf_dir, verify_out, new = a.sf_dir, a.verify_out, a.new_bench
     fails = []
 
+    # 0. the ScalaTest suite — a close can never ship a red suite (r10 #1)
+    if a.skip_sbt_test:
+        print("close_gate: sbt test SKIPPED by flag")
+    else:
+        import subprocess
+        print("close_gate: running `sbt test` (a few minutes) ...")
+        repo = Path(__file__).resolve().parent.parent
+        r = subprocess.run(["sbt", "-batch", "test"], cwd=repo,
+                           stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        tail = r.stdout.decode(errors="replace").splitlines()[-25:]
+        if r.returncode != 0:
+            for l in tail:
+                print("  sbt| " + l)
+            fails.append("sbtTest: `sbt test` exited "
+                         f"{r.returncode} — suite is red")
+        else:
+            summary = [l for l in tail if "Tests:" in l or "All tests" in l]
+            print("close_gate: sbt test PASS "
+                  + ("(" + summary[-1].strip() + ")" if summary else ""))
+
     # 1. oracle correctness over the Verify dump
-    if "--skip-oracle" in argv:
+    if a.skip_oracle:
         print("close_gate: oracle check SKIPPED by flag")
     else:
         print(f"close_gate: oracle check {sf_dir} vs {verify_out}")
         if oracle_check.main(sf_dir, verify_out) != 0:
             fails.append("oracle: correctness gate failed (see FAIL lines)")
 
-    # 2. bench regression old -> new
-    old = args.get("--old-bench")
+    # 2. bench regression old -> new. Numeric round key, not lexicographic:
+    # sorted() on names puts r10 < r9 and would baseline round 11 against
+    # the wrong artifact (r10 advice, medium).
+    old = a.old_bench
     if not old:
+        import re
         benches = sorted(
-            Path(__file__).resolve().parent.parent.glob("BENCH_r*.json"))
+            Path(__file__).resolve().parent.parent.glob("BENCH_r*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
         if benches:
             old = str(benches[-1])
     if old:
