@@ -111,6 +111,17 @@ object Kmv {
       s"ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0)))" +
       s" div element_at($sk, $k) AS BIGINT) END")
 
+  /** [[estimate]] with the sketch size read from a COLUMN — the mixed-k
+    * merge path: a store whose rows carry their own k merges to the
+    * smallest k present (a KMV sketch at k₁ > k₂ contains the k₂-min set
+    * as a prefix, so slicing to min-k then estimating at min-k is the
+    * exact same arithmetic a uniform min-k store would produce).
+    */
+  def estimateCol(sk: String, kc: String): Column =
+    expr(s"CASE WHEN size($sk) < $kc THEN CAST(size($sk) AS BIGINT) " +
+      s"ELSE CAST((CAST($kc - 1 AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0)))" +
+      s" div element_at($sk, $kc) AS BIGINT) END")
+
   /** DuckDB twin of [[estimate]] over a kept-count `dk` and k-th minimum
     * `vk` (the SQL formulation keeps the k-min set relational — `dk` =
     * COUNT of rows with rank ≤ k, `vk` = MAX of those hashes).

@@ -100,14 +100,36 @@ object Multimodal {
     }
   }
 
+  /** Shannon byte entropy QUANTIZED to the engine's 2^-20 grid (the ppm
+    * convention from the GK→histogram conversions): each of the ≤256
+    * histogram terms −p·log₂p is floored onto the integer grid and the
+    * INTEGER grid values sum — so the value is independent of summation
+    * order (the old float Σ was not) and the final division by 2^20 is an
+    * exact power-of-two step both engines perform identically. Error vs
+    * true entropy < 256·2^-20 ≈ 2.4e-4 bits, one-sided (never over).
+    * The only cross-engine surface left is libm `ln` itself, which both
+    * engines evaluate on identical doubles; a disagreement would need a
+    * >grid-width discrepancy (2^-20 vs sub-ulp libm error) — hash-gated
+    * against the DuckDB oracle at every fixture scale.
+    */
   private def shannonEntropy(payload: Array[Byte]): Double = {
     if (payload.isEmpty) return 0.0
     val counts = new Array[Int](256)
     payload.foreach(b => counts(b & 0xff) += 1)
     val n = payload.length.toDouble
-    counts.filter(_ > 0).map { c =>
-      val p = c / n; -p * math.log(p) / math.log(2)
-    }.sum
+    var grid = 0L
+    var i = 0
+    while (i < 256) {
+      val c = counts(i)
+      if (c > 0) {
+        val p = c / n
+        // exact op-for-op twin of the oracle's
+        // FLOOR((-(c/n) * ln(c/n)) / ln(2.0) * 1048576.0)
+        grid += math.floor(-p * math.log(p) / math.log(2.0) * 1048576.0).toLong
+      }
+      i += 1
+    }
+    grid / 1048576.0
   }
 
   /** Batched feature extraction over binary payloads — `mapPartitions` with
@@ -453,17 +475,6 @@ object Multimodal {
           col("min_byte"), col("max_byte"))
     },
 
-    // Rows-only is FINAL for this op, and here is exactly why: every
-    // deterministic-decodable scalar it computes (n_bytes, width, height,
-    // mean_byte) is ALREADY split out and bit-matched as media_features_meta
-    // — that op is the hash gate for the decode path. What remains here is
-    // (a) entropy — a float Σ −p·log₂p whose value depends on summation
-    // order and libm, with no integer-grid reformulation (log of a ratio
-    // doesn't clear), and (b) frame_checksums — a sequential per-byte
-    // rolling hash over payload slices, i.e. imperative state no SQL oracle
-    // expresses without per-byte recursion. Both are unit-tested instead
-    // (known-payload fixtures, corrupt-header fallback). The checksum array
-    // is serialized to a scalar md5 digest so the dump stays sortable.
     // Per-payload perceptual hash. The oracle replays the deterministic
     // stub-grid path the fixture's non-image payloads take; the pixel path
     // (real PNG decode → integer area-average → same bit pack) is pinned by
@@ -554,8 +565,80 @@ object Multimodal {
       multimodalManifest(Tables.documents(s, d))
     },
 
-    Op.rowsOnly("media_features",
-      "entropy is order-dependent float \u03a3 \u2212p\u00b7log\u2082p and frame checksums are sequential per-byte rolling hashes — imperative state no SQL oracle expresses; both unit-tested. EVERY order-independent scalar (n_bytes, width, height, mean/min/max byte) is hash-matched as media_features_meta through the same mapPartitions extractor") { (s, d) =>
+    // Fully hash-gated since r11 (rows-only before that; the old blocker
+    // conflated float-sum order with the histogram formulation):
+    //  - entropy is the 2^-20-grid-quantized histogram sum (see
+    //    [[shannonEntropy]]) -- integer grid terms sum order-independently
+    //    and DuckDB replays the identical floor arithmetic;
+    //  - the sequential per-byte rolling frame checksums ARE expressible:
+    //    DuckDB's list_reduce replays Java's `h = 31*h + b` wrap-around in
+    //    HUGEINT mod 2^64 and converts back to the signed BIGINT, slice
+    //    boundaries included. The checksum array is serialized to a scalar
+    //    md5 digest so the dump stays sortable; the raw per-frame longs and
+    //    the empty/short-payload edge cases stay pinned by MultimodalSpec.
+    Op.sql("media_features", {
+      val seed = "1125899906842597" // frameChecksums' FNV-ish seed
+      val two63 = "9223372036854775808"
+      val two64 = "18446744073709551616"
+      s"""WITH mbase AS (
+         |  SELECT doc_id, 'media/' || source AS media_type,
+         |         octet_length(encode(text)) AS n_bytes, text
+         |  FROM documents),
+         |mhist AS (
+         |  SELECT doc_id, ord(ch) AS byte, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+         |  GROUP BY 1, 2),
+         |ment AS (
+         |  SELECT h.doc_id,
+         |    CAST(SUM(CAST(FLOOR((-(CAST(c AS DOUBLE) / CAST(b.n_bytes AS DOUBLE))
+         |                         * ln(CAST(c AS DOUBLE) / CAST(b.n_bytes AS DOUBLE)))
+         |                        / ln(2.0) * 1048576.0) AS BIGINT)) AS BIGINT) AS eg
+         |  FROM mhist h JOIN mbase b USING (doc_id) GROUP BY 1),
+         |mfr AS (
+         |  SELECT doc_id, n_bytes, i, GREATEST(1, n_bytes // 4) AS step,
+         |         LEAST(i * GREATEST(1, n_bytes // 4), n_bytes) AS frm,
+         |         LEAST(LEAST(i * GREATEST(1, n_bytes // 4), n_bytes)
+         |               + GREATEST(1, n_bytes // 4), n_bytes) AS unt,
+         |         list_transform(string_split(text, ''),
+         |                        x -> CAST(ord(x) AS HUGEINT)) AS bytes
+         |  FROM mbase CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+         |mck AS (
+         |  SELECT doc_id, i,
+         |    CAST(CASE WHEN hu >= CAST($two63 AS HUGEINT)
+         |              THEN hu - CAST($two64 AS HUGEINT) ELSE hu END AS BIGINT) AS cksum
+         |  FROM (
+         |    SELECT doc_id, i,
+         |      CASE WHEN n_bytes = 0 THEN CAST(0 AS HUGEINT)
+         |           WHEN unt <= frm THEN CAST($seed AS HUGEINT)
+         |           ELSE list_reduce(
+         |                  list_prepend(CAST($seed AS HUGEINT), bytes[frm+1:unt]),
+         |                  (h, x) -> (31 * h + x) % CAST($two64 AS HUGEINT))
+         |      END AS hu
+         |    FROM mfr)),
+         |mdig AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list(CAST(cksum AS VARCHAR) ORDER BY i), ','))
+         |           AS frames_digest
+         |  FROM mck GROUP BY doc_id)
+         |SELECT b.doc_id, b.media_type, b.n_bytes,
+         |       64 + (b.n_bytes % 193) AS width,
+         |       64 + ((b.n_bytes * 31) % 149) AS height,
+         |       CASE WHEN b.n_bytes = 0 THEN 0.0
+         |            ELSE CAST(list_sum(list_transform(string_split(b.text, ''),
+         |                                              x -> ord(x))) AS DOUBLE)
+         |                 / b.n_bytes END AS mean_byte,
+         |       CAST(CASE WHEN b.n_bytes = 0 THEN 0
+         |            ELSE list_min(list_transform(string_split(b.text, ''), x -> ord(x)))
+         |            END AS INTEGER) AS min_byte,
+         |       CAST(CASE WHEN b.n_bytes = 0 THEN 0
+         |            ELSE list_max(list_transform(string_split(b.text, ''), x -> ord(x)))
+         |            END AS INTEGER) AS max_byte,
+         |       COALESCE(CAST(e.eg AS DOUBLE) / 1048576.0, 0.0) AS entropy,
+         |       d.frames_digest
+         |FROM mbase b
+         |LEFT JOIN ment e USING (doc_id)
+         |JOIN mdig d USING (doc_id)""".stripMargin
+    }) { (s, d) =>
       extractFeatures(mediaDataset(s, d)).toDF()
         .withColumn("frames_digest",
           md5(concat_ws(",", transform(col("frame_checksums"), _.cast("string")))))

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Op
-import graft.functions.HeavyHittersAggregator
 import graft.functions.Portable._
 import graft.sources.Tables
 
@@ -457,27 +456,47 @@ object TextOps {
         countDistinct(col("lang")).as("n_langs"))
   }
 
-  /** Heavy-hitters sketch size and report length for [[heavyHittersApprox]]. */
-  val hhSketchSize = 64
+  /** Count-Min sketch dimensions and report length for
+    * [[heavyHittersApprox]]: depth 4 rows x width 1024 counters = 32 KB of
+    * long state, RSE-class error e/w ~ 0.27% of the token mass per row
+    * (min over 4 rows in practice far tighter).
+    */
+  val cmsDepth = 4
+  val cmsWidth = 1024
   val hhK = 20
 
-  /** Approximate corpus-frequency heavy hitters via a Misra-Gries sketch
-    * ([[graft.functions.HeavyHittersAggregator]]) — [[vocabulary]]'s scale
-    * path for open vocabularies: the token stream reduces to a ≤ 64-entry
-    * summary per task map-side, so nothing vocabulary-sized ever shuffles.
-    * Approximate by design (counts may undershoot by ≤ N/(m+1), merge-order
-    * dependent once the sketch saturates) → rows-only check; the error
-    * bound, the no-false-negative guarantee for true heavy hitters, and
-    * exactness below saturation are spec-tested (TextOpsSpec).
+  /** Approximate corpus-frequency heavy hitters via a Count-Min sketch
+    * (Cormode & Muthukrishnan, "An improved data stream summary: the
+    * count-min sketch and its applications", J. Algorithms 2005).
+    *
+    * r11: REPLACED the Misra-Gries formulation. MG's surviving counter set
+    * depends on arrival/merge order above saturation, which forced the op
+    * to a rows-only check; CMS counters are plain integer SUMS — the merge
+    * is commutative/associative elementwise addition, so the sketch, the
+    * estimates, and the report are partitioning-invariant and the DuckDB
+    * oracle replays them bit-for-bit (the deterministic saturation policy
+    * the r10 verdict asked for). Guarantees are one-sided the OTHER way:
+    * est_count >= true count always (collisions only ever add), and a
+    * report entry is exact when no other token shares its bucket in at
+    * least one of the `d` rows (spec-tested both ways in TextOpsSpec).
+    *
+    * Scale shape: the sketch is d x w longs of bounded mergeable state fed
+    * by one map-side-combined aggregate; the candidate pass is vocab-grain
+    * (the same grain [[vocabulary]] already shuffles) joined against the
+    * BROADCAST 4096-row counter table; nothing corpus-grain shuffles.
     */
-  def heavyHittersApprox(docs: DataFrame, m: Int = hhSketchSize, k: Int = hhK): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tokens = docs
-      .select(explode(split(col("text"), " ")).as("token")).as[String]
-    tokens
-      .select(new HeavyHittersAggregator(m).toColumn.name("sketch"))
-      .select(explode(col("sketch")).as(Seq("token", "est_count")))
+  def heavyHittersApprox(docs: DataFrame, d: Int = cmsDepth,
+      w: Int = cmsWidth, k: Int = hhK): DataFrame = {
+    val cnt = docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val rb = cnt.select(col("token"), col("cnt"),
+      posexplode(array((0 until d).map(r =>
+        hash60(concat_ws(":", lit(r.toString), col("token"))) % w): _*))
+        .as(Seq("r", "bucket")))
+    val counters = rb.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("counter"))
+    rb.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("token")).agg(min(col("counter")).as("est_count"))
       .orderBy(col("est_count").desc, col("token").asc)
       .limit(k)
   }
@@ -1929,14 +1948,21 @@ object TextOps {
       vocabulary(Tables.documents(s, d))
     },
 
-    // CANNOT be bit-matched: above saturation a Misra-Gries summary's
-    // surviving (term, count) entries depend on arrival/merge order — two
-    // valid runs of the SAME implementation may keep different non-heavy
-    // terms, and no SQL engine reproduces a specific merge schedule. The
-    // deterministic claims — exactness below saturation, the N/(m+1)
-    // undercount bound above — are spec-tested; text_vocab is the exact twin.
-    Op.rowsOnly("text_heavy_hitters_approx",
-      "Misra-Gries survivors above saturation depend on merge order — no SQL engine reproduces a merge schedule; saturation bounds spec-tested, text_vocab is the exact twin") { (s, d) =>
+    // Hash-gated since r11: the CMS counters are integer sums over
+    // hash-derived buckets, so the oracle rebuilds the identical d x w
+    // counter table and replays every estimate, collisions included.
+    Op.sql("text_heavy_hitters_approx",
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |cnt AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+         |rb AS (SELECT token, cnt, r,
+         |        ${hash60Sql("CAST(r AS VARCHAR) || ':' || token")} % $cmsWidth AS bucket
+         |       FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS r)),
+         |ctr AS (SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+         |        FROM rb GROUP BY 1, 2),
+         |est AS (SELECT token, MIN(counter) AS est_count
+         |        FROM rb JOIN ctr USING (r, bucket) GROUP BY token)
+         |SELECT token, est_count FROM est
+         |ORDER BY est_count DESC, token ASC LIMIT $hhK""".stripMargin) { (s, d) =>
       heavyHittersApprox(Tables.documents(s, d))
     },
 

@@ -34,15 +34,21 @@ object SketchStore {
 
   /** Baked into the fixture dir name (like [[FactStore.Version]]): bump on
     * any sketch-schema or build-logic change so a stale cached fixture from
-    * a previous build is never silently reused. v2 = the HLL→KMV conversion.
+    * a previous build is never silently reused. v2 = the HLL→KMV conversion;
+    * v3 = rows carry their sketch size `k` (see [[dailySketches]]).
     */
-  val Version = "v2"
+  val Version = "v3"
 
-  /** (day, sk, n_events) daily sketch rows for every day present in `events`:
-    * `sk` = ascending k-min array of distinct user-id hashes (≤ [[Kmv.K]]
-    * longs — bounded map-side state, no day-grain sort anywhere).
+  /** (day, sk, k, n_events) daily sketch rows for every day present in
+    * `events`: `sk` = ascending k-min array of distinct user-id hashes
+    * (≤ `k` longs — bounded map-side state, no day-grain sort anywhere).
+    * Rows CARRY their sketch size `k` (r10 verdict #7): an operable store
+    * migrates k without invalidating history — old days keep their k, new
+    * days write the new one, and every reader merges to the smallest k in
+    * its range (valid because a larger-k sketch contains every smaller-k
+    * sketch as a prefix). Mixed-k merge ≡ uniform-min-k is spec-pinned.
     */
-  def dailySketches(events: DataFrame): DataFrame =
+  def dailySketches(events: DataFrame, k: Int = Kmv.K): DataFrame =
     events
       .select(to_date(col("ts")).as("day"),
         Portable.hash60(col("user_id").cast(StringType)).as("h"))
@@ -51,12 +57,13 @@ object SketchStore {
       // same thing on both engines (oracle CTEs carry the same WHERE).
       .filter(col("h").isNotNull)
       .groupBy(col("day"))
-      .agg(Kmv.kminDistinct()(col("h")).as("sk"),
+      .agg(Kmv.kminDistinct(k)(col("h")).as("sk"),
         count(lit(1)).as("n_events"))
+      .withColumn("k", lit(k))
 
   /** Full build: sketch every day in `events` and (re)write the store. */
-  def buildDaily(events: DataFrame, dir: String): Unit =
-    dailySketches(events).write
+  def buildDaily(events: DataFrame, dir: String, k: Int = Kmv.K): Unit =
+    dailySketches(events, k).write
       .mode("overwrite")
       .partitionBy("day")
       .parquet(dir)
@@ -64,9 +71,10 @@ object SketchStore {
   /** Incremental ingest: recompute and overwrite ONLY the days present in
     * the arriving events (dynamic partition overwrite) — other days'
     * sketches are untouched, so ingest cost is O(arrivals), not O(history).
+    * `k` applies to the arriving days only; existing days keep theirs.
     */
-  def upsertDaily(events: DataFrame, dir: String): Unit =
-    dailySketches(events).write
+  def upsertDaily(events: DataFrame, dir: String, k: Int = Kmv.K): Unit =
+    dailySketches(events, k).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
@@ -75,10 +83,12 @@ object SketchStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
-  /** Per-day approximate uniques straight from the stored sketches. */
+  /** Per-day approximate uniques straight from the stored sketches (each
+    * row estimated at ITS OWN k).
+    */
   def dailyEstimates(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir)
-      .select(col("day"), Kmv.estimate("sk").as("users_approx"),
+      .select(col("day"), Kmv.estimateCol("sk", "k").as("users_approx"),
         col("n_events"))
 
   /** Approximate distinct users over [from, to] (inclusive): merge the
@@ -95,14 +105,17 @@ object SketchStore {
       min(col("day")).as("day_from"),
       max(col("day")).as("day_to"),
       count(lit(1)).as("n_days"),
-      sum(col("n_events")).as("n_events"))
+      sum(col("n_events")).as("n_events"),
+      // mixed-k range: the union sketch is only valid at the SMALLEST k
+      // present — larger-k days contribute their min-k prefix implicitly
+      min(col("k")).as("keff"))
     val merged = days
       .select(explode(col("sk")).as("h"))
-      .agg(Kmv.kminDistinct()(col("h")).as("sk"))
-      .select(Kmv.estimate("sk").as("users_approx"))
-    meta.crossJoin(merged)
+      .agg(Kmv.kminDistinct()(col("h")).as("sku"))
+    meta.crossJoin(merged) // 1 row × 1 row
+      .withColumn("sk", expr("slice(sku, 1, keff)"))
       .select(col("day_from"), col("day_to"), col("n_days"),
-        col("users_approx"), col("n_events"))
+        Kmv.estimateCol("sk", "keff").as("users_approx"), col("n_events"))
   }
 
   // --------------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, date_trunc}
+import org.apache.spark.sql.functions.{col, date_trunc, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Analytics, Kpi}
@@ -258,16 +258,18 @@ class AnalyticsSpec extends AnyFunSuite {
   test("weekly overlap sketch estimates within 15% of exact intersections") {
     val events = Tables.events(spark, TestSession.sf)
     val approx = Analytics.weeklyOverlapApprox(events).collect()
-      .map(r => r.getTimestamp(0) ->
+      .map(r => r.getDate(0) ->
         ((r.getAs[Long]("users_approx"), r.getAs[Long]("overlap_approx")))).toMap
     assert(approx.nonEmpty)
     import spark.implicits._
-    val weekly = events.select(date_trunc("week", col("ts")).as("week_start"), col("user_id"))
-      .distinct().collect().groupBy(_.getTimestamp(0)).view
+    // week_start is a DATE since r11 (pinned on both engines)
+    val weekly = events
+      .select(to_date(date_trunc("week", col("ts"))).as("week_start"), col("user_id"))
+      .distinct().collect().groupBy(_.getDate(0)).view
       .mapValues(_.map(_.getLong(1)).toSet).toMap
     approx.foreach { case (w, (ua, ov)) =>
       val cur = weekly(w)
-      val next = weekly(new java.sql.Timestamp(w.getTime + 7L * 86400 * 1000))
+      val next = weekly(java.sql.Date.valueOf(w.toLocalDate.plusDays(7)))
       assert(math.abs(ua - cur.size).toDouble <= 0.15 * cur.size, s"$w users $ua vs ${cur.size}")
       val exact = (cur & next).size
       assert(math.abs(ov - exact).toDouble <= math.max(0.15 * exact, 3.0), s"$w overlap $ov vs $exact")

@@ -17,15 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class DeterminismSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
-  /** Partitioning-sensitive by design (sketch merge trees / sampled probe).
-    * The r10 KMV/Bloom conversions made `analytics_daily_uniques_approx`,
-    * `analytics_weekly_overlap_approx`, `events_range_uniques_sketch` and
-    * `text_decontaminate_bloom` exact integer arithmetic — they now RUN the
-    * 3-vs-7-partition proof their conversion earned. `media_features` is a
-    * per-row map (entropy/checksums are functions of the row alone), so it
-    * was never partitioning-shaped; only the Misra-Gries survivor set is.
+  /** Partitioning-sensitive by design — EMPTY since r11: the r10 KMV/Bloom
+    * conversions made the uniques/decontamination sketches exact integer
+    * arithmetic, and r11 converted the last holdout (Misra-Gries heavy
+    * hitters, whose survivor set WAS merge-order-shaped) to a Count-Min
+    * sketch whose counters are plain integer sums. Every registered op now
+    * runs the 3-vs-7-partition proof. Kept as a named hook (with this
+    * history) so a future genuinely order-shaped op opts out loudly.
     */
-  private val sketchOps = Set("text_heavy_hitters_approx")
+  private val sketchOps = Set.empty[String]
 
   private def canon(df: DataFrame): String = {
     val rows = df.collect().map(_.toString).sorted

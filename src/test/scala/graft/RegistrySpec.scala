@@ -42,7 +42,10 @@ class RegistrySpec extends AnyFunSuite {
       s"rows-only ops without a stated oracle blocker: ${bad.mkString(", ")}")
     // and the list itself is pinned: a new rows-only op is a deliberate act
     val rowsOnly = SparkEntry.allOps.filter(_.oracle.isEmpty).map(_.name).toSet
-    val expected = Set("media_features", "text_heavy_hitters_approx")
+    // r11: empty — the last two rows-only ops graduated (media_features via
+    // grid-quantized entropy + list_reduce checksum replay; heavy hitters
+    // via the Misra-Gries → Count-Min conversion).
+    val expected = Set.empty[String]
     assert(rowsOnly == expected,
       s"rows-only set changed: +${rowsOnly -- expected} -${expected -- rowsOnly}")
   }

@@ -78,6 +78,42 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(estimates(streamed) == estimates(full))
   }
 
+  test("mixed-k store: range merge equals the uniform-min-k store's answer") {
+    // a store whose history was built at k=128 and whose recent days were
+    // written at k=64 (a live k migration) must answer range queries with
+    // EXACTLY the arithmetic a uniform k=64 store would use: merge to the
+    // smallest k present, estimate at that k.
+    val mixed = Files.createTempDirectory("graft-sketch-mk1").toString + "/daily"
+    val uniform = Files.createTempDirectory("graft-sketch-mk2").toString + "/daily"
+    val early = events.filter(dayofmonth(col("ts")) <= 15)
+    val late = events.filter(dayofmonth(col("ts")) > 15)
+    SketchStore.upsertDaily(early, mixed, k = 128)
+    SketchStore.upsertDaily(late, mixed, k = 64)
+    SketchStore.buildDaily(events, uniform, k = 64)
+    val ks = SketchStore.read(spark, mixed).select(col("k")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(ks == Set(64, 128), s"store rows must carry their own k: $ks")
+    def rangeRow(dir: String) = {
+      val r = SketchStore.uniquesBetween(spark, dir, "2024-01-10", "2024-01-20").collect()(0)
+      (r.getAs[Long]("n_days"), r.getAs[Long]("users_approx"), r.getAs[Long]("n_events"))
+    }
+    assert(rangeRow(mixed) == rangeRow(uniform))
+    // per-day estimates use each row's OWN k: the k=128 days of the mixed
+    // store match a k=128 build, the k=64 days match the k=64 build
+    val mixedDaily = SketchStore.dailyEstimates(spark, mixed).collect()
+      .map(r => r.getDate(0) -> r.getAs[Long]("users_approx")).toMap
+    val u64 = SketchStore.dailyEstimates(spark, uniform).collect()
+      .map(r => r.getDate(0) -> r.getAs[Long]("users_approx")).toMap
+    val full128 = Files.createTempDirectory("graft-sketch-mk3").toString + "/daily"
+    SketchStore.buildDaily(events, full128, k = 128)
+    val u128 = SketchStore.dailyEstimates(spark, full128).collect()
+      .map(r => r.getDate(0) -> r.getAs[Long]("users_approx")).toMap
+    mixedDaily.foreach { case (d, est) =>
+      val expected = if (d.toLocalDate.getDayOfMonth <= 15) u128(d) else u64(d)
+      assert(est == expected, s"$d: mixed-store estimate $est != $expected")
+    }
+  }
+
   test("incremental day-wave ingest equals full rebuild; redelivery replaces, never double-counts") {
     val full = Files.createTempDirectory("graft-sketch3").toString + "/daily"
     val inc = Files.createTempDirectory("graft-sketch4").toString + "/daily"

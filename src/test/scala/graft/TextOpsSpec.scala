@@ -441,29 +441,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(nq == Map("a" -> 2L, "b" -> 0L))
   }
 
-  test("heavy hitters: exact below saturation, bounded error above it") {
-    // below saturation (vocab << m): the sketch IS the exact count map
+  test("heavy hitters: CMS never undercounts, exact without collisions, hot token leads") {
+    // wide sketch, 3-token vocab → no bucket collisions → est IS exact
     val small = docs(1L -> "a a a b b c", 2L -> "b c c")
-    val est = TextOps.heavyHittersApprox(small, m = 16, k = 10).collect()
+    val est = TextOps.heavyHittersApprox(small, k = 10).collect()
       .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
     assert(est == Map("a" -> 3L, "b" -> 3L, "c" -> 3L))
 
-    // saturated: hot token (freq 500) + 360 rare singletons, m = 16.
-    // N = 860, bound N/(m+1) ≈ 50.6 — the hot token MUST survive with an
-    // undercount of at most the bound, across the map-side merge tree
-    // (repartition(8) forces real partial-sketch merges).
+    // forced saturation: w = 2 buckets, hot token (freq 500) + 360 rare
+    // singletons, real partial merges via repartition(8). CMS guarantees
+    // are one-sided the OTHER way from Misra-Gries:
+    //  - every estimate >= its true count (collisions only ever add mass),
+    //  - est <= total mass (a counter can never exceed N = 860),
+    //  - the true heavy hitter is NEVER displaced from the report head:
+    //    any token beating est("hot") shares hot's bucket in EVERY row, so
+    //    its estimate equals hot's and 'hot' < 'rareNNN' wins the tie.
     val hot = Seq.fill(500)("hot") ++ (1 to 360).map(i => s"rare$i")
     val corpus = docs(hot.zipWithIndex.map { case (w, i) =>
       (i + 1).toLong -> w }: _*).repartition(8)
-    val n = hot.size
-    val m = 16
-    val bound = n.toDouble / (m + 1)
-    val sat = TextOps.heavyHittersApprox(corpus, m = m, k = m).collect()
-      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
-    assert(sat.contains("hot"), s"true heavy hitter evicted: $sat")
-    val e = sat("hot")
-    assert(e <= 500 && e >= 500 - bound.ceil.toLong,
-      s"estimate $e outside [${500 - bound.ceil.toLong}, 500]")
+    val n = hot.size.toLong
+    val rep = TextOps.heavyHittersApprox(corpus, d = 4, w = 2, k = 8).collect()
+    val sat = rep.map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    assert(rep.head.getAs[String]("token") == "hot",
+      s"true heavy hitter displaced from the report head: ${rep.toSeq}")
+    assert(sat("hot") >= 500L && sat("hot") <= n,
+      s"estimate ${sat("hot")} outside [500, $n]")
+    val truth = Map("hot" -> 500L).withDefaultValue(1L)
+    for ((t, e) <- sat)
+      assert(e >= truth(t) && e <= n, s"$t: est $e vs true ${truth(t)} (N=$n)")
   }
 
   test("curate keeps only canonical, on-language, quality-clearing docs") {
