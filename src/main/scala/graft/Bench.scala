@@ -36,17 +36,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** One query's measured record within an attempt. `spillMb` = execution
+    * memory + disk bytes spilled during the query (0 on a healthy run);
+    * `residentMb` = RDD storage still resident after the inter-query
+    * release (the retained memos — growth across the suite means blocks
+    * are escaping the release).
+    */
+  final case class QRec(name: String, wall: Double, ok: Boolean,
+      cpuMs: Long, gcMs: Long, spillMb: Long, residentMb: Long)
+
   /** Sums executor CPU (ns) and GC (ms) across finished tasks; Bench reads
     * deltas between queries (after a listener-bus flush) to attribute them.
     */
   final class ResourceListener extends SparkListener {
     val cpuNs = new AtomicLong(0L)
     val gcMs = new AtomicLong(0L)
+    // execution-memory spill (r11): a query whose cpu inflates while gc
+    // stays flat may be paying spill serialization — charged here so the
+    // artifact distinguishes "more data" from "less memory" (the sf1
+    // growth-table adjudication needed exactly this split)
+    val spillBytes = new AtomicLong(0L)
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
       val m = taskEnd.taskMetrics
       if (m != null) {
         cpuNs.addAndGet(m.executorCpuTime)
         gcMs.addAndGet(m.jvmGCTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
     }
   }
@@ -173,13 +188,14 @@ object Bench {
     // Optional args: name-substring filters (any-match) — dev-only, for
     // targeted scale-calibration runs; the driver always runs the full suite.
     val nameFilters = args.toSeq
-    def runSuite(): Seq[(String, Double, Boolean, Long, Long)] =
+    def runSuite(): Seq[QRec] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) =>
           nameFilters.isEmpty || nameFilters.exists(name.contains) }
         .map { case (name, fn) =>
         ListenerBridge.flush(spark.sparkContext)
-        val (cpu0, gc0) = (listener.cpuNs.get(), listener.gcMs.get())
+        val (cpu0, gc0, sp0) =
+          (listener.cpuNs.get(), listener.gcMs.get(), listener.spillBytes.get())
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -190,12 +206,20 @@ object Bench {
         ListenerBridge.flush(spark.sparkContext)
         val cpuMs = (listener.cpuNs.get() - cpu0) / 1000000L
         val gcMs = listener.gcMs.get() - gc0
+        val spillMb = (listener.spillBytes.get() - sp0) / 1000000L
         // drop op-internal persists AND finished queries' checkpoint blocks
         // (clearCache alone leaves localCheckpoint RDDs resident — the r8
         // sf10 OOM; Release keeps the deliberately shared memo frames)
         Release.interQuery(spark)
         sampleLoad()
-        (name, if (ok) elapsed else -1.0, ok, cpuMs, gcMs)
+        // RDD blocks resident AFTER the release: the retained memo frames
+        // plus anything a skipped release left behind — growth here across
+        // the suite is the storage-accumulation signature made visible
+        val residentMb =
+          try spark.sparkContext.getRDDStorageInfo
+            .map(i => i.memSize + i.diskSize).sum / 1000000L
+          catch { case _: Throwable => -1L }
+        QRec(name, if (ok) elapsed else -1.0, ok, cpuMs, gcMs, spillMb, residentMb)
       }
     // Recording validity (round-3 lesson: BENCH_r03 recorded a GC-thrashed
     // run as 1302.8 s — gc 760 s = 58% of wall — where an idle re-run
@@ -211,9 +235,9 @@ object Bench {
     // sf0.1 re-run, whose cpu/cpus is 7.6 s.)
     // An invalid first attempt retries ONCE; a persistent flag means the
     // machine, not the code, and must never be read as a regression.
-    def isInvalid(rs: Seq[(String, Double, Boolean, Long, Long)]): Boolean = {
-      val wall = rs.filter(_._3).map(_._2).sum
-      val gcS = rs.map(_._5).sum / 1000.0
+    def isInvalid(rs: Seq[QRec]): Boolean = {
+      val wall = rs.filter(_.ok).map(_.wall).sum
+      val gcS = rs.map(_.gcMs).sum / 1000.0
       gcS > 0.25 * wall || loadMax > 1.5 * cpus.toInt
     }
     // The suite always runs TWICE and the better (smaller-total) run is the
@@ -223,8 +247,8 @@ object Bench {
     // machine) cannot become the artifact of record. Both totals are
     // emitted; the detectors above still flag the recording if even the
     // better run was thrashed.
-    def suiteTotal(rs: Seq[(String, Double, Boolean, Long, Long)]): Double =
-      rs.filter(_._3).map(_._2).sum
+    def suiteTotal(rs: Seq[QRec]): Double =
+      rs.filter(_.ok).map(_.wall).sum
     // Warm-up attribution (round-6 verdict #7: attempt-1 ran 1.44× attempt-2
     // and the gap needed a precise cause, not a shrug). Two monotonic
     // counters bracket each attempt: Janino compilations of generated code
@@ -296,19 +320,21 @@ object Bench {
     val pipelineStages = pipeline.Pipeline.lastStageWalls.toSeq.sortBy(_._1)
       .map { case (n, w) => s"${Json.quote(n)}:${"%.3f".format(w)}" }
       .mkString("{", ",", "}")
-    def obj(f: ((String, Double, Boolean, Long, Long)) => String): String =
-      results.map(r => s"${Json.quote(r._1)}:${f(r)}").mkString("{", ",", "}")
-    val qs = obj(_._2.toString)
-    val cpu = obj(_._4.toString)
-    val gc = obj(_._5.toString)
-    val failed = results.filterNot(_._3).map(r => Json.quote(r._1)).mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    def obj(f: QRec => String): String =
+      results.map(r => s"${Json.quote(r.name)}:${f(r)}").mkString("{", ",", "}")
+    val qs = obj(_.wall.toString)
+    val cpu = obj(_.cpuMs.toString)
+    val gc = obj(_.gcMs.toString)
+    val spill = obj(_.spillMb.toString)
+    val resident = obj(_.residentMb.toString)
+    val failed = results.filterNot(_.ok).map(r => Json.quote(r.name)).mkString("[", ",", "]")
+    val total = results.filter(_.ok).map(_.wall).sum
     val warmup = warmupError.map(e => s""","warmup_error":${Json.quote(e)}""").getOrElse("")
     // Per-query seconds for the 20 heaviest queries, heaviest first — lives
     // on BOTH lines so round-over-round per-query regressions stay
     // diagnosable even when tail-capture truncates the full queries map.
-    val top20 = results.filter(_._3).sortBy(-_._2).take(20)
-      .map(r => s"${Json.quote(r._1)}:${r._2}").mkString("{", ",", "}")
+    val top20 = results.filter(_.ok).sortBy(-_.wall).take(20)
+      .map(r => s"${Json.quote(r.name)}:${r.wall}").mkString("{", ",", "}")
     // codegen_ms_approx = per-attempt estimated-total-sum deltas,
     // mean_i·cg_i − mean_{i-1}·cg_{i-1}, computed THE SAME WAY for both
     // attempts from mean snapshots bracketing each attempt (the codahale
@@ -326,10 +352,10 @@ object Bench {
       .mkString("{", ",", "}")
     val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")
     val preflight = s""","schemas":$schemasJson,"schema_diff":$diffJson"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"failed":$failed$warmup$health$preflight,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"spill_mb":$spill,"resident_mb":$resident,"failed":$failed$warmup$health$preflight,"sf":"$sfDir"}""")
     // compact headline, printed LAST: survives tail-only log capture even if
     // the long detail line above was truncated away
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"cpu_ms_total":${results.map(_._4).sum},"gc_ms_total":${results.map(_._5).sum}$health,"n_schema_diffs":${schemaDiff.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_.ok)},"failed":$failed,"cpu_ms_total":${results.map(_.cpuMs).sum},"gc_ms_total":${results.map(_.gcMs).sum},"spill_mb_total":${results.map(_.spillMb).sum}$health,"n_schema_diffs":${schemaDiff.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
