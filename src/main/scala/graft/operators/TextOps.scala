@@ -481,9 +481,14 @@ object TextOps {
     * least one of the `d` rows (spec-tested both ways in TextOpsSpec).
     *
     * Scale shape: the sketch is d x w longs of bounded mergeable state fed
-    * by one map-side-combined aggregate; the candidate pass is vocab-grain
-    * (the same grain [[vocabulary]] already shuffles) joined against the
-    * BROADCAST 4096-row counter table; nothing corpus-grain shuffles.
+    * by one map-side-combined aggregate; the counter attach is a WINDOW sum
+    * over (row, bucket) at vocab x d grain — not a self-join. The first
+    * formulation joined `rb` back to an aggregate OF `rb`, and Spark
+    * planned the shared vocab subtree TWICE (no ReusedExchange fires across
+    * a broadcast boundary; measured: 2 corpus scans + 2 token explodes in
+    * the executed plan). The window keeps the plan a single chain — ONE
+    * corpus scan absorbed by the vocab aggregate, then everything at vocab
+    * grain — which at 100 TB halves the op's dominant cost.
     */
   def heavyHittersApprox(docs: DataFrame, d: Int = cmsDepth,
       w: Int = cmsWidth, k: Int = hhK): DataFrame = {
@@ -493,9 +498,9 @@ object TextOps {
       posexplode(array((0 until d).map(r =>
         hash60(concat_ws(":", lit(r.toString), col("token"))) % w): _*))
         .as(Seq("r", "bucket")))
-    val counters = rb.groupBy(col("r"), col("bucket"))
-      .agg(sum(col("cnt")).as("counter"))
-    rb.join(broadcast(counters), Seq("r", "bucket"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r"), col("bucket"))
+    rb.withColumn("counter", sum(col("cnt")).over(win))
       .groupBy(col("token")).agg(min(col("counter")).as("est_count"))
       .orderBy(col("est_count").desc, col("token").asc)
       .limit(k)
