@@ -483,12 +483,14 @@ object TextOps {
     * Scale shape: the sketch is d x w longs of bounded mergeable state fed
     * by one map-side-combined aggregate; the counter attach is a WINDOW sum
     * over (row, bucket) at vocab x d grain — not a self-join. The first
-    * formulation joined `rb` back to an aggregate OF `rb`, and Spark
-    * planned the shared vocab subtree TWICE (no ReusedExchange fires across
-    * a broadcast boundary; measured: 2 corpus scans + 2 token explodes in
-    * the executed plan). The window keeps the plan a single chain — ONE
-    * corpus scan absorbed by the vocab aggregate, then everything at vocab
-    * grain — which at 100 TB halves the op's dominant cost.
+    * formulation joined `rb` back to an aggregate OF `rb`; AQE's stage
+    * cache did NOT deduplicate the shared vocab subtree for this shape
+    * (measured, same session: join-back 2x the window version's cpu —
+    * while the engine's plain crossJoin(broadcast(global-agg)) sites DO
+    * dedupe under AQE, audited in PERF.md r11). The window keeps the plan
+    * a single chain — ONE corpus scan absorbed by the vocab aggregate,
+    * then everything at vocab grain — cutting the op's dominant cost in
+    * half at any corpus size.
     */
   def heavyHittersApprox(docs: DataFrame, d: Int = cmsDepth,
       w: Int = cmsWidth, k: Int = hhK): DataFrame = {
