@@ -51,7 +51,8 @@ def main(out_dir="/tmp/sf1", factor=10):
         return con.sql(f"SELECT MAX({col}) + 1 FROM {t(table)}").fetchone()[0]
 
     def write(name, sql):
-        con.sql(f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+        con.sql(f"COPY ({sql}) TO '{out}/{name}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)")
         n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/{name}.parquet')").fetchone()[0]
         print(f"{name}: {n} rows")
 
@@ -174,7 +175,12 @@ def main(out_dir="/tmp/sf1", factor=10):
         "vec_id": pa.array(np.concatenate(all_ids)),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(np.concatenate(all_labels)),
-    }), f"{out}/embeddings.parquet")
+    # row_group_size: a single-row-group file gives Spark exactly ONE
+    # task for the whole narrow-encode family (measured r11:
+    # sim_sq8_codes 3.76 s wall / 3.6 cpu-s at sf1 = serial); production
+    # embedding tables arrive as many files/row groups, so the timing
+    # fixture must be splittable too.
+    }), f"{out}/embeddings.parquet", row_group_size=2048)
     print(f"embeddings: {len(vecs)} rows")
 
 
