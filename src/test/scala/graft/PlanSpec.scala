@@ -538,4 +538,20 @@ class PlanSpec extends AnyFunSuite {
     assert(dailyScan.get.partitionFilters.exists(_.references.exists(_.name == "order_date")),
       s"order_date isin did not become a PartitionFilter: ${dailyScan.get.partitionFilters}")
   }
+
+  test("heavy hitters is a single chain: one corpus scan, no join") {
+    // r11: the join-back formulation planned the vocab subtree twice and
+    // AQE's stage cache did NOT dedupe it for this shape (measured 2x cpu
+    // — PERF.md r11); the window formulation must stay join-free with
+    // exactly one relation scan
+    val df = graft.operators.TextOps.heavyHittersApprox(
+      Tables.documents(spark, TestSession.sf))
+    assert(scans(df).size == 1,
+      s"heavy hitters planned ${scans(df).size} corpus scans — the counter " +
+        "attach must be the window, not a join back to an aggregate of itself")
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"heavy hitters must not join: $joins")
+  }
 }
