@@ -2,6 +2,7 @@
 """Emit the per-query sf0.1 -> sf1 growth-factor table (markdown).
 
 Usage: python3 tools/growth_table.py SF01.json[,SF01b.json] SF1.json[,...] [flag=15]
+       python3 tools/growth_table.py --selftest
 
 Inputs are bench recordings in either shape bench_diff accepts (a raw
 Bench stdout capture wrapped as {"tail": ...} or the payload line itself);
@@ -24,7 +25,36 @@ sys.path.insert(0, str(Path(__file__).parent))
 from bench_diff import payload, median_map  # same parsing + median contract
 
 
+def selftest():
+    import tempfile
+    # two recordings per side: the median must damp the planted outlier
+    # (q_noisy spikes 10x in ONE small recording; median keeps ratio ~2)
+    small1 = {"queries": {"q_lin": 1.0, "q_noisy": 1.0}, "cpu_ms": {"q_lin": 100, "q_noisy": 100}}
+    small2 = {"queries": {"q_lin": 1.2, "q_noisy": 10.0}, "cpu_ms": {"q_lin": 120, "q_noisy": 1000}}
+    big = {"queries": {"q_lin": 10.0, "q_noisy": 11.0}, "cpu_ms": {"q_lin": 1000, "q_noisy": 1100}}
+    def dump(d):
+        f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+        json.dump(dict(d, top20_s=d["queries"]), f)
+        f.close()
+        return f.name
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["growth_table", ",".join([dump(small1), dump(small2)]), dump(big), "8"])
+    out = buf.getvalue()
+    # median small wall for q_noisy = 5.5 -> ratio 2.0: must NOT be flagged;
+    # q_lin median 1.1 -> ratio 9.1: flagged over the planted 8x threshold
+    assert "FLAGGED (> 8.0x wall for 10x data): 1" in out, out
+    assert "q_lin:" in out.split("FLAGGED")[1], out
+    assert "| q_noisy | 5.50 | 11.00 | 2.0 |" in out, out
+    print("selftest ok")
+    return 0
+
+
 def main(argv):
+    if "--selftest" in argv:
+        return selftest()
     if len(argv) < 3:
         raise SystemExit(__doc__)
     smalls = [payload(p) for p in argv[1].split(",")]
