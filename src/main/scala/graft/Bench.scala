@@ -23,13 +23,21 @@ import org.apache.spark.sql.SparkSession
   *     cpu ≈ wall×parallelism and gc is small; a contended or GC-thrashed run
   *     shows wall ≫ what the cpu column justifies, so a skewed recording is
   *     self-evident from the artifact alone;
-  *   - (round 4) the suite runs TWICE and the better run is the recording
-  *     (the first pass doubles as cache/JIT warm-up; a transient cold-cache
-  *     window cannot become the artifact of record — both totals are
-  *     emitted), and the run SELF-CHECKS: GC > 25% of wall or a peak 1-min
-  *     loadavg above 1.5× the worker count marks the recording
-  *     `"invalid_recording":true` — a thrashed artifact can never again
-  *     masquerade as a 14× regression.
+  *   - (round 4, reshaped round 12) the suite runs N times (default 3,
+  *     `SPARK_GRAFT_ATTEMPTS`) and the recording is the PER-QUERY MEDIAN
+  *     across valid attempts (attempt 1 doubles as cache/JIT warm-up; a
+  *     transient cold-cache window cannot become the artifact of record —
+  *     all attempt totals are emitted), and each attempt SELF-CHECKS:
+  *     GC > 25% of wall or a peak 1-min loadavg above 1.5× the worker
+  *     count excludes the attempt from the median (`invalid_recording`
+  *     only when every attempt tripped) — a thrashed artifact can never
+  *     again masquerade as a 14× regression;
+  *   - (round 12) the full per-query wall+cpu maps are ALSO written to
+  *     `calib/bench_full_last_<sf>.json` (+ an append-only history jsonl),
+  *     keyed by `run_id`, because the driver wrapper tail-captures only
+  *     2000 chars — `tools/bench_diff.py` follows the headline's
+  *     `full_artifact` pointer so cross-round diffs run on per-query
+  *     executor-CPU medians instead of single-recording top-20 wall.
   *
   * Also emitted: `pipeline_wall_s`, the end-to-end validate→transform→
   * archive wall time of a one-month staged batch (reference SLA: 420 s).
@@ -215,10 +223,13 @@ object Bench {
         // RDD blocks resident AFTER the release: the retained memo frames
         // plus anything a skipped release left behind — growth here across
         // the suite is the storage-accumulation signature made visible
+        // NonFatal only (ADVICE r11): a Throwable catch here would convert
+        // an OutOfMemoryError into a -1 gauge and let the suite limp on
+        // inside a broken JVM — fatal errors must propagate
         val residentMb =
           try spark.sparkContext.getRDDStorageInfo
             .map(i => i.memSize + i.diskSize).sum / 1000000L
-          catch { case _: Throwable => -1L }
+          catch { case scala.util.control.NonFatal(_) => -1L }
         QRec(name, if (ok) elapsed else -1.0, ok, cpuMs, gcMs, spillMb, residentMb)
       }
     // Recording validity (round-3 lesson: BENCH_r03 recorded a GC-thrashed
@@ -233,70 +244,104 @@ object Bench {
     // the wall is driver/scheduling-bound, so `wall ≫ cpu/cpus` is true
     // of perfectly healthy runs — it would flag the judge's own 88 s
     // sf0.1 re-run, whose cpu/cpus is 7.6 s.)
-    // An invalid first attempt retries ONCE; a persistent flag means the
-    // machine, not the code, and must never be read as a regression.
-    def isInvalid(rs: Seq[QRec]): Boolean = {
+    // A persistently invalid recording means the machine, not the code, and
+    // must never be read as a regression.
+    def isInvalid(rs: Seq[QRec], load: Double): Boolean = {
       val wall = rs.filter(_.ok).map(_.wall).sum
       val gcS = rs.map(_.gcMs).sum / 1000.0
-      gcS > 0.25 * wall || loadMax > 1.5 * cpus.toInt
+      gcS > 0.25 * wall || load > 1.5 * cpus.toInt
     }
-    // The suite always runs TWICE and the better (smaller-total) run is the
-    // recording: a first pass through 127 queries doubles as the cache/JIT
-    // warm-up for the second, and a transient cold-page-cache or background-
-    // load window (observed: 193 s first pass vs 95 s repeat on an idle
-    // machine) cannot become the artifact of record. Both totals are
-    // emitted; the detectors above still flag the recording if even the
-    // better run was thrashed.
     def suiteTotal(rs: Seq[QRec]): Double =
       rs.filter(_.ok).map(_.wall).sum
+    // The suite runs N times (default 3) and the recording is the PER-QUERY
+    // MEDIAN across attempts (r11 verdict #1: same-code same-box re-runs
+    // swing individual 2-3 s queries ±25-112% on wall — a single recording,
+    // even "the better of two", is noise at per-query grain; the median
+    // doctrine bench_diff/growth_table already apply to recording LISTS now
+    // holds inside one artifact). Attempt 1 doubles as the cache/JIT warm-up
+    // — a median over [cold, warm, warm] lands on the warm plateau, so the
+    // old better-of-two cold-start protection is subsumed. Attempts that
+    // trip a validity detector (GC > 25% of wall: heap-pressure spiral,
+    // r03's 58%; peak 1-min loadavg > 1.5× workers: another process
+    // competed for these cores) are EXCLUDED from the median while any
+    // valid attempt remains; invalid_recording=true only when every
+    // attempt tripped.
+    val nAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_ATTEMPTS", "3").toInt)
     // Warm-up attribution (round-6 verdict #7: attempt-1 ran 1.44× attempt-2
     // and the gap needed a precise cause, not a shrug). Two monotonic
     // counters bracket each attempt: Janino compilations of generated code
-    // (CodegenMetrics — attempt 2 should be ~all cache hits) and JVM JIT
-    // compiler time (CompilationMXBean). Their deltas are emitted per
+    // (CodegenMetrics — later attempts should be ~all cache hits) and JVM
+    // JIT compiler time (CompilationMXBean). Their deltas are emitted per
     // attempt so the artifact itself shows where the cold-start went.
+    // codegen_ms_approx per attempt = estimated-total-sum delta,
+    // mean_i·cg_i − mean_{i-1}·cg_{i-1}, from mean snapshots bracketing the
+    // attempt (the codahale histogram keeps no exact sum; its exponentially-
+    // decaying reservoir makes this an estimate — clamped at 0 where decay
+    // drifts it negative). One consistent estimator per ADVICE r8: setup
+    // compiles before the first bracket cancel out of attempt 1's delta.
     val codegenHist =
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     def warmupCounters(): (Long, Long) =
       (codegenHist.getCount, if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported) jitBean.getTotalCompilationTime else -1L)
-    val (cg0, jit0) = warmupCounters()
-    // snapshot the mean at cg0 too: the estimated-total-sum delta estimator
-    // below needs the same baseline treatment for BOTH attempts, or
-    // attempt-1's estimate silently absorbs setup/warm-up compiles that
-    // happened before cg0 (ADVICE r8)
-    val codegenMean0 = codegenHist.getSnapshot.getMean
-    val first = runSuite()
-    val (cg1, jit1) = warmupCounters()
-    // snapshot the reservoir mean BETWEEN attempts: attempt-1 compilations
-    // are systematically slower than attempt-2's, so a single process-
-    // lifetime mean would smear attempt-1's cost toward symmetry
-    val codegenMean1 = codegenHist.getSnapshot.getMean
-    val firstLoad = loadMax
-    val firstInvalid = isInvalid(first)
-    loadMax = 0.0
-    val second = runSuite()
-    val (cg2, jit2) = warmupCounters()
-    val codegenMeanMs = codegenHist.getSnapshot.getMean
-    val (results, attempts) =
-      if (firstInvalid || suiteTotal(second) <= suiteTotal(first)) (second, 2) else (first, 1)
-    if (attempts == 1) loadMax = firstLoad
-    val invalidFlag = isInvalid(results)
-    val totalsBoth = s"[${suiteTotal(first)},${suiteTotal(second)}]"
-    // Third, INFORMATIONAL noise detector (round-4 lesson: BENCH_r04 was ~2×
-    // environment-inflated with a 37% spread between its two supposedly
-    // identical attempts — second SLOWER than first — yet slipped both hard
-    // detectors). The signal is DIRECTIONAL: the first pass doubles as
-    // warm-up, so second-faster-than-first by any margin is the healthy
-    // shape (an idle sf0.001 run shows ~2×); a second attempt >25% slower
-    // than the already-warm first means the machine degraded mid-run and
-    // the recording should be read with that context. attempt_spread is
-    // emitted signed: (t2 − t1)/t1, negative = healthy warm-up direction.
-    val attemptSpread: Double = {
-      val (t1, t2) = (suiteTotal(first), suiteTotal(second))
-      if (t1 <= 0) 0.0 else (t2 - t1) / t1
+    final case class Attempt(recs: Seq[QRec], load: Double,
+        cgCount: Long, cgMsEst: Long, jitMs: Long)
+    val attemptBuf = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    var cgPrev = warmupCounters()
+    var meanPrev = codegenHist.getSnapshot.getMean
+    for (_ <- 1 to nAttempts) {
+      loadMax = 0.0
+      val recs = runSuite()
+      val (cg, jit) = warmupCounters()
+      val mean = codegenHist.getSnapshot.getMean
+      val cgMs = math.max(0L, (mean * cg - meanPrev * cgPrev._1).round)
+      attemptBuf += Attempt(recs, loadMax, cg - cgPrev._1, cgMs, jit - cgPrev._2)
+      cgPrev = (cg, jit); meanPrev = mean
     }
-    val noisyEnvironment = attemptSpread > 0.25
+    val allAttempts = attemptBuf.toSeq
+    val attemptInvalid = allAttempts.map(a => isInvalid(a.recs, a.load))
+    val validAttempts =
+      allAttempts.zip(attemptInvalid).collect { case (a, false) => a }
+    val base = if (validAttempts.nonEmpty) validAttempts else allAttempts
+    def medD(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def medL(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    // per-query median over the valid attempts; a query is failed only if it
+    // failed in EVERY valid attempt (queries are deterministic — a partial
+    // failure pattern means the environment, and the ok-attempt median is
+    // the honest record)
+    val results: Seq[QRec] = allAttempts.head.recs.map(_.name).map { q =>
+      val runs = base.flatMap(_.recs.find(_.name == q))
+      val okRuns = runs.filter(_.ok)
+      val use = if (okRuns.nonEmpty) okRuns else runs
+      QRec(q, if (okRuns.nonEmpty) medD(okRuns.map(_.wall)) else -1.0,
+        okRuns.nonEmpty, medL(use.map(_.cpuMs)), medL(use.map(_.gcMs)),
+        medL(use.map(_.spillMb)), medL(use.map(_.residentMb)))
+    }
+    loadMax = allAttempts.map(_.load).max
+    val invalidFlag = validAttempts.isEmpty
+    val attemptTotals = allAttempts.map(a => suiteTotal(a.recs))
+    val totalsBoth = attemptTotals.mkString("[", ",", "]")
+    // attempt_spread stays DIRECTIONAL (round-4 lesson: a later attempt >25%
+    // slower than the already-warm earlier ones means the machine degraded
+    // mid-run): signed (t_last − t_first)/t_first, negative = healthy
+    // warm-up direction. noisy_environment additionally fires when the WARM
+    // attempts (2..N) disagree by >25% among themselves — the exact
+    // same-code swing the median absorbs, surfaced so the artifact says so.
+    val attemptSpread: Double =
+      if (attemptTotals.head <= 0) 0.0
+      else (attemptTotals.last - attemptTotals.head) / attemptTotals.head
+    val warmTotals =
+      (if (attemptTotals.size > 1) attemptTotals.tail else attemptTotals)
+        .filter(_ > 0)
+    val noisyEnvironment = attemptSpread > 0.25 ||
+      (warmTotals.nonEmpty && warmTotals.max > 1.25 * warmTotals.min)
     // End-to-end pipeline SLA artifact: full validate→transform→archive of
     // the sf data delivered as ONE batch (a superset of any daily batch).
     // Reference SLA: 120 s validate + 300 s transform = 420 s
@@ -335,26 +380,67 @@ object Bench {
     // diagnosable even when tail-capture truncates the full queries map.
     val top20 = results.filter(_.ok).sortBy(-_.wall).take(20)
       .map(r => s"${Json.quote(r.name)}:${r.wall}").mkString("{", ",", "}")
-    // codegen_ms_approx = per-attempt estimated-total-sum deltas,
-    // mean_i·cg_i − mean_{i-1}·cg_{i-1}, computed THE SAME WAY for both
-    // attempts from mean snapshots bracketing each attempt (the codahale
-    // histogram keeps no exact sum; its exponentially-decaying reservoir
-    // makes this an estimate — clamped at 0 where decay drifts it
-    // negative). One consistent estimator per ADVICE r8: setup compiles
-    // before cg0 cancel out of attempt 1's delta instead of smearing into
-    // its mean. Compile COUNTS are exact; jit_ms is exact.
-    val cgMs1 = math.max(0L, (codegenMean1 * cg1 - codegenMean0 * cg0).round)
-    val cgMs2 = math.max(0L, (codegenMeanMs * cg2 - codegenMean1 * cg1).round)
     val warmupAttribution =
-      s"""{"codegen_compiles":[${cg1 - cg0},${cg2 - cg1}],"codegen_ms_approx":[$cgMs1,$cgMs2],"jit_ms":[${jit1 - jit0},${jit2 - jit1}]}"""
-    val health = s""","invalid_recording":$invalidFlag,"chosen_attempt":$attempts,"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"release_skipped":${Release.skippedCount},"pipeline_wall_s":$pipelineWall,"pipeline_stages_s":$pipelineStages,"pipeline_stages_mode":"last_attempt_last_batch","warmup_attribution":$warmupAttribution,"top20_s":$top20"""
+      s"""{"codegen_compiles":${allAttempts.map(_.cgCount).mkString("[", ",", "]")},"codegen_ms_approx":${allAttempts.map(_.cgMsEst).mkString("[", ",", "]")},"jit_ms":${allAttempts.map(_.jitMs).mkString("[", ",", "]")}}"""
+    // run_id ties the stdout headline (which the driver wrapper tail-captures
+    // at 2000 chars) to the FULL sidecar artifact written below: the wrapper
+    // can never carry the 267-query maps itself, so bench_diff follows the
+    // pointer — and verifies the id, because the "last" sidecar is
+    // overwritten by every later full run while the history file keeps all.
+    val runId = java.lang.Long.toHexString(System.currentTimeMillis())
+    val sfName = new java.io.File(sfDir).getName
+    val fullArtifact = s"calib/bench_full_last_$sfName.json"
+    val recording = s""","recording":"per-query median of ${base.size} valid / $nAttempts attempts","run_id":"$runId""""
+    val pointer =
+      if (nameFilters.isEmpty) s""","full_artifact":${Json.quote(fullArtifact)}"""
+      else ""
+    val health = s""","invalid_recording":$invalidFlag,"valid_attempts":${base.size},"attempt_totals":$totalsBoth,"attempt_spread":${"%.4f".format(attemptSpread)},"noisy_environment":$noisyEnvironment,"peak_load":$loadMax,"release_skipped":${Release.skippedCount},"pipeline_wall_s":$pipelineWall,"pipeline_stages_s":$pipelineStages,"pipeline_stages_mode":"last_attempt_last_batch"$recording$pointer,"top20_s":$top20"""
     val schemasJson = schemas.map { case (n, s) => s"${Json.quote(n)}:${Json.quote(s)}" }
       .mkString("{", ",", "}")
     val diffJson = schemaDiff.map(Json.quote).mkString("[", ",", "]")
     val preflight = s""","schemas":$schemasJson,"schema_diff":$diffJson"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"spill_mb":$spill,"resident_mb":$resident,"failed":$failed$warmup$health$preflight,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_ms":$cpu,"gc_ms":$gc,"spill_mb":$spill,"resident_mb":$resident,"failed":$failed$warmup$health,"warmup_attribution":$warmupAttribution$preflight,"sf":"$sfDir"}"""
+    println(detail)
+    // Full-fidelity sidecar (r11 verdict #1): the committed BENCH_r{N}.json
+    // is a 2000-char tail capture, so every cross-round diff it fed was
+    // wall-only at top-20 grain — the exact single-recording wall signal the
+    // measurement doctrine calls noise. The full per-query wall+cpu maps
+    // (medians) are written as repo files the headline points at:
+    //   - calib/bench_full_last_<sf>.json — the latest full-suite recording;
+    //   - calib/bench_history_<sf>.jsonl — append-only, one line per run,
+    //     keyed by run_id so an overwritten "last" is still recoverable.
+    // Per-attempt per-query walls/cpu ride along so future adjudication can
+    // compute per-query spread without re-running the suite. Filtered dev
+    // runs (name args) skip the sidecar — a partial map must never
+    // masquerade as the recording of record.
+    if (nameFilters.isEmpty) {
+      try {
+        def aObj(recs: Seq[QRec])(f: QRec => String): String =
+          recs.map(r => s"${Json.quote(r.name)}:${f(r)}").mkString("{", ",", "}")
+        val attemptQ = allAttempts
+          .map(a => aObj(a.recs)(_.wall.toString)).mkString("[", ",", "]")
+        val attemptCpu = allAttempts
+          .map(a => aObj(a.recs)(_.cpuMs.toString)).mkString("[", ",", "]")
+        val attemptInvalidJson = attemptInvalid.mkString("[", ",", "]")
+        val sidecar = detail.dropRight(1) +
+          s""","attempt_queries":$attemptQ,"attempt_cpu_ms":$attemptCpu,"attempt_invalid":$attemptInvalidJson,"recorded_at":${Json.quote(java.time.Instant.now().toString)}}"""
+        val dir = java.nio.file.Paths.get("calib")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(java.nio.file.Paths.get(fullArtifact),
+          (sidecar + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"calib/bench_history_$sfName.jsonl"),
+          (sidecar + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+      }
+    }
     // compact headline, printed LAST: survives tail-only log capture even if
-    // the long detail line above was truncated away
+    // the long detail line above was truncated away (warmup_attribution and
+    // the full maps live on the detail line / sidecar to keep this line
+    // inside the driver's 2000-char tail window)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_.ok)},"failed":$failed,"cpu_ms_total":${results.map(_.cpuMs).sum},"gc_ms_total":${results.map(_.gcMs).sum},"spill_mb_total":${results.map(_.spillMb).sum}$health,"n_schema_diffs":${schemaDiff.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -480,8 +480,12 @@ object TextOps {
     * report entry is exact when no other token shares its bucket in at
     * least one of the `d` rows (spec-tested both ways in TextOpsSpec).
     *
-    * Scale shape: the sketch is d x w longs of bounded mergeable state fed
-    * by one map-side-combined aggregate; the counter attach is a WINDOW sum
+    * Scale shape: the sketch is d x w longs of bounded mergeable state —
+    * but note the op's AGGREGATION path is vocab-grain, not sketch-grain:
+    * the corpus reduces through the same map-side-combined token aggregate
+    * `text_vocab` runs (state bounded because vocab saturates), and the
+    * 32 KB counter table is DERIVED from those vocab rows, so only the
+    * derived artifact is constant-size; the counter attach is a WINDOW sum
     * over (row, bucket) at vocab x d grain — not a self-join. The first
     * formulation joined `rb` back to an aggregate OF `rb`; AQE's stage
     * cache did NOT deduplicate the shared vocab subtree for this shape
@@ -962,6 +966,116 @@ object TextOps {
       .select(col("doc_id"), col("is_canonical"), col("quality"), col("lang_pred"),
         col("cluster_id"),
         coalesce(col("is_cluster_survivor"), lit(false)).as("is_cluster_survivor"),
+        col("split"), col("model_keep"))
+      .withColumn("keep",
+        col("is_canonical") && col("is_cluster_survivor") &&
+          col("lang_pred") === lang && col("quality") >= minQuality)
+  }
+
+  /** [[trainingManifest]] for an ARRIVING BATCH against stored curation
+    * state — the maintainability capstone (r11 verdict #5): at 100 TB the
+    * flagship manifest cannot be a full rebuild per batch, and every
+    * cross-document gate it composes already has an incremental stored-state
+    * formulation. This op closes the loop: manifest rows for the batch,
+    * bit-equal to the FULL manifest restricted to batch docs, at per-batch
+    * cost.
+    *
+    * Stored state (what a production loop persists between batches — all
+    * narrow artifacts; the history TEXT is never re-read, re-tokenized, or
+    * re-hashed):
+    *   - `histLabels` (doc_id, cluster_id): the near-dup label table
+    *     ([[graft.operators.Dedup.clusters]] output) — the star forest
+    *     [[graft.operators.Dedup.updateClusters]] folds batch pairs into;
+    *   - `histSurvivors` (cluster_id, survivor_id, survivor_quality):
+    *     CLUSTER-grain ([[graft.operators.Dedup.clusterSurvivors]] output).
+    *     Survivorship is argmax (quality, −doc_id) over cluster members,
+    *     and max is associative — each old cluster's best candidate stands
+    *     in for all its members, so the survivor merge runs at cluster
+    *     grain + batch grain, never corpus doc grain;
+    *   - `digestOwners` (text_key, canonical_id): digest-grain exact-dup
+    *     index ([[graft.operators.Dedup.exactGroups]]) — a batch doc is
+    *     canonical iff it is the min id among batch copies AND beats the
+    *     stored owner (ids are unique, so global min = min of the two);
+    *   - `sigIndex`: the MinHash signature index
+    *     ([[graft.operators.Dedup.minhashIndex]]; caller owns its caching,
+    *     per the [[graft.operators.Dedup.incrementalMinhashPairs]]
+    *     contract).
+    * Per-document gates (quality, langid, split bucket, model score) are
+    * pure functions of the batch row and recompute on the batch only.
+    *
+    * Cluster ids equal the full recompute's (min component id): the star
+    * forest is connectivity-equivalent to every pair ever seen, all old
+    * members appear as nodes of the merged graph, so the component min is
+    * the corpus component min — the `dedup_clusters_incremental` proof,
+    * reused.
+    *
+    * Per-batch cost: batch hashing + band joins against stored band keys,
+    * one node-grain connected components over (star edges ∪ batch pairs),
+    * a cluster-grain survivor merge, and a digest-grain canonicity probe.
+    */
+  def trainingManifestIncremental(batch: DataFrame, histLabels: DataFrame,
+      histSurvivors: DataFrame, digestOwners: DataFrame, sigIndex: DataFrame,
+      lang: String = "en", minQuality: Double = 0.5): DataFrame = {
+    val Seq(enC, deC, esC, frC) =
+      markers.map { case (l, _) => markerCount(col("ws"), l) }
+    // one tokenize/score pass over the batch, persisted: consumed by the
+    // canonicity probe, the survivor merge, and the final assembly (the op
+    // owns this derived frame; the inter-query release reclaims it)
+    val perDoc = batch
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), md5(col("text")).as("text_key"),
+        qualityExprs(col("text"), col("ws")).toMap.apply("quality").as("quality"),
+        langPredFromCounts(enC, deC, esC, frC).as("lang_pred"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact canonicity: min over (batch copies, stored owner) per digest
+    val batchMin = perDoc.groupBy(col("text_key"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    val canon = perDoc.select(col("doc_id"), col("text_key"))
+      .join(batchMin, "text_key")
+      .join(digestOwners.select(col("text_key"), col("canonical_id")),
+        Seq("text_key"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") === col("batch_min") &&
+          (col("canonical_id").isNull || col("doc_id") < col("canonical_id")))
+          .as("is_canonical"))
+    // near-dup labels: fold the batch's pairs into the stored star forest
+    val pairs = Dedup.incrementalMinhashPairs(batch, sigIndex)
+    val upd = Dedup.updateClusters(
+      histLabels.select(col("doc_id").as("node"), col("cluster_id").as("label")),
+      pairs)
+    def newLabel(df: DataFrame, id: Column): DataFrame = df
+      .join(upd.select(col("node"), col("label").as("new_cid")),
+        id === col("node"), "left")
+      .withColumn("cluster_id_new", coalesce(col("new_cid"), id))
+      .drop("node", "new_cid")
+    // survivor merge at cluster grain: each old cluster is represented by
+    // its stored best candidate, remapped through its OLD cluster id (the
+    // old representative is a node of the merged graph whenever anything
+    // merged through it); batch docs enter individually
+    val histCand = newLabel(
+      histSurvivors.select(col("cluster_id").as("old_cid"),
+        col("survivor_id").as("doc_id"), col("survivor_quality").as("quality")),
+      col("old_cid"))
+      .select(col("cluster_id_new").as("cluster_id"), col("doc_id"), col("quality"))
+    val batchLabeled = newLabel(perDoc.select(col("doc_id"), col("quality")),
+      col("doc_id"))
+      .select(col("cluster_id_new").as("cluster_id"), col("doc_id"), col("quality"))
+    val best = histCand.union(batchLabeled)
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
+    val surv = batchLabeled.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (struct(col("quality"), (-col("doc_id")).as("neg_id")) === col("b"))
+          .as("is_cluster_survivor"))
+    perDoc.select(col("doc_id"), col("quality"), col("lang_pred"))
+      .join(canon, "doc_id")
+      .join(surv.select(col("doc_id"), col("cluster_id"),
+        col("is_cluster_survivor")), "doc_id")
+      .join(splitAssign(batch).select(col("doc_id"), col("split")), "doc_id")
+      .join(qualityModelScore(batch).select(col("doc_id"),
+        (col("score_ppm") >= qualityModelKeepPpm).as("model_keep")), "doc_id")
+      .select(col("doc_id"), col("is_canonical"), col("quality"),
+        col("lang_pred"), col("cluster_id"), col("is_cluster_survivor"),
         col("split"), col("model_keep"))
       .withColumn("keep",
         col("is_canonical") && col("is_cluster_survivor") &&
@@ -2149,6 +2263,30 @@ object TextOps {
       s"""WITH RECURSIVE $trainingManifestCtes
          |SELECT * FROM manifest""".stripMargin) { (s, d) =>
       trainingManifest(Tables.documents(s, d))
+    },
+
+    // The incremental manifest must equal the FULL manifest restricted to
+    // the arriving batch (doc_id % 7 = 0 plays the new docs) — the
+    // established incremental-oracle contract (dedup_incremental_minhash,
+    // dedup_spans_incremental). History contributes only its stored narrow
+    // artifacts: label table, cluster-grain survivors, digest owners, and
+    // the MinHash signature index.
+    Op.sql("text_training_manifest_incremental",
+      s"""WITH RECURSIVE $trainingManifestCtes
+         |SELECT * FROM manifest WHERE doc_id % 7 = 0""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      // the stored state a production loop carries (caller-owned persist on
+      // the signature index, per the incrementalMinhashPairs contract)
+      val idx = Dedup.minhashIndex(hist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = Dedup.clusters(hist)
+      trainingManifestIncremental(batch, labels,
+        Dedup.clusterSurvivors(hist, labels)
+          .select(col("cluster_id"), col("survivor_id"), col("survivor_quality")),
+        Dedup.exactGroups(hist).select(col("text_key"), col("canonical_id")),
+        idx)
     },
 
     // The consolidated keep/drop manifest over EVERY gate, with the

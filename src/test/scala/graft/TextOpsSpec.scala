@@ -111,6 +111,69 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("incremental training manifest vs stored state equals the full manifest on the batch") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def manifestKey(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Boolean]("is_canonical"), r.getAs[Double]("quality"),
+        r.getAs[String]("lang_pred"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_cluster_survivor"), r.getAs[String]("split"),
+        r.getAs[Boolean]("model_keep"), r.getAs[Boolean]("keep"))
+    def incrementalVsFull(fixture: org.apache.spark.sql.DataFrame) = {
+      val hist = fixture.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val batch = fixture.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val idx = graft.operators.Dedup.minhashIndex(hist)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = graft.operators.Dedup.clusters(hist)
+      val got = TextOps.trainingManifestIncremental(batch, labels,
+        graft.operators.Dedup.clusterSurvivors(hist, labels)
+          .select(col("cluster_id"), col("survivor_id"), col("survivor_quality")),
+        graft.operators.Dedup.exactGroups(hist)
+          .select(col("text_key"), col("canonical_id")),
+        idx).collect()
+      val want = TextOps.trainingManifest(fixture)
+        .filter(pmod(col("doc_id"), lit(7)) === 0).collect()
+      assert(got.nonEmpty)
+      assert(got.map(manifestKey).toMap == want.map(manifestKey).toMap)
+      idx.unpersist()
+      got
+    }
+    // Engineered fixture: the sf fixtures have NO exact copies straddling
+    // the history/batch boundary, so the cross-document gates (stored
+    // canonicity probe, survivorship against stored cluster bests) would
+    // pass vacuously on real data alone. Identical copies double as both
+    // gates: same text → same quality → the (quality desc, id asc)
+    // tie-break decides survivorship deterministically.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi", "rho",
+      "sigma")
+    def gen(seed: Int, n: Int = 50): String =
+      (0 until n).map(i => vocab((i * 7 + seed * 13 + i * i * seed) % vocab.size))
+        .mkString(" ")
+    val a = gen(1)
+    val nearA = { val ws = a.split(" "); ws(25) = "CHANGED"; ws.mkString(" ") }
+    val nearA2 = { val ws = a.split(" "); ws(30) = "OTHER"; ws.mkString(" ") }
+    val y = gen(5)
+    val eng = docs(
+      1L -> a, 7L -> a,            // batch 7 = exact copy: loses canonicity
+      2L -> nearA, 21L -> nearA2,  // near-dups joining the {1,7} cluster
+      14L -> y, 15L -> y,          // batch 14 beats history 15 on id
+      3L -> gen(9),                // history singleton
+      28L -> gen(11))              // batch singleton
+    val got = incrementalVsFull(eng).map(manifestKey).toMap
+    // gate coverage, both directions of each cross-document decision:
+    val g7 = got(7L); val g14 = got(14L); val g28 = got(28L)
+    assert(!g7._1, "batch exact copy of an older stored doc is non-canonical")
+    assert(!g7._5, "batch copy loses survivorship to the identical older doc")
+    assert(g14._1, "batch doc with the smaller id beats the stored owner")
+    assert(g14._5 && got(14L)._4 == 14L,
+      "batch doc wins survivorship of its 2-doc cluster on the id tie-break")
+    assert(g7._4 == 1L, "copy clusters under the full-corpus min id")
+    assert(g28._1 && g28._5, "unrelated batch doc: canonical self-survivor")
+    // breadth: the same contract on the real sf fixture (no engineered dups,
+    // but real quality/cluster variety)
+    incrementalVsFull(graft.sources.Tables.documents(spark, TestSession.sf))
+  }
+
   test("quality model: hand-computed linear score, clamping, gate, calibration grain") {
     // "the the data slow x": 2·30000 + 20000 − 25000 = 55000 term sum;
     // 5 tokens → +1000 length credit; bias 100000 → 156000, below the gate

@@ -41,7 +41,16 @@ ABS_FLOOR_CPU_MS = 1000   # absolute floor when CPU is the primary metric
 
 def payload(path):
     """The bench JSON line with top20_s — direct, or inside a driver
-    wrapper whose `tail` field holds the run's captured output lines."""
+    wrapper whose `tail` field holds the run's captured output lines.
+
+    r12: a driver wrapper's 2000-char tail can never carry the full
+    per-query maps, so the headline now points at a full sidecar artifact
+    (`full_artifact` + `run_id`). When the pointer resolves — same run_id
+    in the "last" file, else a run_id scan of the append-only history
+    jsonl beside it — the full recording (per-query wall AND cpu medians)
+    replaces the top-20-wall headline; otherwise the headline is the
+    honest fallback, as before.
+    """
     d = json.loads(Path(path).read_text())
     if "top20_s" in d:
         return d
@@ -58,7 +67,47 @@ def payload(path):
             best = j  # last payload line wins (the compact headline)
     if best is None:
         raise SystemExit(f"{path}: no top20_s payload found")
+    if "queries" not in best and best.get("full_artifact") and best.get("run_id"):
+        full = _resolve_full(Path(path).resolve().parent,
+                             best["full_artifact"], best["run_id"])
+        if full is not None:
+            return full
+        print(f"[bench_diff] {path}: full_artifact pointer "
+              f"{best['full_artifact']} (run_id {best['run_id']}) did not "
+              f"resolve; falling back to the top-20 wall headline",
+              file=sys.stderr)
     return best
+
+
+def _resolve_full(root, rel, run_id):
+    """The full sidecar recording matching run_id: the `last` file if its id
+    matches, else the matching line of the history jsonl derived from the
+    same name (`bench_full_last_X.json` -> `bench_history_X.jsonl`). The
+    pointer is repo-relative — try the wrapper's own directory first (the
+    committed BENCH_r{N}.json sits at the repo root), then this script's
+    repo as the fallback for wrappers read from elsewhere."""
+    for base in (root, Path(__file__).resolve().parent.parent):
+        last = base / rel
+        try:
+            j = json.loads(last.read_text())
+            if j.get("run_id") == run_id and "queries" in j:
+                return j
+        except (OSError, json.JSONDecodeError):
+            pass
+        hist = last.parent / last.name.replace("bench_full_last_",
+                                                "bench_history_")
+        hist = hist.with_suffix(".jsonl")
+        try:
+            for line in hist.read_text().splitlines():
+                try:
+                    j = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if j.get("run_id") == run_id and "queries" in j:
+                    return j
+        except OSError:
+            pass
+    return None
 
 
 def median_map(payloads, key):
@@ -152,6 +201,35 @@ def selftest():
     old3 = [{"top20_s": {"a": 2.0}, "queries": {"a": 2.0}}]
     new3 = [{"top20_s": {"a": t}, "queries": {"a": t}} for t in (2.1, 6.0, 2.0)]
     assert diff(old3, new3) == [], diff(old3, new3)
+    # pointer-following (r12): a driver wrapper whose tail headline points
+    # at a full sidecar must resolve BY run_id — a stale "last" file from a
+    # later run is skipped in favor of the history-jsonl line that matches
+    import tempfile
+    tmp = Path(tempfile.mkdtemp())
+    (tmp / "calib").mkdir()
+    head = {"metric": "total", "top20_s": {"a": 2.0},
+            "full_artifact": "calib/bench_full_last_sfX.json",
+            "run_id": "beef"}
+    stale = {"run_id": "dead", "queries": {"a": 9.0},
+             "cpu_ms": {"a": 1}, "top20_s": {"a": 9.0}}
+    good = {"run_id": "beef", "queries": {"a": 2.0, "b": 1.0},
+            "cpu_ms": {"a": 5000, "b": 100}, "top20_s": {"a": 2.0}}
+    (tmp / "calib/bench_full_last_sfX.json").write_text(json.dumps(stale))
+    (tmp / "calib/bench_history_sfX.jsonl").write_text(
+        json.dumps(stale) + "\n" + json.dumps(good) + "\n")
+    wrapper = tmp / "BENCH_rX.json"
+    wrapper.write_text(json.dumps({"tail": "[info] " + json.dumps(head)}))
+    got3 = payload(wrapper)
+    assert got3["queries"] == good["queries"], got3  # history beat stale last
+    (tmp / "calib/bench_full_last_sfX.json").write_text(json.dumps(good))
+    assert payload(wrapper)["cpu_ms"]["a"] == 5000   # matching last wins
+    # unresolvable pointer falls back to the headline, not an error
+    wrapper2 = tmp / "BENCH_rY.json"
+    head2 = dict(head, run_id="cafe")
+    (tmp / "calib/bench_history_sfX.jsonl").write_text("")
+    (tmp / "calib/bench_full_last_sfX.json").write_text(json.dumps(stale))
+    wrapper2.write_text(json.dumps({"tail": "[info] " + json.dumps(head2)}))
+    assert "queries" not in payload(wrapper2)
     print("selftest ok")
 
 

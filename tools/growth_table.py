@@ -20,6 +20,7 @@ Dev-only tool -- NOT part of the shipped Scala library.
 import json
 import sys
 from pathlib import Path
+from statistics import median
 
 sys.path.insert(0, str(Path(__file__).parent))
 from bench_diff import payload, median_map  # same parsing + median contract
@@ -84,8 +85,10 @@ def main(argv):
     for q, s, b, r, rc in flagged:
         note = " [sub-second sf0.1 base]" if s < 1.0 else ""
         print(f"  {q}: {s:.2f} -> {b:.2f} s ({r:.1f}x){note}")
+    if not rows:
+        raise SystemExit("no comparable queries between the two sides")
     n = len(rows)
-    med = sorted(t[3] for t in rows)[n // 2]
+    med = median(t[3] for t in rows)
     print(f"\nqueries compared: {n}; median wall ratio {med:.2f}; "
           f"totals {sum(t[1] for t in rows):.1f} -> {sum(t[2] for t in rows):.1f} s")
 
