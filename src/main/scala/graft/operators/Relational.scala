@@ -44,6 +44,16 @@ object Relational {
     * join. (AQE's skew-join handles most cases at runtime; this is the
     * explicit tool for the pathological ones AQE can't split, e.g. one key
     * with billions of rows.)
+    *
+    * Cost model, MEASURED on the zipf skew fixture (PERF.md r12, 12M-row
+    * fact with a 28% hot key against a 3M-row dim, AQE off): the salt is
+    * free — the dim REPLICATION is the bill. buckets=8 flattened the
+    * straggler (x2.1 → x1.5) and beat the plain join (6.2 → 4.0 s), but
+    * buckets=32 pushed 96M replicated dim rows through the shuffle and ran
+    * 1.8x SLOWER than the skewed join it was "fixing". Use this blanket
+    * form only when the right side is reference-data small; for a real dim
+    * use [[skewSplitLeftJoin]], which replicates |hot keys| x buckets rows
+    * instead of |dim| x buckets.
     */
   def saltedLeftJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
@@ -52,6 +62,55 @@ object Relational {
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt"), "left").drop("_salt")
+  }
+
+  /** Sampled hot-key estimate for [[skewSplitLeftJoin]]: keys whose share of
+    * a `fraction` seeded sample exceeds `minShare` of the sampled rows. The
+    * result is a DRIVER-BOUNDED set (at most 1/minShare keys can each hold
+    * more than a minShare fraction — 1/0.01 = 100 longs here), collected
+    * like the other bounded driver artifacts (codebooks, prefix-sum
+    * offsets). One narrow sampled aggregate; the full table is never
+    * shuffled. Misclassification is SAFE: the join below is row-identical
+    * whichever side of the split a key lands on — a missed hot key only
+    * costs the plain-join straggler it would have cost anyway, a false
+    * positive only a few replicated dim rows.
+    */
+  def hotKeys(df: DataFrame, key: String, fraction: Double = 0.01,
+      minShare: Double = 0.01): Seq[Long] = {
+    val sampled = df.sample(withReplacement = false, fraction, seed = 7L)
+      .groupBy(col(key)).agg(count(lit(1)).as("c"))
+    val n = math.max(1L, (df.count() * fraction).toLong)
+    sampled.filter(col("c") >= lit(minShare) * n)
+      .select(col(key).cast(LongType)).collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Targeted skew join — the shape that actually survives 100 TB. The
+    * blanket [[saltedLeftJoin]] replicates the ENTIRE right side `buckets`
+    * times, which is affordable for a reference-data dim but absurd for a
+    * 100 GB one (measured on the zipf fixture: at 32 buckets the dim
+    * replication itself became the bottleneck, 2-3x the plain join's
+    * wall — PERF.md r12). This variant splits on a broadcast hot-key set:
+    * hot left rows salted against ONLY the hot slice of the right side
+    * (|hot keys| x buckets replicated rows — bytes, not gigabytes), cold
+    * rows take the plain co-partitioned join, and the union is
+    * row-identical to the plain join whichever keys were classified hot.
+    * This is also what AQE's OptimizeSkewedJoin does at runtime for
+    * sort-merge joins past `skewedPartitionThresholdInBytes` (256 MB by
+    * default — cluster-sized; a local fixture must scale it down to see
+    * the split, PERF.md r12); the explicit operator covers what AQE
+    * cannot: joins below its byte threshold but above the straggler
+    * budget, non-SMJ plans, and engines running with AQE off.
+    */
+  def skewSplitLeftJoin(left: DataFrame, right: DataFrame, key: String,
+      hot: Seq[Long], buckets: Int): DataFrame = {
+    if (hot.isEmpty) return left.join(right, Seq(key), "left")
+    val isHot = col(key).isInCollection(hot)
+    val cold = left.filter(!isHot).join(right, Seq(key), "left")
+    val hotJoined = saltedLeftJoin(
+      left.filter(isHot), right.filter(isHot), key, buckets)
+    // unionByName: the salted branch drops its salt column but may order
+    // columns differently after the join
+    cold.unionByName(hotJoined.select(cold.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Per-source token budget for [[tokenBudgetSample]]. */
@@ -401,6 +460,25 @@ object Relational {
         val dim = Tables.orders(s, d).select(
           col("o_orderkey").as("order_id"), col("o_orderpriority").as("priority"))
         saltedLeftJoin(li, dim, "order_id", buckets = 8)
+    },
+
+    // Targeted skew-split join, same oracle contract as the blanket salted
+    // join: the hot/cold split and the salt must both be invisible in the
+    // result. A fixed literal hot set keeps the query deterministic AND
+    // exercises both branches (the sf fixtures are uniform, so a sampled
+    // estimate would classify nothing hot and skip the salted branch; the
+    // sampling estimator is spec-tested on an engineered skew frame).
+    Op.sql("join_skew_split_order_priority",
+      """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+        |       l.l_quantity AS quantity, o.o_orderpriority AS priority
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+          col("l_quantity").as("quantity"))
+        val dim = Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"), col("o_orderpriority").as("priority"))
+        skewSplitLeftJoin(li, dim, "order_id", hot = Seq(1L, 2L, 3L), buckets = 8)
     },
 
     Op.sql("proj_order_flags",

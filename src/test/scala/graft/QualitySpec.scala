@@ -69,6 +69,23 @@ class QualitySpec extends AnyFunSuite {
     assert(salted.count() == 500)
   }
 
+  test("skew-split join equals plain join; sampled hot keys find the hot key and stay bounded") {
+    val skewed = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong, i))
+      .toDF("k", "v") // 90% of rows share key 1
+    val dim = Seq((1L, "hot"), (460L, "cold")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k"), "left")
+    // row identity must hold for ANY hot classification: the estimated set,
+    // an empty set (degenerates to the plain join), and a false positive
+    val hot = Relational.hotKeys(skewed, "k", fraction = 0.5, minShare = 0.1)
+    assert(hot == Seq(1L), s"expected only the 90% key, got $hot")
+    for (h <- Seq(hot, Seq.empty[Long], Seq(460L, 7L))) {
+      val split = Relational.skewSplitLeftJoin(skewed, dim, "k", h, 8)
+      assert(split.exceptAll(plain).isEmpty && plain.exceptAll(split).isEmpty,
+        s"hot=$h")
+      assert(split.count() == 500)
+    }
+  }
+
   test("write-with-metrics: observed counts equal a standalone scan; data lands intact") {
     val out = java.nio.file.Files.createTempDirectory("graft-obs").toString + "/items"
     val metrics = Quality.writeWithMetrics(items, Seq("sale_price"), out)

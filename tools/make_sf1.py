@@ -3,7 +3,18 @@
 benchmarking only — never for correctness (the DuckDB oracle gate runs on
 the driver-generated sf0.01 fixtures exclusively).
 
-Usage: python3 tools/make_sf1.py [outDir=/tmp/sf1] [factor=10]
+Usage: python3 tools/make_sf1.py [outDir=/tmp/sf1] [factor=10] [zipf [s=1.35]]
+
+With the optional `zipf` flag the output is the SKEW-STRESS variant
+(r11 verdict #4): only orders + lineitem are written, and every replica
+lineitem row draws its l_orderkey from a seeded Zipf (exponent s, default
+1.35 -> the head key collects ~1/zeta(1.35) ~ 31% of every replica block)
+over the full replicated key domain instead of the stride copy — the
+pathological hot-key shape that makes one reduce partition a straggler in
+a shuffled join. The original block is kept verbatim so every sampled key
+still resolves (left-join semantics hold either way). Used by
+tools/SkewProbe.scala to demonstrate AQE's skew-join split on the plain
+join and the salted / skew-split joins staying flat.
 
 Design: each table is the original plus (factor-1) replica blocks with every
 key domain offset by a per-domain stride (max key + 1), so FK structure,
@@ -38,7 +49,7 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
-def main(out_dir="/tmp/sf1", factor=10):
+def main(out_dir="/tmp/sf1", factor=10, skew=False, skew_s=1.35):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
@@ -91,6 +102,43 @@ def main(out_dir="/tmp/sf1", factor=10):
         SELECT o_orderkey + i*{ok}, o_custkey + i*{ck}, o_orderstatus,
                o_totalprice, o_orderdate, o_orderpriority
         FROM {t('orders')}, {rep} g(i)""")
+    if skew:
+        # Zipf-keyed lineitem replicas: ranks over the FULL replicated order
+        # domain, p(r) ~ 1/r^s. rank->key via a modular multiply so the hot
+        # keys are scattered across the id space (a hot key at id 0 would
+        # sit in the same parquet row group as the coldest originals and
+        # confound scan-side effects with join-side skew).
+        li = con.sql(f"SELECT * FROM {t('lineitem')} ORDER BY l_orderkey, "
+                     "l_linenumber, l_partkey").arrow()
+        n_keys = ok * factor
+        ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+        p = 1.0 / np.power(ranks, skew_s)
+        p /= p.sum()
+        key_of_rank = ((np.arange(n_keys, dtype=np.int64) + 1) * 2654435761) % n_keys
+        writer = pq.ParquetWriter(f"{out}/lineitem.parquet", li.schema)
+        writer.write_table(li, row_group_size=262144)
+        n_rows = li.num_rows
+        cols = {c: li.column(c).to_numpy(zero_copy_only=False)
+                for c in li.schema.names}
+        for i in range(1, factor):
+            rng = np.random.default_rng(4321 + i)
+            hot = key_of_rank[rng.choice(n_keys, n_rows, p=p)]
+            rep_cols = dict(cols)
+            rep_cols["l_orderkey"] = hot
+            rep_cols["l_partkey"] = cols["l_partkey"] + i * pk
+            rep_cols["l_suppkey"] = cols["l_suppkey"] + i * sk
+            writer.write_table(
+                pa.table({c: pa.array(rep_cols[c]).cast(li.schema.field(c).type)
+                          for c in li.schema.names}),
+                row_group_size=262144)
+        writer.close()
+        total = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/lineitem.parquet')").fetchone()[0]
+        top = con.sql(
+            f"SELECT l_orderkey, COUNT(*) c FROM read_parquet('{out}/lineitem.parquet') "
+            "GROUP BY 1 ORDER BY c DESC LIMIT 3").fetchall()
+        print(f"lineitem: {total} rows (skewed; top keys {top})")
+        print("skew variant: orders+lineitem only — done")
+        return
     write("lineitem", f"""
         SELECT * FROM {t('lineitem')}
         UNION ALL
@@ -187,4 +235,6 @@ def main(out_dir="/tmp/sf1", factor=10):
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    main(out, factor)
+    skew = "zipf" in sys.argv[3:]
+    extra = [a for a in sys.argv[3:] if a != "zipf"]
+    main(out, factor, skew=skew, skew_s=float(extra[0]) if extra else 1.35)
