@@ -990,6 +990,16 @@ object Dedup {
     * frame is doc-grain, so one build serves the whole suite (the
     * production shape: cluster labels are computed once per corpus version
     * and read everywhere).
+    *
+    * The memo is ONE-ENTRY by design (bounded resident blocks), so do NOT
+    * call this on a sub-corpus plan (a fixture's history split, a sampled
+    * slice) from code that shares a session with full-corpus consumers: the
+    * sub-corpus key evicts the full entry and bills a complete re-cluster
+    * to the next full-corpus caller (measured r12: an incremental op's
+    * history-split call here turned dedup_cluster_survivors from 49 ms
+    * memo-warm into a 15.6 s rebuild every suite pass). For one-off stored-
+    * state fixtures, build labels directly — `connectedComponents(
+    * minhashPairs(subset))` with a caller-owned persist.
     */
   def clusters(docs: DataFrame): DataFrame =
     clustersMemo.getOrBuild(docs, ()) { d =>

@@ -2277,11 +2277,23 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val hist = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-      // the stored state a production loop carries (caller-owned persist on
-      // the signature index, per the incrementalMinhashPairs contract)
+      // the stored state a production loop carries (caller-owned persists,
+      // per the incrementalMinhashPairs contract). Labels are built DIRECTLY
+      // (connectedComponents over the hist pairs), NOT via Dedup.clusters:
+      // that memo is one-entry and keyed by input plan, so a hist-keyed call
+      // here would evict the full-corpus entry every suite pass and bill a
+      // full re-cluster to whichever dedup query runs first in the NEXT
+      // pass (measured r12: dedup_cluster_survivors 49 ms -> 15.6 s cpu).
+      // In production this state is a store read; only the harness computes
+      // it inline, so the harness must not fight the suite's shared memo.
       val idx = Dedup.minhashIndex(hist)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val labels = Dedup.clusters(hist)
+      val labels = hist.select(col("doc_id"))
+        .join(Dedup.connectedComponents(Dedup.minhashPairs(hist))
+          .select(col("node").as("doc_id"), col("label").as("cid")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       trainingManifestIncremental(batch, labels,
         Dedup.clusterSurvivors(hist, labels)
           .select(col("cluster_id"), col("survivor_id"), col("survivor_quality")),
