@@ -177,6 +177,7 @@ object Bench {
         operators.Kpi.ensureFixtureStore(spark, sfDir)
         sources.SketchStore.ensureFixture(spark, sfDir) // same argument: ingest-time
         operators.Similarity.ensureCodes(spark, sfDir) // one-time vector encode
+        sources.CurationStore.ensureFixture(spark, sfDir) // stored curation state
         None
       }
       catch { case e: Throwable =>
