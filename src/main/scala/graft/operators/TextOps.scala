@@ -1015,7 +1015,30 @@ object TextOps {
     */
   def trainingManifestIncremental(batch: DataFrame, histLabels: DataFrame,
       histSurvivors: DataFrame, digestOwners: DataFrame, sigIndex: DataFrame,
-      lang: String = "en", minQuality: Double = 0.5): DataFrame = {
+      lang: String = "en", minQuality: Double = 0.5): DataFrame =
+    trainingManifestIncrementalWithDeltas(batch, histLabels, histSurvivors,
+      digestOwners, sigIndex, lang, minQuality)._1
+
+  /** [[trainingManifestIncremental]] plus the APPEND-ONLY store deltas the
+    * streaming loop persists per batch:
+    *   - `labelDelta` (doc_id, cluster_id): the touched star-forest mapping
+    *     (every old member of a touched cluster + every batch doc in a
+    *     pair, at their NEW labels). Stale rows from earlier batches are
+    *     harmless by construction — star edges only ever ADD connectivity
+    *     already implied, so the union of all deltas is connectivity-
+    *     equivalent to the latest state and min-id labels stay exact;
+    *   - `survivorDelta` (cluster_id, survivor_id, survivor_quality): the
+    *     best candidate of every cluster holding a batch doc. Stale bests
+    *     are likewise harmless: bests are monotone along merges, so an old
+    *     cluster's row re-entering as a candidate is always dominated by
+    *     the row written at merge time. Both monotonicity arguments make
+    *     the streaming stores pure appends — no compaction, tombstone, or
+    *     latest-wins resolution is ever needed for correctness.
+    */
+  def trainingManifestIncrementalWithDeltas(batch: DataFrame,
+      histLabels: DataFrame, histSurvivors: DataFrame, digestOwners: DataFrame,
+      sigIndex: DataFrame, lang: String = "en",
+      minQuality: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
     val Seq(enC, deC, esC, frC) =
       markers.map { case (l, _) => markerCount(col("ws"), l) }
     // one tokenize/score pass over the batch, persisted: consumed by the
@@ -1067,7 +1090,7 @@ object TextOps {
       .select(col("doc_id"), col("cluster_id"),
         (struct(col("quality"), (-col("doc_id")).as("neg_id")) === col("b"))
           .as("is_cluster_survivor"))
-    perDoc.select(col("doc_id"), col("quality"), col("lang_pred"))
+    val rows = perDoc.select(col("doc_id"), col("quality"), col("lang_pred"))
       .join(canon, "doc_id")
       .join(surv.select(col("doc_id"), col("cluster_id"),
         col("is_cluster_survivor")), "doc_id")
@@ -1080,6 +1103,13 @@ object TextOps {
       .withColumn("keep",
         col("is_canonical") && col("is_cluster_survivor") &&
           col("lang_pred") === lang && col("quality") >= minQuality)
+    val labelDelta =
+      upd.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val survivorDelta = batchLabeled.select(col("cluster_id")).distinct()
+      .join(best, "cluster_id")
+      .select(col("cluster_id"), (-col("b.neg_id")).as("survivor_id"),
+        col("b.quality").as("survivor_quality"))
+    (rows, labelDelta, survivorDelta)
   }
 
   /** Drop-reason priority for [[curationManifest]] — the order gates run in

@@ -587,4 +587,98 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** The training-manifest loop as a streaming query — the flagship
+    * curation artifact maintained CONTINUOUSLY: each micro-batch of
+    * arriving documents gets its manifest rows (canonicity, cluster,
+    * survivorship, langid, quality, split, model gate, keep) decided
+    * against the state of everything that arrived before it, at per-batch
+    * cost ([[graft.operators.TextOps.trainingManifestIncrementalWithDeltas]]
+    * applied under the [[incrementalDedupLoop]] exactly-once protocol).
+    *
+    * All four state stores under `storeDir` are APPEND-ONLY batchId-keyed
+    * subdir tables — no compaction, tombstone, or latest-wins resolution is
+    * needed for correctness, because every stale row is harmless by a
+    * monotonicity argument (documented on the deltas function): stale star
+    * edges only re-add implied connectivity (min-id labels stay exact under
+    * plain union), stale survivor bests are dominated by the merge-time
+    * row, digest owners min-merge at read (min is associative), and the
+    * signature index is immutable per doc. Reads per batch: label/survivor/
+    * owner unions are narrow doc-/cluster-/digest-grain tables; the corpus
+    * text is never re-read — each document is tokenized, hashed, and scored
+    * exactly once, in the batch where it arrives.
+    *
+    * Decisions are as-of ARRIVAL (the documented production semantic):
+    * a document's keep flag never flips retroactively when later arrivals
+    * duplicate it — history owns. Exactly-once despite foreachBatch's
+    * at-least-once replay: all five writes land in batchId subdirs, the
+    * signature index is written LAST, and its `_SUCCESS` is the commit
+    * marker — a replayed committed batch is a no-op, a torn first attempt
+    * is healed by overwriting the same subdirs.
+    */
+  def incrementalManifestLoop(spark: SparkSession, docsStreamDir: String,
+      storeDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.Dedup
+    val reader = spark.readStream.schema(graft.sources.Jsonl.documentsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.TextOps
+        val s = b.sparkSession
+        val batch = b.toDF()
+        val sigRoot = new Path(s"$storeDir/sigindex")
+        val fs = sigRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val sigBatch = new Path(sigRoot, s"batch_id=$batchId")
+        if (!fs.exists(new Path(sigBatch, "_SUCCESS"))) {
+          def committed(sub: String): Seq[String] = {
+            val root = new Path(s"$storeDir/$sub")
+            // commit is keyed by the sigindex marker: a torn earlier attempt
+            // may have left other subdirs without sigindex — include a
+            // sibling subdir only when ITS BATCH's sigindex marker exists
+            if (!fs.exists(root)) Seq.empty
+            else fs.listStatus(root)
+              .filter(st => st.isDirectory && fs.exists(
+                new Path(sigRoot, s"${st.getPath.getName}/_SUCCESS")))
+              .map(_.getPath.toString).toSeq
+          }
+          def union(sub: String, empty: => DataFrame): DataFrame = {
+            val dirs = committed(sub)
+            if (dirs.nonEmpty) s.read.parquet(dirs: _*) else empty
+          }
+          val labels = union("labels",
+            batch.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0))
+          val survivors = union("survivors",
+            batch.select(col("doc_id").as("cluster_id"),
+              col("doc_id").as("survivor_id"),
+              lit(0.0).as("survivor_quality")).limit(0))
+          val owners = union("owners",
+            batch.select(md5(col("text")).as("text_key"),
+              col("doc_id").as("canonical_id")).limit(0))
+            .groupBy(col("text_key"))
+            .agg(min(col("canonical_id")).as("canonical_id"))
+          val sig = union("sigindex", Dedup.minhashIndex(batch.limit(0)))
+          val (rows, labelDelta, survivorDelta) =
+            TextOps.trainingManifestIncrementalWithDeltas(
+              batch, labels, survivors, owners, sig)
+          def out(sub: String, df: DataFrame): Unit =
+            df.write.mode("overwrite")
+              .parquet(new Path(s"$storeDir/$sub", s"batch_id=$batchId").toString)
+          out("manifest", rows)
+          out("labels", labelDelta)
+          out("survivors", survivorDelta)
+          out("owners", Dedup.exactGroups(batch)
+            .select(col("text_key"), col("canonical_id")))
+          // written LAST: its _SUCCESS is what marks the whole batch committed
+          Dedup.minhashIndex(batch).write.mode("overwrite")
+            .parquet(sigBatch.toString)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

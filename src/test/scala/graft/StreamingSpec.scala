@@ -341,4 +341,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/index").count() == nIdx,
       "replayed micro-batches must be no-ops")
   }
+
+  test("streaming manifest loop: per-batch rows equal the sequential incremental manifest") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps}
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi", "rho",
+      "sigma")
+    def gen(seed: Int, n: Int = 50): String =
+      (0 until n).map(i => vocab((i * 7 + seed * 13 + i * i * seed) % vocab.size))
+        .mkString(" ")
+    def vary(base: String, at: Int*): String = {
+      val ws = base.split(" "); at.foreach(i => ws(i) = s"CHANGED$i"); ws.mkString(" ")
+    }
+    val a = gen(1); val y = gen(5); val m2 = gen(6)
+    // wave 0: the a-family seed cluster, y's first copy, and TWO separate
+    // singletons each ~0.78-jaccard from m2 but only ~0.6 from each other
+    // (tau = 0.7: both pair with m2, never with each other) — the stage for
+    // a genuine cross-batch cluster MERGE when m2 itself arrives in wave 2
+    val wave0 = Seq(1L -> a, 2L -> vary(a, 25), 15L -> y,
+      41L -> vary(m2, 10, 20), 43L -> vary(m2, 30, 40))
+    // wave 1: an exact copy of doc 1 (loses canonicity AND survivorship to
+    // the identical older doc) and an exact copy of y with a SMALLER id
+    // (id-min semantics: wins canonicity against the stored owner)
+    val wave1 = Seq(7L -> a, 21L -> vary(a, 30), 14L -> y)
+    // wave 2: m2 bridges the two wave-0 singletons (merge), plus a loner
+    val wave2 = Seq(42L -> m2, 28L -> gen(11))
+    def df(ws: Seq[(Long, String)]) =
+      ws.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val inDir = Files.createTempDirectory("graft-manifest-in").toString
+    for (w <- Seq(wave0, wave1, wave2))
+      df(w).coalesce(1).write.mode("append").parquet(inDir)
+    val base = Files.createTempDirectory("graft-manifest-out").toString
+    val q = StreamingOps.incrementalManifestLoop(spark, inDir, base,
+      Files.createTempDirectory("graft-mfckpt").toString,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    val all = (wave0 ++ wave1 ++ wave2).toMap
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Boolean]("is_canonical"), r.getAs[Double]("quality"),
+        r.getAs[String]("lang_pred"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_cluster_survivor"), r.getAs[String]("split"),
+        r.getAs[Boolean]("model_keep"), r.getAs[Boolean]("keep"))
+    // reconstruct arrival order from the committed batch subdirs (file-source
+    // ordering is an implementation detail; the CONTRACT is per-batch
+    // equality against the sequential incremental manifest over whatever
+    // arrived earlier)
+    val mroot = new java.io.File(s"$base/manifest")
+    val batchDirs = mroot.listFiles().filter(_.getName.startsWith("batch_id="))
+      .sortBy(_.getName.stripPrefix("batch_id=").toLong)
+    assert(batchDirs.length == 3, s"expected 3 micro-batches, got ${batchDirs.length}")
+    var seen = Seq.empty[Long]
+    val streamed = scala.collection.mutable.Map.empty[Long, Any]
+    for (bd <- batchDirs) {
+      val got = spark.read.parquet(bd.toString).collect()
+      val ids = got.map(_.getAs[Long]("doc_id")).toSeq
+      val hist = df(seen.map(id => id -> all(id)))
+      val batch = df(ids.map(id => id -> all(id)))
+      val histLabels = hist.select(col("doc_id"))
+        .join(Dedup.connectedComponents(Dedup.minhashPairs(hist))
+          .select(col("node").as("doc_id"), col("label").as("cid")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+      val want = TextOps.trainingManifestIncremental(batch, histLabels,
+        Dedup.clusterSurvivors(hist, histLabels)
+          .select(col("cluster_id"), col("survivor_id"), col("survivor_quality")),
+        Dedup.exactGroups(hist).select(col("text_key"), col("canonical_id")),
+        Dedup.minhashIndex(hist)).collect()
+      assert(got.map(key).toMap == want.map(key).toMap,
+        s"batch ${bd.getName} (docs $ids)")
+      got.map(key).foreach { case (id, v) => streamed(id) = v }
+      seen = seen ++ ids
+    }
+    // every doc decided exactly once, and the engineered cross-batch
+    // decisions came out as designed
+    assert(streamed.keySet == all.keySet)
+    val s7 = streamed(7L).asInstanceOf[(Boolean, Double, String, Long, Boolean, String, Boolean, Boolean)]
+    assert(!s7._1 && !s7._5, "late exact copy loses canonicity and survivorship")
+    val s14 = streamed(14L).asInstanceOf[(Boolean, Double, String, Long, Boolean, String, Boolean, Boolean)]
+    assert(s14._1 && s14._5, "smaller-id copy wins against the stored owner")
+    val s42 = streamed(42L).asInstanceOf[(Boolean, Double, String, Long, Boolean, String, Boolean, Boolean)]
+    assert(s42._4 == 41L,
+      s"doc 42 must merge the two wave-0 singletons under min id 41, got cluster ${s42._4}")
+    // worst-case crash recovery: full replay with a fresh checkpoint — the
+    // sigindex commit markers make every micro-batch a no-op
+    val before = spark.read.parquet(s"$base/manifest").collect().map(key).toMap
+    val q2 = StreamingOps.incrementalManifestLoop(spark, inDir, base,
+      Files.createTempDirectory("graft-mfckpt2").toString,
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(180000)
+    val after = spark.read.parquet(s"$base/manifest").collect().map(key).toMap
+    assert(after == before, "replayed micro-batches must be no-ops")
+  }
 }

@@ -254,6 +254,18 @@ def main(argv):
           f"{[Path(p).name for p in sides[1]]} "
           f"(metric={metric}, {len(olds)}v{len(news)} recordings): "
           f"{len(lines)} flag(s)")
+    # estimator-semantics caveat (r12): pre-r12 artifacts are the CHOSEN
+    # (better) of two suite passes — a minimum statistic; r12+ artifacts are
+    # per-query medians. min-vs-median comparisons carry a built-in upward
+    # bias on the new side, so single-old-recording flags against a median
+    # artifact need the code-A/B adjudication, not a rerun shrug.
+    def kind(ps):
+        return {("recording" in p and "median" in str(p.get("recording")))
+                for p in ps}
+    if kind(olds) != kind(news):
+        print("NOTE: recording semantics differ between sides "
+              "(best-of-N chosen attempt vs per-query median) — expect an "
+              "upward bias on the median side; adjudicate flags by code A/B")
     for l in lines:
         print(l)
     return 1 if lines else 0
