@@ -77,11 +77,18 @@ object Relational {
     */
   def hotKeys(df: DataFrame, key: String, fraction: Double = 0.01,
       minShare: Double = 0.01): Seq[Long] = {
+    // share denominator = the sample's own size, summed from the persisted
+    // key-grain aggregate — NOT a df.count(), which would be a second full
+    // pass over a 100 TB fact just to learn a number the sample already
+    // knows. One corpus scan total; the persisted frame is key-grain.
     val sampled = df.sample(withReplacement = false, fraction, seed = 7L)
       .groupBy(col(key)).agg(count(lit(1)).as("c"))
-    val n = math.max(1L, (df.count() * fraction).toLong)
-    sampled.filter(col("c") >= lit(minShare) * n)
-      .select(col(key).cast(LongType)).collect().map(_.getLong(0)).toSeq
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sampled.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      sampled.filter(col("c") >= lit(minShare) * math.max(1L, n))
+        .select(col(key).cast(LongType)).collect().map(_.getLong(0)).toSeq
+    } finally sampled.unpersist()
   }
 
   /** Targeted skew join — the shape that actually survives 100 TB. The
