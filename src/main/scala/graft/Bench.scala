@@ -391,7 +391,12 @@ object Bench {
     val runId = java.lang.Long.toHexString(System.currentTimeMillis())
     val sfName = new java.io.File(sfDir).getName
     val fullArtifact = s"calib/bench_full_last_$sfName.json"
-    val recording = s""","recording":"per-query median of ${base.size} valid / $nAttempts attempts","run_id":"$runId""""
+    // when EVERY attempt tripped a validity detector the median still runs
+    // over all of them (the least-bad record), but the artifact must say so
+    // instead of calling them valid (found on an sf1 run at default heap:
+    // gc>25% on all three attempts, yet the string read "3 valid / 3")
+    val recording =
+      s""","recording":"per-query median of ${validAttempts.size} valid / $nAttempts attempts${if (invalidFlag) " (NONE valid - invalid_recording)" else ""}","run_id":"$runId""""
     val pointer =
       if (nameFilters.isEmpty) s""","full_artifact":${Json.quote(fullArtifact)}"""
       else ""
