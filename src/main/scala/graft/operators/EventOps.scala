@@ -1355,6 +1355,43 @@ object EventOps {
         graft.sources.SketchStore.ensureFixture(s, d), "2024-01-08", "2024-01-21")
     },
 
+    // Range quantiles from the day-partitioned histogram store (the
+    // quantile twin of the uniques sketch above). The oracle replays the
+    // IEEE-exact power-of-two bucket grid and the ceil-rank pick from the
+    // raw events — certifying the store build + merge + pick chain.
+    Op.sql("events_range_value_quantiles", {
+      import graft.sources.HistStore.{histBuckets, histScale, quantilesPpm}
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |         CAST(LEAST(GREATEST(CAST(FLOOR(value * $histScale) AS BIGINT), 0),
+         |                    ${histBuckets - 1}) AS INTEGER) AS bucket
+         |  FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+         |    AND value IS NOT NULL),
+         |hist AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1),
+         |cum AS (SELECT bucket, CAST(SUM(cnt) OVER (ORDER BY bucket
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM hist),
+         |meta AS (SELECT MIN(day) AS day_from, MAX(day) AS day_to,
+         |                CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+         |                CAST(COUNT(*) AS BIGINT) AS n_values
+         |         FROM ev),
+         |q AS (SELECT CAST(unnest([${quantilesPpm.mkString(", ")}]) AS BIGINT) AS q_ppm),
+         |t AS (SELECT meta.*, q.q_ppm,
+         |        CAST(q_ppm * (n_values // 1000000)
+         |          + (q_ppm * (n_values % 1000000) + 999999) // 1000000 AS BIGINT)
+         |          AS target_rank
+         |      FROM meta CROSS JOIN q)
+         |SELECT day_from, day_to, n_days, n_values, q_ppm, target_rank,
+         |       (SELECT MIN(bucket) FROM cum WHERE cum.cum >= t.target_rank) AS bucket,
+         |       (SELECT MIN(bucket) FROM cum WHERE cum.cum >= t.target_rank) / $histScale
+         |         AS value_edge
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+      graft.sources.HistStore.valueQuantilesBetween(s,
+        graft.sources.HistStore.ensureFixture(s, d), "2024-01-05", "2024-01-25")
+    },
+
     Op.sql("events_daily_anomalies",
       s"""WITH $eventsCte,
          |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events

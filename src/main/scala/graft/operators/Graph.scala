@@ -51,6 +51,16 @@ object Graph {
     * one aggregate to edge grain — never an order-keyed self-join of the
     * fact table.
     */
+  /** Distinct user→product purchase edges — the bipartite graph [[salsa]]
+    * walks. Unlike [[copurchaseEdges]] there is no pair explosion to cap:
+    * the edge count is bounded by the order-items row count.
+    */
+  def userProductEdges(orders: DataFrame, items: DataFrame): DataFrame =
+    items.select(col("order_id"), col("product_id"))
+      .join(orders.select(col("order_id"), col("user_id")), "order_id")
+      .select(col("user_id").as("u"), col("product_id").as("p"))
+      .distinct()
+
   def copurchaseEdges(orderItems: DataFrame): DataFrame = {
     val baskets = orderItems
       .groupBy(col("order_id"))
@@ -210,6 +220,69 @@ object Graph {
     e.unpersist(); nodes.unpersist()
     ranks.filter(col("p") > 0)
       .select(col("node").as("product_id"), col("p").as("rank_q"))
+  }
+
+  /** Fixed iteration count for SALSA (unrolled in the oracle). */
+  val salsaIters = 3
+
+  /** SALSA hubs-and-authorities on the bipartite user→product purchase
+    * graph (Lempel & Moran, "The stochastic approach for link-structure
+    * analysis", WWW 2000) — the recommendation-ranking primitive HITS
+    * popularized, in the degree-normalized variant large systems actually
+    * run. Each round pushes hub mass u→p normalized by user degree
+    * (`h div du` per edge) and authority mass p→u normalized by product
+    * degree (`a div dp`): a random walk alternating sides, so, unlike raw
+    * HITS (whose un-normalized sums grow ~degree× per round and overflow
+    * any fixed grid), total mass is CONSERVED and every score stays on the
+    * [[prGrid]] integer grid — same determinism contract as [[pageRank]]:
+    * integer multiply/divide/sum only, bit-identical under any
+    * partitioning, replayed exactly by the unrolled oracle.
+    *
+    * Output: one row per node, `node_type` 'hub' (users) / 'authority'
+    * (products), `score_q` on the 2^40 grid.
+    *
+    * Scale shape: the bipartite edge table persists once with both degree
+    * columns attached; each half-step is one edge-grain join against
+    * node-grain state (broadcast below [[stateBroadcastMaxNodes]], AQE's
+    * choice above it) plus one hash aggregate — the [[pageRank]] loop
+    * shape with alternating key sides. State checkpoints per round and the
+    * predecessor releases immediately (bounded in-flight blocks).
+    */
+  def salsa(bipartite: DataFrame, iters: Int = salsaIters): DataFrame = {
+    val du = bipartite.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    val dp = bipartite.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val nU = du.count()
+    val withDegrees = bipartite.join(du, "u").join(dp, "p")
+    // past the broadcast ceiling, pre-partition by `u` once — the hub
+    // half-step then never re-shuffles edges; the authority half-step pays
+    // one edge exchange per round (a second p-partitioned copy would trade
+    // that for 2× edge storage — take that trade only if profiling a real
+    // corpus shows the p-side exchange dominating)
+    val e = (if (nU <= stateBroadcastMaxNodes) withDegrees
+             else withDegrees.repartition(
+               graft.Scale.partitionsFor(bipartite), col("u")))
+      .persist()
+    var h = du.select(col("u"), lit(prGrid / nU).as("h"))
+    var a: DataFrame = null
+    (1 to iters).foreach { i =>
+      val (prevH, prevA) = (h, a)
+      a = e.join(stateHint(h.withColumnRenamed("u", "hu"), nU),
+          e("u") === col("hu"))
+        .select(col("p"), expr("h div du").as("c"))
+        .groupBy(col("p")).agg(sum(col("c")).as("a"))
+        .localCheckpoint()
+      h = e.join(stateHint(a.withColumnRenamed("p", "ap"), nU),
+          e("p") === col("ap"))
+        .select(col("u"), expr("a div dp").as("c"))
+        .groupBy(col("u")).agg(sum(col("c")).as("h"))
+        .localCheckpoint()
+      if (i > 1) graft.Release.releaseCheckpoint(prevH, prevA)
+    }
+    e.unpersist()
+    h.select(lit("hub").as("node_type"), col("u").as("node_id"),
+        col("h").as("score_q"))
+      .unionByName(a.select(lit("authority").as("node_type"),
+        col("p").as("node_id"), col("a").as("score_q")))
   }
 
   /** Fixed iteration count for label propagation (unrolled in the oracle). */
@@ -950,6 +1023,34 @@ object Graph {
          |FROM q$prIters WHERE p > 0""".stripMargin
     }) { (s, d) =>
       personalizedPageRank(storedEdges(s, d), col("node") < 5)
+    },
+
+    // SALSA hubs/authorities on the bipartite purchase graph (unrolled
+    // oracle, same integer-grid replay discipline as the PageRank family).
+    Op.sql("graph_salsa", {
+      val rounds = (1 to salsaIters).map { i =>
+        val prev = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a$i AS (SELECT be.p, CAST(SUM(hh.h // du.du) AS BIGINT) AS a
+           |        FROM be JOIN $prev hh USING (u) JOIN du USING (u)
+           |        GROUP BY 1),
+           |h$i AS (SELECT be.u, CAST(SUM(aa.a // dp.dp) AS BIGINT) AS h
+           |        FROM be JOIN a$i aa USING (p) JOIN dp USING (p)
+           |        GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""${Tables.domainCtes},
+         |be AS (SELECT DISTINCT o.user_id AS u, oi.product_id AS p
+         |       FROM order_items oi JOIN orders_v o USING (order_id)),
+         |du AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS du FROM be GROUP BY 1),
+         |dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS dp FROM be GROUP BY 1),
+         |nu AS (SELECT COUNT(*) AS n FROM du),
+         |h0 AS (SELECT u, $prGrid // n AS h FROM du CROSS JOIN nu),
+         |$rounds
+         |SELECT 'hub' AS node_type, u AS node_id, h AS score_q FROM h$salsaIters
+         |UNION ALL
+         |SELECT 'authority' AS node_type, p AS node_id, a AS score_q
+         |FROM a$salsaIters""".stripMargin
+    }) { (s, d) =>
+      salsa(userProductEdges(Tables.ordersDomain(s, d), Tables.orderItems(s, d)))
     },
 
     // Synchronous LPA communities (deterministic tie-break, unrolled oracle).

@@ -209,6 +209,99 @@ object Relational {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Feature-hash bucket count for [[dsirSample]] (the paper's hashed
+    * n-gram table, sized down to the fixture; a power of two so the
+    * modulo is one AND in codegen).
+    */
+  val dsirBuckets = 1024L
+
+  /** Token budget for the DSIR-selected training subset. */
+  val dsirTokenBudget = 1500L
+
+  /** DSIR data selection — "Data Selection for Language Models via
+    * Importance Resampling" (Xie et al., NeurIPS 2023, arXiv:2302.03169):
+    * represent each document as a bag of HASHED BIGRAMS over
+    * [[dsirBuckets]] buckets, estimate a target bucket distribution from
+    * the English slice and a raw distribution from the whole corpus,
+    * weight each document by how much more target-like than corpus-like
+    * its buckets are, and keep the heaviest documents until a token
+    * budget fills. Every document keeps its audit row; `selected` marks
+    * the budgeted prefix.
+    *
+    * Two deliberate deviations keep the op bit-portable to the DuckDB
+    * oracle (no cross-engine libm anywhere in the result):
+    *  - the paper's log-likelihood ratio Σ c_b·(log t_b − log r_b)
+    *    becomes the ppm-LINEAR affinity gap Σ c_b·(t_ppm[b] − r_ppm[b]) —
+    *    integer arithmetic end-to-end with the same "target-heavy buckets
+    *    pull a document up, corpus-common buckets pull it down" signal;
+    *  - Gumbel-noise resampling becomes deterministic top-weight
+    *    selection (the paper's own noise-free variant), so membership is
+    *    a pure function of corpus content — rerun- and
+    *    partitioning-invariant like every sampler here.
+    *
+    * Scale shape: ONE corpus tokenization feeds everything (the persisted
+    * bucket-count frame at (doc, bucket) grain — ≤[[dsirBuckets]] rows per
+    * document); both distributions fold to [[dsirBuckets]]-row broadcast
+    * artifacts, so scoring is a broadcast join + per-doc aggregate (the
+    * corpus never shuffles at bucket grain); selection is the
+    * [[qualityBudgetSample]] distributed-prefix-sum recipe — no global
+    * window, no single-task sort.
+    */
+  def dsirSample(docs: DataFrame, budget: Long = dsirTokenBudget): DataFrame = {
+    val ws = split(col("text"), " ")
+    val feats = docs.filter(size(ws) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", slice(ws, i, lit(2))))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (hash60(col("bg")) % dsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = feats.groupBy(col("b")).agg(sum(col("c")).as("rb"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("tb"))
+    val ppm = raw
+      .crossJoin(broadcast(raw.agg(sum(col("rb")).as("nr"))))
+      .join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tgt.agg(sum(col("tb")).as("ntg"))))
+      .select(col("b"),
+        expr("(rb * 1000000) div nr").as("r_ppm"),
+        coalesce(expr("(tb * 1000000) div ntg"), lit(0L)).as("t_ppm"))
+    val perDoc = feats.join(broadcast(ppm), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("t_ppm")).as("target_ppm_sum"),
+        sum(col("c") * col("r_ppm")).as("raw_ppm_sum"))
+    val scored = docs
+      .select(col("doc_id"), size(ws).cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("target_ppm_sum"), lit(0L)).as("target_ppm_sum"),
+        coalesce(col("raw_ppm_sum"), lit(0L)).as("raw_ppm_sum"),
+        (coalesce(col("target_ppm_sum"), lit(0L))
+          - coalesce(col("raw_ppm_sum"), lit(0L))).as("weight_ppm"))
+    val parts = graft.Scale.partitionsFor(scored, graft.Scale.maxRangePartitions)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("weight_ppm").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = scored
+      .repartitionByRange(parts, col("weight_ppm").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lcs", sum(col("n_tokens")).over(w))
+      .localCheckpoint()
+    val runTotals = local.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offArr = graft.Scale.offsetArray(runTotals)
+    local
+      .withColumn("cum_tokens", element_at(offArr, col("_pid") + 1) + col("_lcs"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("target_ppm_sum"), col("raw_ppm_sum"), col("weight_ppm"),
+        col("cum_tokens"), (col("cum_tokens") <= budget).as("selected"))
+  }
+
   /** L1 made deterministic: top-N categories by exact decimal revenue.
     * (The reference's `show(5)` is an arbitrary-order sample; a defined ordering
     * is the useful capability.)
@@ -452,6 +545,47 @@ object Relational {
          |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= $qualityBudget""".stripMargin) { (s, d) =>
       qualityBudgetSample(Tables.documents(s, d))
+    },
+
+    // DSIR importance selection (see [[dsirSample]]); the oracle replays
+    // the hashed-bigram distributions and the integer affinity gap exactly,
+    // with a plain global window standing in for the distributed prefix sum.
+    Op.sql("sample_importance_dsir",
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |bgx AS (SELECT doc_id, lang,
+         |          unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+         |        FROM w WHERE len(ws) >= 2),
+         |f AS (SELECT doc_id, lang, ${hash60Sql("bg")} % $dsirBuckets AS b,
+         |             CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM bgx GROUP BY 1, 2, 3),
+         |rawd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb FROM f GROUP BY 1),
+         |tgtd AS (SELECT b, CAST(SUM(c) AS BIGINT) AS tb FROM f WHERE lang = 'en' GROUP BY 1),
+         |nr AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM f),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM f WHERE lang = 'en'),
+         |ppm AS (SELECT rawd.b, (rawd.rb * 1000000) // nr.n AS r_ppm,
+         |               COALESCE((tgtd.tb * 1000000) // nt.n, 0) AS t_ppm
+         |        FROM rawd CROSS JOIN nr CROSS JOIN nt
+         |        LEFT JOIN tgtd ON tgtd.b = rawd.b),
+         |pd AS (SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_bigrams,
+         |              CAST(SUM(f.c * p.t_ppm) AS BIGINT) AS target_ppm_sum,
+         |              CAST(SUM(f.c * p.r_ppm) AS BIGINT) AS raw_ppm_sum
+         |       FROM f JOIN ppm p USING (b) GROUP BY 1),
+         |sc AS (SELECT d.doc_id,
+         |              CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |              COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         |              COALESCE(p.target_ppm_sum, 0) AS target_ppm_sum,
+         |              COALESCE(p.raw_ppm_sum, 0) AS raw_ppm_sum,
+         |              COALESCE(p.target_ppm_sum, 0) - COALESCE(p.raw_ppm_sum, 0) AS weight_ppm
+         |       FROM documents d LEFT JOIN pd p USING (doc_id))
+         |SELECT doc_id, n_tokens, n_bigrams, target_ppm_sum, raw_ppm_sum,
+         |       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY weight_ppm DESC, doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |       CAST(SUM(n_tokens) OVER (ORDER BY weight_ppm DESC, doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         <= $dsirTokenBudget AS selected
+         |FROM sc""".stripMargin) { (s, d) =>
+      dsirSample(Tables.documents(s, d))
     },
 
     // Salted skew join, oracle-checked against the PLAIN join's SQL — the

@@ -24,6 +24,34 @@ class GraphSpec extends AnyFunSuite {
     assert((3L to 5L).forall(l => r(l) == r(2L)), "symmetric leaves must tie bit-for-bit")
   }
 
+  test("salsa: matches a serial integer replay; grid mass never grows") {
+    val es = Seq((1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L), (3L, 12L), (4L, 12L))
+    val out = Graph.salsa(es.toDF("u", "p")).collect()
+    // serial replay of the exact recurrence (floor division per edge)
+    val du = es.groupBy(_._1).map { case (u, g) => u -> g.size.toLong }
+    val dp = es.groupBy(_._2).map { case (p, g) => p -> g.size.toLong }
+    val G = Graph.prGrid
+    var h = du.keys.map(u => u -> G / du.size).toMap
+    var a = Map.empty[Long, Long]
+    (1 to Graph.salsaIters).foreach { _ =>
+      a = es.groupBy(_._2).map { case (p, g) =>
+        p -> g.map(e => h(e._1) / du(e._1)).sum }
+      h = es.groupBy(_._1).map { case (u, g) =>
+        u -> g.map(e => a(e._2) / dp(e._2)).sum }
+    }
+    val hubs = out.filter(_.getAs[String]("node_type") == "hub")
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("score_q")).toMap
+    val auths = out.filter(_.getAs[String]("node_type") == "authority")
+      .map(r => r.getAs[Long]("node_id") -> r.getAs[Long]("score_q")).toMap
+    assert(hubs == h, s"hub scores must replay serially: $hubs vs $h")
+    assert(auths == a, s"authority scores must replay serially: $auths vs $a")
+    // mass is conserved up to floor losses — never amplified (the HITS
+    // failure mode this variant exists to avoid)
+    assert(hubs.values.sum <= G && auths.values.sum <= G)
+    // the 3-buyer product must out-rank the 1-buyer product
+    assert(auths(11L) > auths(10L))
+  }
+
   test("pagerank: probability mass conserved up to integer truncation") {
     val edges = Graph.copurchaseEdges(
       graft.sources.Tables.orderItems(spark, TestSession.sf))

@@ -33,6 +33,52 @@ class SketchStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("hist store: range quantile = exact serial pick; upsert ≡ full rebuild; reads prune by day") {
+    import graft.sources.HistStore
+    val dir = Files.createTempDirectory("graft-hist").toString + "/daily"
+    HistStore.buildDaily(events, dir)
+    val (from, to) = ("2024-01-05", "2024-01-25")
+    val rows = HistStore.valueQuantilesBetween(spark, dir, from, to).collect()
+    assert(rows.length == HistStore.quantilesPpm.size)
+    // serial replay: bucket the range's values exactly as the store does,
+    // then pick each quantile off the sorted bucket list
+    val buckets = events
+      .filter(to_date(col("ts")).between(from, to) && col("value").isNotNull)
+      .select(col("value")).collect()
+      .map(r => math.min(math.max(math.floor(r.getDouble(0) * HistStore.histScale)
+        .toLong, 0L), HistStore.histBuckets - 1L))
+      .sorted
+    val n = buckets.length.toLong
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_ppm")
+      val target = q * (n / 1000000) + (q * (n % 1000000) + 999999) / 1000000
+      assert(r.getAs[Long]("n_values") == n)
+      assert(r.getAs[Long]("target_rank") == target)
+      assert(r.getAs[Int]("bucket").toLong == buckets((target - 1).toInt),
+        s"q=$q: bucket pick must equal the serial rank-$target element")
+      assert(r.getAs[Double]("value_edge") ==
+        r.getAs[Int]("bucket") / HistStore.histScale)
+    }
+    // a monotone sanity: higher quantiles never pick lower buckets
+    val picked = rows.sortBy(_.getAs[Long]("q_ppm")).map(_.getAs[Int]("bucket"))
+    assert(picked.zip(picked.tail).forall { case (a, b) => a <= b })
+    // upsert of one already-present day is a no-op on the store's answers
+    val day = "2024-01-10"
+    HistStore.upsertDaily(events.filter(to_date(col("ts")) === day), dir)
+    val after = HistStore.valueQuantilesBetween(spark, dir, from, to).collect()
+    assert(after.map(_.toString).sorted.sameElements(rows.map(_.toString).sorted),
+      "re-delivering a complete day must not change any range answer")
+    // partition pruning: the day range must reach the scan as a PartitionFilter
+    val plan = HistStore.valueQuantilesBetween(spark, dir, from, to)
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "day")),
+      s"day range did not become a PartitionFilter: ${scan.partitionFilters}")
+  }
+
   test("range uniques: merged sketches track the exact range distinct; reads prune by day") {
     val dir = Files.createTempDirectory("graft-sketch2").toString + "/daily"
     SketchStore.buildDaily(events, dir)

@@ -582,6 +582,35 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir: target-like docs outweigh corpus-common docs; selection is the greedy budget prefix") {
+    import spark.implicits._
+    // target slice (en) speaks "alpha beta", the rest of the corpus speaks
+    // "gamma delta"; one probe doc per dialect plus a too-short doc
+    val en = (0L to 3L).map(i => (i, ("alpha beta " * 8).trim, "en", "s", 0L))
+    val fr = (10L to 13L).map(i => (i, ("gamma delta " * 8).trim, "fr", "s", 0L))
+    val probes = Seq(
+      (20L, "alpha beta alpha beta", "fr", "s", 0L),  // target-dialect text
+      (21L, "gamma delta gamma delta", "fr", "s", 0L), // corpus-common text
+      (22L, "solo", "fr", "s", 0L))                    // <2 tokens: no bigrams
+    val docs = (en ++ fr ++ probes)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.Relational.dsirSample(docs, budget = 40L).collect()
+    assert(out.length == docs.count(), "every doc keeps its audit row")
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(20L).getAs[Long]("weight_ppm") > byId(21L).getAs[Long]("weight_ppm"),
+      "target-dialect probe must outweigh the corpus-common probe")
+    assert(byId(22L).getAs[Long]("n_bigrams") == 0L &&
+      byId(22L).getAs[Long]("weight_ppm") == 0L, "short doc scores zero, still present")
+    // selected = exact greedy prefix of (weight desc, doc_id) under the budget
+    val order = out.sortBy(r => (-r.getAs[Long]("weight_ppm"), r.getAs[Long]("doc_id")))
+    var cum = 0L
+    order.foreach { r =>
+      cum += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") == cum, "prefix sum must match serial replay")
+      assert(r.getAs[Boolean]("selected") == (cum <= 40L))
+    }
+  }
+
   test("vocab growth: verbatim copies add no types, cumsum runs exactly") {
     import spark.implicits._
     val a = (0 until 10).map(i => s"w$i").mkString(" ") // 6 distinct 5-grams
