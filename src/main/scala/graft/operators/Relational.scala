@@ -247,7 +247,14 @@ object Relational {
     * [[qualityBudgetSample]] distributed-prefix-sum recipe — no global
     * window, no single-task sort.
     */
-  def dsirSample(docs: DataFrame, budget: Long = dsirTokenBudget): DataFrame = {
+  /** The lazy scoring stage of [[dsirSample]] (everything up to the
+    * selection prefix-sum): doc_id, n_tokens, n_bigrams, target_ppm_sum,
+    * raw_ppm_sum, weight_ppm. Exposed separately so the plan shape (the
+    * ppm distribution tables must BROADCAST into the scoring join) is
+    * pinnable by PlanSpec — [[dsirSample]] itself executes eagerly for the
+    * offset collect, which hides this subtree from explain.
+    */
+  private[graft] def dsirScores(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val feats = docs.filter(size(ws) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -273,7 +280,7 @@ object Relational {
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c") * col("t_ppm")).as("target_ppm_sum"),
         sum(col("c") * col("r_ppm")).as("raw_ppm_sum"))
-    val scored = docs
+    docs
       .select(col("doc_id"), size(ws).cast(LongType).as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -282,6 +289,10 @@ object Relational {
         coalesce(col("raw_ppm_sum"), lit(0L)).as("raw_ppm_sum"),
         (coalesce(col("target_ppm_sum"), lit(0L))
           - coalesce(col("raw_ppm_sum"), lit(0L))).as("weight_ppm"))
+  }
+
+  def dsirSample(docs: DataFrame, budget: Long = dsirTokenBudget): DataFrame = {
+    val scored = dsirScores(docs)
     val parts = graft.Scale.partitionsFor(scored, graft.Scale.maxRangePartitions)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("weight_ppm").desc, col("doc_id"))

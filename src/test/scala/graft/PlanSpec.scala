@@ -31,6 +31,26 @@ class PlanSpec extends AnyFunSuite {
     plan.collect { case s: FileSourceScanExec => s }
   }
 
+  test("dsir scoring: the ppm distribution tables broadcast into the per-doc join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val scored = graft.operators.Relational.dsirScores(
+      Tables.documents(spark, TestSession.sf))
+    val plan = scored.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the (doc, bucket)-grain corpus frame must never sort-merge against the
+    // 1024-row ppm table — that shuffle is the shape the broadcast exists
+    // to avoid (AQE may leave the hint as-is or plan it directly; either
+    // way no SMJ keyed on the bucket column may appear)
+    val smjOnBucket = plan.collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.references.exists(_.name == "b")) => j
+    }
+    assert(smjOnBucket.isEmpty, s"bucket-grain sort-merge join in dsir scoring: $smjOnBucket")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "dsir scoring must broadcast the distribution tables")
+  }
+
   test("exact-rank recipe: all windows partitioned, no global sort; composites window-free") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the ranking stage itself (pre-checkpoint): its window partitions by
