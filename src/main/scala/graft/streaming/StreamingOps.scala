@@ -502,6 +502,34 @@ object StreamingOps {
       .start()
   }
 
+  /** [[incrementalSketchStore]]'s argument applied to the quantile store:
+    * the days present in each micro-batch of arriving event files drive a
+    * day-scoped histogram recompute over the full static events table,
+    * upserted by dynamic partition overwrite into
+    * [[graft.sources.HistStore]]. Day recompute from the static table is
+    * idempotent and correct under partial-day arrivals, so at-least-once
+    * replay yields exactly-once histogram state.
+    */
+  def incrementalHistStore(spark: SparkSession, eventsStreamDir: String,
+      staticEvents: DataFrame, histDir: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(eventsSchema)
+    val arrivals = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsStreamDir)
+    arrivals.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val days = batch.select(to_date(col("ts")).as("d"))
+          .distinct().collect().map(_.getDate(0)).toSeq
+        if (days.nonEmpty)
+          graft.sources.HistStore.upsertDaily(
+            staticEvents.filter(to_date(col("ts")).isin(days: _*)), histDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** The reference's incremental-recompute loop as a streaming query
     * (SURVEY.md §2.2.5): each micro-batch of newly-arrived order files drives
     * a date-scoped KPI recompute over the full static tables, upserted by

@@ -124,6 +124,30 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(estimates(streamed) == estimates(full))
   }
 
+  test("hist store streaming loop converges to the batch-built store under split-day arrivals") {
+    import graft.sources.HistStore
+    import graft.streaming.StreamingOps
+    val inDir = Files.createTempDirectory("graft-hist-in").toString
+    val full = Files.createTempDirectory("graft-hist-f").toString + "/daily"
+    val streamed = Files.createTempDirectory("graft-hist-s").toString + "/daily"
+    HistStore.buildDaily(events, full)
+    events.filter(col("event_id") % 2 === 0).write.mode("append").parquet(inDir)
+    events.filter(col("event_id") % 2 === 1).write.mode("append").parquet(inDir)
+    val q = StreamingOps.incrementalHistStore(spark, inDir, events, streamed,
+      Files.createTempDirectory("graft-ckpt-hi").toString, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
+    def hists(dir: String) = HistStore.read(spark, dir).collect()
+      .map(r => (r.getDate(r.fieldIndex("day")), r.getAs[Int]("bucket"),
+        r.getAs[Long]("cnt"))).toSet
+    assert(hists(streamed) == hists(full))
+    // and the range answers agree bit-for-bit
+    val a = HistStore.valueQuantilesBetween(spark, streamed, "2024-01-05", "2024-01-25")
+      .collect().map(_.toString).sorted
+    val b = HistStore.valueQuantilesBetween(spark, full, "2024-01-05", "2024-01-25")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("mixed-k store: range merge equals the uniform-min-k store's answer") {
     // a store whose history was built at k=128 and whose recent days were
     // written at k=64 (a live k migration) must answer range queries with
