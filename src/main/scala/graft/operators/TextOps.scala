@@ -630,6 +630,46 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("pct"), col("mix_bucket"))
   }
 
+  /** Token budget the temperature-mixture plan allocates. */
+  val temperatureBudget = 20000L
+
+  /** Temperature-scaled mixture PLANNING — the multilingual/multi-source
+    * upsampling primitive (mT5, Xue et al. JMLR 2021: sample source i with
+    * probability ∝ n_i^α, α < 1, lifting low-resource sources): derive each
+    * source's sampling share from its token mass at temperature α = 1/2 and
+    * turn a global token budget into per-source token quotas. α is FIXED at
+    * 1/2 deliberately: IEEE-754 requires sqrt to be correctly rounded, so
+    * `floor(sqrt(n))` is bit-identical across engines and the oracle replays
+    * it — `pow` with an arbitrary exponent carries no rounding guarantee.
+    * The quota split `w·(B div W) + (w·(B mod W)) div W` is the exact
+    * `(B·w) div W` without the overflow of the direct product (the HistStore
+    * rank arithmetic). Where [[mixtureSpec]] is a hand-written recipe, this
+    * op DERIVES the recipe from corpus statistics; its quota rows feed the
+    * per-source budget fills ([[graft.operators.Relational.tokenBudgetSample]]).
+    *
+    * Scale shape: one narrow corpus pass folds to a |sources|-row aggregate;
+    * the share arithmetic broadcasts a 1-row totals frame. Nothing here is
+    * corpus-sized after the first aggregate.
+    */
+  def temperatureMixturePlan(docs: DataFrame,
+      budget: Long = temperatureBudget): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("src_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("src_tokens").cast(DoubleType))).cast(LongType))
+    val tot = per.agg(sum(col("src_tokens")).as("tot_tokens"),
+      sum(col("weight")).as("tot_weight"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"), col("weight"),
+        expr("(src_tokens * 1000000) div tot_tokens").as("natural_ppm"),
+        expr("(weight * 1000000) div tot_weight").as("temperature_ppm"),
+        expr(s"weight * ($budget div tot_weight) " +
+          s"+ (weight * ($budget % tot_weight)) div tot_weight")
+          .as("quota_tokens"))
+      .withColumn("upsample_ppm",
+        expr("(temperature_ppm * 1000000) div greatest(natural_ppm, 1)"))
+  }
+
   /** Shard count for [[globalShuffle]] — the parallelism/file-size knob; at
     * production scale it is corpus_size / target_shard_bytes (thousands), so
     * every shard sorts in its own task.
@@ -2059,6 +2099,28 @@ object TextOps {
          |WHERE mix_bucket < pct""".stripMargin
     }) { (s, d) =>
       mixtureSample(Tables.documents(s, d))
+    },
+
+    // Temperature-derived mixture plan (α = 1/2; see temperatureMixturePlan).
+    Op.sql("sample_mixture_temperature",
+      s"""WITH per AS (
+         |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, src_tokens,
+         |        CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS weight
+         |      FROM per),
+         |tot AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
+         |               CAST(SUM(weight) AS BIGINT) AS tot_weight FROM w)
+         |SELECT source, src_tokens, weight,
+         |  (src_tokens * 1000000) // tot_tokens AS natural_ppm,
+         |  (weight * 1000000) // tot_weight AS temperature_ppm,
+         |  CAST(weight * ($temperatureBudget // tot_weight)
+         |    + (weight * ($temperatureBudget % tot_weight)) // tot_weight AS BIGINT)
+         |    AS quota_tokens,
+         |  ((weight * 1000000) // tot_weight * 1000000)
+         |    // GREATEST((src_tokens * 1000000) // tot_tokens, 1) AS upsample_ppm
+         |FROM w CROSS JOIN tot""".stripMargin) { (s, d) =>
+      temperatureMixturePlan(Tables.documents(s, d))
     },
 
     Op.sql("sample_global_shuffle",

@@ -582,6 +582,28 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mixture: sqrt weights lift the small source; quotas stay within budget") {
+    import spark.implicits._
+    // big source: 100 docs x 100 tokens = 10000; small: 1 doc x 100 tokens
+    val big = (0L until 100L).map(i => (i, ("w " * 100).trim, "en", "big", 0L))
+    val small = Seq((900L, ("w " * 100).trim, "en", "small", 0L))
+    val docs = (big ++ small).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.temperatureMixturePlan(docs, budget = 1000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("big").getAs[Long]("src_tokens") == 10000L)
+    assert(out("big").getAs[Long]("weight") == 100L)   // isqrt(10000)
+    assert(out("small").getAs[Long]("weight") == 10L)  // isqrt(100)
+    // natural share of small = 100/10100 ≈ 9900 ppm; temperature share =
+    // 10/110 ≈ 90909 ppm — a ~9x lift; big is correspondingly damped
+    assert(out("small").getAs[Long]("upsample_ppm") > 1000000L)
+    assert(out("big").getAs[Long]("upsample_ppm") < 1000000L)
+    assert(out("small").getAs[Long]("temperature_ppm") == 10L * 1000000L / 110L)
+    // quotas: exact (B*w) div W via the split formula, and they never
+    // overshoot the budget in total
+    assert(out("big").getAs[Long]("quota_tokens") == 1000L * 100L / 110L)
+    assert(out.values.map(_.getAs[Long]("quota_tokens")).sum <= 1000L)
+  }
+
   test("dsir: target-like docs outweigh corpus-common docs; selection is the greedy budget prefix") {
     import spark.implicits._
     // target slice (en) speaks "alpha beta", the rest of the corpus speaks
