@@ -241,44 +241,62 @@ object Graph {
     * Output: one row per node, `node_type` 'hub' (users) / 'authority'
     * (products), `score_q` on the 2^40 grid.
     *
-    * Scale shape: the bipartite edge table persists once with both degree
-    * columns attached; each half-step is one edge-grain join against
-    * node-grain state (broadcast below [[stateBroadcastMaxNodes]], AQE's
-    * choice above it) plus one hash aggregate — the [[pageRank]] loop
-    * shape with alternating key sides. State checkpoints per round and the
-    * predecessor releases immediately (bounded in-flight blocks).
+    * Scale shape: each half-step is one edge-grain join against node-grain
+    * state (broadcast below [[stateBroadcastMaxNodes]], AQE's choice above
+    * it) plus one hash aggregate — the [[pageRank]] loop shape with
+    * ALTERNATING key sides, which above the ceiling takes two narrow
+    * persisted edge copies (one per join key) so that no round exchanges
+    * edge-grain rows; see the in-body comment for the sf10 measurement
+    * behind that trade. State checkpoints per round and the predecessor
+    * releases immediately (bounded in-flight blocks).
     */
   def salsa(bipartite: DataFrame, iters: Int = salsaIters): DataFrame = {
-    val du = bipartite.groupBy(col("u")).agg(count(lit(1)).as("du"))
-    val dp = bipartite.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val base = bipartite.persist()
+    val du = base.groupBy(col("u")).agg(count(lit(1)).as("du"))
+    val dp = base.groupBy(col("p")).agg(count(lit(1)).as("dp"))
     val nU = du.count()
-    val withDegrees = bipartite.join(du, "u").join(dp, "p")
-    // past the broadcast ceiling, pre-partition by `u` once — the hub
-    // half-step then never re-shuffles edges; the authority half-step pays
-    // one edge exchange per round (a second p-partitioned copy would trade
-    // that for 2× edge storage — take that trade only if profiling a real
-    // corpus shows the p-side exchange dominating)
-    val e = (if (nU <= stateBroadcastMaxNodes) withDegrees
-             else withDegrees.repartition(
-               graft.Scale.partitionsFor(bipartite), col("u")))
-      .persist()
+    val nP = dp.count()
+    val small = math.max(nU, nP) <= stateBroadcastMaxNodes
+    // Past the broadcast ceiling, TWO narrow persisted copies — each
+    // pre-partitioned by ITS half-step's join key — so no round ever
+    // exchanges edge-grain rows (the per-round partial aggregate collapses
+    // contributions to ~node grain before its exchange, as in pageRank).
+    // 2× edge storage for zero per-round edge shuffles: measured at sf10
+    // (1.5 M users > 2^20, ~55 M edges), the single-copy variant paid a
+    // 55 M-row exchange + sort in every authority half-step and ran
+    // 8 147 cpu-s with 36 GB spill — ×30 for the sf1→sf10 ×10 step, twice
+    // the pagerank family's per-join cost; the dual-copy shape is the fix
+    // (A/B in PERF.md r12 continuation).
+    // (below the ceiling one combined frame suffices — state broadcasts, so
+    // neither half-step shuffles edges anyway and a second copy would be
+    // pure persist overhead: +84% cpu measured at sf0.1)
+    val (eA, eH) = if (small) {
+      val e = base.join(du, "u").join(dp, "p").persist()
+      (e, e)
+    } else {
+      val parts = graft.Scale.partitionsFor(base)
+      (base.join(du, "u").select(col("u"), col("p"), col("du"))
+        .repartition(parts, col("u")).persist(),
+        base.join(dp, "p").select(col("u"), col("p"), col("dp"))
+          .repartition(parts, col("p")).persist())
+    }
     var h = du.select(col("u"), lit(prGrid / nU).as("h"))
     var a: DataFrame = null
     (1 to iters).foreach { i =>
       val (prevH, prevA) = (h, a)
-      a = e.join(stateHint(h.withColumnRenamed("u", "hu"), nU),
-          e("u") === col("hu"))
+      a = eA.join(stateHint(h.withColumnRenamed("u", "hu"), nU),
+          eA("u") === col("hu"))
         .select(col("p"), expr("h div du").as("c"))
         .groupBy(col("p")).agg(sum(col("c")).as("a"))
         .localCheckpoint()
-      h = e.join(stateHint(a.withColumnRenamed("p", "ap"), nU),
-          e("p") === col("ap"))
+      h = eH.join(stateHint(a.withColumnRenamed("p", "ap"), nP),
+          eH("p") === col("ap"))
         .select(col("u"), expr("a div dp").as("c"))
         .groupBy(col("u")).agg(sum(col("c")).as("h"))
         .localCheckpoint()
       if (i > 1) graft.Release.releaseCheckpoint(prevH, prevA)
     }
-    e.unpersist()
+    eA.unpersist(); eH.unpersist(); base.unpersist()
     h.select(lit("hub").as("node_type"), col("u").as("node_id"),
         col("h").as("score_q"))
       .unionByName(a.select(lit("authority").as("node_type"),
