@@ -282,19 +282,25 @@ object Graph {
     }
     var h = du.select(col("u"), lit(prGrid / nU).as("h"))
     var a: DataFrame = null
+    // profiling only: materialize the persisted edge copies as "round 0" so
+    // per-round records measure the loop body alone (pageRank convention)
+    if (graft.LoopProf.enabled)
+      graft.LoopProf.timed("salsa", 0) { eA.count(); eH.count() }
     (1 to iters).foreach { i =>
-      val (prevH, prevA) = (h, a)
-      a = eA.join(stateHint(h.withColumnRenamed("u", "hu"), nU),
-          eA("u") === col("hu"))
-        .select(col("p"), expr("h div du").as("c"))
-        .groupBy(col("p")).agg(sum(col("c")).as("a"))
-        .localCheckpoint()
-      h = eH.join(stateHint(a.withColumnRenamed("p", "ap"), nP),
-          eH("p") === col("ap"))
-        .select(col("u"), expr("a div dp").as("c"))
-        .groupBy(col("u")).agg(sum(col("c")).as("h"))
-        .localCheckpoint()
-      if (i > 1) graft.Release.releaseCheckpoint(prevH, prevA)
+      graft.LoopProf.timed("salsa", i) {
+        val (prevH, prevA) = (h, a)
+        a = eA.join(stateHint(h.withColumnRenamed("u", "hu"), nU),
+            eA("u") === col("hu"))
+          .select(col("p"), expr("h div du").as("c"))
+          .groupBy(col("p")).agg(sum(col("c")).as("a"))
+          .localCheckpoint()
+        h = eH.join(stateHint(a.withColumnRenamed("p", "ap"), nP),
+            eH("p") === col("ap"))
+          .select(col("u"), expr("a div dp").as("c"))
+          .groupBy(col("u")).agg(sum(col("c")).as("h"))
+          .localCheckpoint()
+        if (i > 1) graft.Release.releaseCheckpoint(prevH, prevA)
+      }
     }
     eA.unpersist(); eH.unpersist(); base.unpersist()
     h.select(lit("hub").as("node_type"), col("u").as("node_id"),

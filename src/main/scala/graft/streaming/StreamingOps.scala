@@ -644,6 +644,123 @@ object StreamingOps {
     * marker — a replayed committed batch is a no-op, a torn first attempt
     * is healed by overwriting the same subdirs.
     */
+  /** Seal-fenced committed-state listing for the manifest-loop store.
+    *
+    * A batch subdir `batch_id=<n>` is committed when its SIGINDEX twin
+    * carries `_SUCCESS` (the loop writes sigindex last). A COMPACTION seal
+    * `batch_id=sealed<H>` (written by [[compactManifestState]], committed
+    * by the same sigindex-marker rule) is the union of every numeric batch
+    * ≤ H, so once the highest seal H* is committed the reader keeps only
+    * {sealed H*} ∪ {numeric > H*} — numeric dirs ≤ H* and superseded
+    * smaller seals become invisible GARBAGE the moment the seal's marker
+    * lands, which is what makes compaction crash-safe with no read-side
+    * double counting: a torn seal (no marker) is ignored entirely, a
+    * committed seal fences its inputs out atomically, and deleting the
+    * garbage afterwards is pure space reclamation at any pace.
+    */
+  private[graft] def committedManifestDirs(spark: SparkSession,
+      storeDir: String, sub: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val sigRoot = new Path(s"$storeDir/sigindex")
+    val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$storeDir/$sub")
+    if (!fs.exists(root)) return Seq.empty
+    val committed = fs.listStatus(root)
+      .filter(st => st.isDirectory && fs.exists(
+        new Path(sigRoot, s"${st.getPath.getName}/_SUCCESS")))
+      .map(_.getPath).toSeq
+    def idOf(name: String) = name.stripPrefix("batch_id=")
+    val seals = committed.flatMap(p => idOf(p.getName) match {
+      case s if s.startsWith("sealed") => Some(s.stripPrefix("sealed").toLong -> p)
+      case _ => None
+    })
+    val horizon = seals.map(_._1).sorted.lastOption
+    committed.filter { p =>
+      idOf(p.getName) match {
+        case s if s.startsWith("sealed") =>
+          horizon.contains(s.stripPrefix("sealed").toLong) // only the max seal
+        case n => horizon.forall(n.toLong > _) // numerics past the fence
+      }
+    }.map(_.toString)
+  }
+
+  /** State families the manifest loop reads back (its `manifest` subdirs
+    * are the OUTPUT trail, never re-read — compaction leaves them alone).
+    */
+  private val manifestStateFamilies = Seq("labels", "survivors", "owners", "sigindex")
+
+  /** Compact the [[incrementalManifestLoop]] store's append-only state:
+    * fold every committed batch subdir of each read-back family into ONE
+    * sealed subdir `batch_id=sealed<H>` (H = highest numeric batch folded),
+    * committed by the loop's own sigindex-marker rule — sigindex written
+    * LAST, so a torn compaction is invisible and a committed one fences
+    * its inputs out atomically ([[committedManifestDirs]]). Rows are
+    * carried as-is (labels/survivors/sigindex union semantics are
+    * duplicate- and staleness-tolerant by the loop's monotonicity
+    * argument) except `owners`, which min-resolves per text_key — exactly
+    * the fold the reader itself applies, so the read is provably
+    * unchanged. The superseded subdirs become garbage; [[gcManifestState]]
+    * reclaims them at any later point. Single compactor at a time (the
+    * FactStore.compact concurrency contract).
+    */
+  def compactManifestState(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = manifestStateFamilies
+      .map(f => f -> committedManifestDirs(spark, storeDir, f)).toMap
+    val numeric = live("sigindex").map(new Path(_).getName.stripPrefix("batch_id="))
+      .filter(!_.startsWith("sealed")).map(_.toLong)
+    if (numeric.isEmpty) return // nothing past the fence: a no-op
+    val seal = s"batch_id=sealed${numeric.max}"
+    def write(sub: String): Unit = {
+      val df = spark.read.parquet(live(sub): _*)
+      val folded =
+        if (sub == "owners")
+          df.groupBy(col("text_key")).agg(min(col("canonical_id")).as("canonical_id"))
+        else df
+      folded.write.mode("overwrite").parquet(s"$storeDir/$sub/$seal")
+    }
+    manifestStateFamilies.filterNot(_ == "sigindex").foreach(write)
+    write("sigindex") // last: its _SUCCESS commits the seal
+  }
+
+  /** Delete the subdirs a committed seal fenced out — pure space
+    * reclamation, safe to run (or crash) at any time after
+    * [[compactManifestState]] returns.
+    */
+  def gcManifestState(spark: SparkSession, storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only dirs the max COMMITTED seal provably fenced out are garbage —
+    // an uncommitted (in-flight or torn) numeric batch dir is never touched
+    val horizon = committedManifestDirs(spark, storeDir, "sigindex")
+      .map(new Path(_).getName.stripPrefix("batch_id="))
+      .filter(_.startsWith("sealed")).map(_.stripPrefix("sealed").toLong)
+      .sorted.lastOption
+    horizon.foreach { h =>
+      manifestStateFamilies.foreach { f =>
+        val root = new Path(s"$storeDir/$f")
+        if (fs.exists(root)) fs.listStatus(root)
+          .filter { st =>
+            val id = st.getPath.getName.stripPrefix("batch_id=")
+            st.isDirectory && (
+              if (id.startsWith("sealed")) id.stripPrefix("sealed").toLong < h
+              else scala.util.Try(id.toLong).toOption.exists(_ <= h))
+          }
+          .foreach { st =>
+            if (f == "sigindex" && !st.getPath.getName.contains("sealed")) {
+              // reclaim the data but KEEP the batch's _SUCCESS marker: it is
+              // the loop's replay no-op guard — a fresh-checkpoint replay of
+              // an already-sealed batch must stay a no-op, not reprocess the
+              // batch against state that now contains its own documents
+              fs.listStatus(st.getPath)
+                .filter(_.getPath.getName != "_SUCCESS")
+                .foreach(c => fs.delete(c.getPath, true))
+            } else fs.delete(st.getPath, true)
+          }
+      }
+    }
+  }
+
   def incrementalManifestLoop(spark: SparkSession, docsStreamDir: String,
       storeDir: String, checkpoint: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
@@ -662,17 +779,10 @@ object StreamingOps {
         val fs = sigRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
         val sigBatch = new Path(sigRoot, s"batch_id=$batchId")
         if (!fs.exists(new Path(sigBatch, "_SUCCESS"))) {
-          def committed(sub: String): Seq[String] = {
-            val root = new Path(s"$storeDir/$sub")
-            // commit is keyed by the sigindex marker: a torn earlier attempt
-            // may have left other subdirs without sigindex — include a
-            // sibling subdir only when ITS BATCH's sigindex marker exists
-            if (!fs.exists(root)) Seq.empty
-            else fs.listStatus(root)
-              .filter(st => st.isDirectory && fs.exists(
-                new Path(sigRoot, s"${st.getPath.getName}/_SUCCESS")))
-              .map(_.getPath.toString).toSeq
-          }
+          // commit is keyed by the sigindex marker, and compaction seals
+          // fence their folded batches out — see committedManifestDirs
+          def committed(sub: String): Seq[String] =
+            committedManifestDirs(s, storeDir, sub)
           def union(sub: String, empty: => DataFrame): DataFrame = {
             val dirs = committed(sub)
             if (dirs.nonEmpty) s.read.parquet(dirs: _*) else empty

@@ -124,6 +124,24 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(estimates(streamed) == estimates(full))
   }
 
+  test("hist store: out-of-grid and negative values clamp to the edge buckets, deterministically") {
+    import graft.sources.HistStore
+    val spark2 = spark
+    import spark2.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", -3.7, ""),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "view", 0.0, ""),
+      (3L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "view", 1e12, ""),
+      (4L, Timestamp.valueOf("2024-01-01 03:00:00"), 1L, "view", 511.99, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hist = HistStore.dailyHists(ev).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("cnt")).toMap
+    // -3.7 and 0.0 clamp/land in bucket 0; 1e12 clamps into the top bucket;
+    // 511.99*2 floors to 1023 (the top bucket's own edge)
+    assert(hist == Map(0 -> 2L, (HistStore.histBuckets - 1).toInt -> 2L), s"got $hist")
+  }
+
   test("hist store streaming loop converges to the batch-built store under split-day arrivals") {
     import graft.sources.HistStore
     import graft.streaming.StreamingOps

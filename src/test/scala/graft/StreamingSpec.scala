@@ -342,6 +342,67 @@ class StreamingSpec extends AnyFunSuite {
       "replayed micro-batches must be no-ops")
   }
 
+  test("manifest state compaction: seal fences atomically; decisions, replay and GC all unchanged") {
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi")
+    def gen(seed: Int, n: Int = 40): String =
+      (0 until n).map(i => vocab((i * 7 + seed * 13 + i * i * seed) % vocab.size))
+        .mkString(" ")
+    def vary(base: String, at: Int*): String = {
+      val ws = base.split(" "); at.foreach(i => ws(i) = s"CHANGED$i"); ws.mkString(" ")
+    }
+    val a = gen(1); val y = gen(5)
+    val wave0 = Seq(1L -> a, 2L -> vary(a, 25), 15L -> y)
+    val wave1 = Seq(7L -> a, 21L -> vary(a, 30))
+    // wave 2 arrives AFTER compaction: 14 is a smaller-id exact copy of the
+    // SEALED owner 15 (exercises the folded owners state), 28 is a loner
+    val wave2 = Seq(14L -> y, 28L -> gen(11))
+    def df(ws: Seq[(Long, String)]) =
+      ws.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val inDir = Files.createTempDirectory("graft-cmp-in").toString
+    for (w <- Seq(wave0, wave1)) df(w).coalesce(1).write.mode("append").parquet(inDir)
+    val storeA = Files.createTempDirectory("graft-cmp-a").toString
+    val storeB = Files.createTempDirectory("graft-cmp-b").toString
+    val ckptA = Files.createTempDirectory("graft-cmp-ca").toString
+    val ckptB = Files.createTempDirectory("graft-cmp-cb").toString
+    def run(store: String, ckpt: String) = {
+      val q = StreamingOps.incrementalManifestLoop(spark, inDir, store, ckpt,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination(180000)
+    }
+    run(storeA, ckptA); run(storeB, ckptB)
+    StreamingOps.compactManifestState(spark, storeA)
+    // atomic fencing: folded numeric dirs are still on disk, yet invisible
+    val live = StreamingOps.committedManifestDirs(spark, storeA, "labels")
+    assert(live.size == 1 && live.head.contains("sealed1"), s"got $live")
+    assert(new java.io.File(s"$storeA/labels").list()
+      .count(_.startsWith("batch_id=")) == 3, "garbage not yet reclaimed")
+    // the post-compaction batch decides identically on both stores
+    df(wave2).coalesce(1).write.mode("append").parquet(inDir)
+    run(storeA, ckptA); run(storeB, ckptB)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Boolean]("is_canonical"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_cluster_survivor"), r.getAs[Boolean]("keep"))
+    def manifests(store: String) =
+      spark.read.parquet(s"$store/manifest").collect().map(key).toMap
+    val a2 = manifests(storeA)
+    assert(a2 == manifests(storeB),
+      "compaction must not change any decision the loop makes")
+    assert(a2(14L)._1, "smaller-id copy must still beat the SEALED owner")
+    // GC reclaims the fenced dirs but keeps the replay no-op markers
+    StreamingOps.gcManifestState(spark, storeA)
+    assert(!new java.io.File(s"$storeA/labels/batch_id=0").exists())
+    assert(new java.io.File(s"$storeA/sigindex/batch_id=0/_SUCCESS").exists())
+    assert(new java.io.File(s"$storeA/sigindex/batch_id=0").list()
+      .forall(n => n == "_SUCCESS" || n == "._SUCCESS.crc"),
+      "sealed sigindex batch keeps only its marker (and the local-FS crc twin)")
+    // a worst-case fresh-checkpoint full replay stays a no-op AFTER gc
+    run(storeA, Files.createTempDirectory("graft-cmp-ca2").toString)
+    assert(manifests(storeA) == a2, "replay after compaction+gc must be a no-op")
+  }
+
   test("streaming manifest loop: per-batch rows equal the sequential incremental manifest") {
     import spark.implicits._
     import graft.operators.{Dedup, TextOps}
