@@ -1392,6 +1392,37 @@ object EventOps {
         graft.sources.HistStore.ensureFixture(s, d), "2024-01-05", "2024-01-25")
     },
 
+    // Day-grain value-distribution drift off the same stored histograms
+    // (TVD ppm vs the all-days blend; raw events never rescanned). The
+    // oracle replays grid + blend + TVD from the raw table.
+    Op.sql("events_daily_hist_drift", {
+      import graft.sources.HistStore.{histBuckets, histScale}
+      s"""WITH b AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |         CAST(LEAST(GREATEST(CAST(FLOOR(value * $histScale) AS BIGINT), 0),
+         |                    ${histBuckets - 1}) AS INTEGER) AS bucket
+         |  FROM events WHERE value IS NOT NULL),
+         |sc AS (SELECT day, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |st AS (SELECT day, CAST(SUM(c) AS BIGINT) AS s_tot FROM sc GROUP BY 1),
+         |cc AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS cc_c FROM sc GROUP BY 1),
+         |ct AS (SELECT CAST(SUM(cc_c) AS BIGINT) AS c_tot FROM cc),
+         |grid AS (
+         |  SELECT s.day, g.bucket, COALESCE(sc.c, 0) AS sc_c, g.cc_c,
+         |         st.s_tot, ct.c_tot
+         |  FROM (SELECT DISTINCT day FROM sc) s
+         |  CROSS JOIN cc g
+         |  LEFT JOIN sc ON sc.day = s.day AND sc.bucket = g.bucket
+         |  JOIN st ON st.day = s.day CROSS JOIN ct)
+         |SELECT day,
+         |       CAST(SUM(ABS(sc_c * 1000000 // s_tot - cc_c * 1000000 // c_tot)) // 2
+         |            AS BIGINT) AS tvd_ppm,
+         |       CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |FROM grid GROUP BY day""".stripMargin
+    }) { (s, d) =>
+      graft.sources.HistStore.dailyHistDrift(s,
+        graft.sources.HistStore.ensureFixture(s, d))
+    },
+
     Op.sql("events_daily_anomalies",
       s"""WITH $eventsCte,
          |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events

@@ -120,6 +120,34 @@ object HistStore {
         (col("bucket") / lit(histScale)).as("value_edge"))
   }
 
+  /** Per-day value-distribution drift vs the whole store's blend: TVD in
+    * ppm between each day's histogram and the all-days histogram — the
+    * day-grain ingest-anomaly monitor (a transcoding bug, a price-unit
+    * change, a bot flood all move the value distribution before they move
+    * the volume), computed ENTIRELY from the stored day histograms: the
+    * raw events are never rescanned, which is the store's point. Same
+    * integer-ppm TVD as [[graft.operators.TextOps.sourceDrift]]; both
+    * comparison frames (bucket blend ≤ [[histBuckets]] rows, day totals)
+    * are bounded broadcast artifacts.
+    */
+  def dailyHistDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sc = read(spark, dir)
+    val st = sc.groupBy(col("day")).agg(sum(col("cnt")).as("s_tot"))
+    val cc = sc.groupBy(col("bucket")).agg(sum(col("cnt")).as("cc_c"))
+    val ct = cc.agg(sum(col("cc_c")).as("c_tot"))
+    sc.select(col("day")).distinct()
+      .crossJoin(broadcast(cc))
+      .join(sc.withColumnRenamed("cnt", "c"), Seq("day", "bucket"), "left")
+      .join(broadcast(st), Seq("day"))
+      .crossJoin(broadcast(ct))
+      .select(col("day"),
+        abs(expr("coalesce(c, 0L) * 1000000 div s_tot - cc_c * 1000000 div c_tot"))
+          .as("term"))
+      .groupBy(col("day"))
+      .agg(expr("CAST(sum(term) div 2 AS BIGINT)").as("tvd_ppm"),
+        count(lit(1)).as("n_buckets"))
+  }
+
   /** Build-once daily histogram store for the `events` fixture under
     * `srcDir` (content-stamped [[ArtifactStore]] dir).
     */

@@ -142,6 +142,28 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(hist == Map(0 -> 2L, (HistStore.histBuckets - 1).toInt -> 2L), s"got $hist")
   }
 
+  test("hist drift: a blend-shaped day scores zero TVD, one-sided days score their exact gap") {
+    import graft.sources.HistStore
+    val spark2 = spark
+    import spark2.implicits._
+    import java.sql.Timestamp
+    def ev(day: Int, n: Int, v: Double) = (0 until n).map(i =>
+      (day * 1000L + i, Timestamp.valueOf(f"2024-01-0$day 0${i % 10}:00:00"),
+        1L, "view", v, ""))
+    // day 1: 10 values in bucket 0; day 2: 10 values in bucket 2;
+    // day 3: one of each — exactly the blend's 50/50 shape
+    val events = (ev(1, 10, 0.1) ++ ev(2, 10, 1.1) ++
+      ev(3, 1, 0.1) ++ ev(3, 1, 1.1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft-hist-drift").toString + "/daily"
+    HistStore.buildDaily(events, dir)
+    val out = HistStore.dailyHistDrift(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("tvd_ppm")).toMap
+    assert(out("2024-01-03") == 0L, s"blend-shaped day must score zero: $out")
+    assert(out("2024-01-01") == 500000L && out("2024-01-02") == 500000L,
+      s"one-sided days score the exact half-L1 gap: $out")
+  }
+
   test("hist store streaming loop converges to the batch-built store under split-day arrivals") {
     import graft.sources.HistStore
     import graft.streaming.StreamingOps
