@@ -270,17 +270,25 @@ object Graph {
     // (below the ceiling one combined frame suffices — state broadcasts, so
     // neither half-step shuffles edges anyway and a second copy would be
     // pure persist overhead: +84% cpu measured at sf0.1)
+    val parts = if (small) 0 else graft.Scale.partitionsFor(base)
     val (eA, eH) = if (small) {
       val e = base.join(du, "u").join(dp, "p").persist()
       (e, e)
     } else {
-      val parts = graft.Scale.partitionsFor(base)
       (base.join(du, "u").select(col("u"), col("p"), col("du"))
         .repartition(parts, col("u")).persist(),
         base.join(dp, "p").select(col("u"), col("p"), col("dp"))
           .repartition(parts, col("p")).persist())
     }
     var h = du.select(col("u"), lit(prGrid / nU).as("h"))
+    // round-0 state materialization above the ceiling (the pageRank r9
+    // LoopProf finding, re-measured here at sf10: round-1 cpu ran 1.7× of
+    // round 3 because round 1 re-derived the seed through the degree
+    // aggregate and paid the first state exchange on top; checkpointing the
+    // seed at the edge copies' fan-out gives round 1 the shape rounds 2+
+    // have)
+    if (!small)
+      h = h.repartition(parts, col("u")).localCheckpoint()
     var a: DataFrame = null
     // profiling only: materialize the persisted edge copies as "round 0" so
     // per-round records measure the loop body alone (pageRank convention)
@@ -300,6 +308,7 @@ object Graph {
           .groupBy(col("u")).agg(sum(col("c")).as("h"))
           .localCheckpoint()
         if (i > 1) graft.Release.releaseCheckpoint(prevH, prevA)
+        else if (!small) graft.Release.releaseCheckpoint(prevH)
       }
     }
     eA.unpersist(); eH.unpersist(); base.unpersist()
