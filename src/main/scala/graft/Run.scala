@@ -24,8 +24,10 @@ object Run {
     // subcommand dispatch and die on args(2)
     require(
       (args.length == 2 && args(1) != "compact") ||
-        (args.length == 3 && (args(2) == "--reset" || args(1) == "compact")),
-      "usage: graft.Run <root> <batch-date YYYY-MM-DD> [--reset] | <root> compact <horizon>")
+        (args.length == 3 && (args(2) == "--reset" || args(1) == "compact" ||
+          (args(1) == "compact-manifest" && args(2) == "--gc"))),
+      "usage: graft.Run <root> <batch-date YYYY-MM-DD> [--reset] | " +
+        "<root> compact <horizon> | <root> compact-manifest [--gc]")
     val (root, date) = (args(0), args(1))
     val reset = args.length == 3 && args(2) == "--reset"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,6 +50,18 @@ object Run {
       try {
         graft.sources.FactStore.compact(spark, s"$root/facts", horizon = args(2))
         println(s"[graft] store $root/facts compacted up to ${args(2)}")
+      } finally spark.stop()
+      return
+    }
+    // the streaming manifest store's read-cost dial: seal every committed
+    // batch (atomic fence, see StreamingOps.compactManifestState) and, with
+    // --gc, reclaim the fenced subdirs (replay no-op markers are kept)
+    if (date == "compact-manifest") {
+      try {
+        graft.streaming.StreamingOps.compactManifestState(spark, s"$root/curation")
+        if (args.length == 3) graft.streaming.StreamingOps.gcManifestState(spark, s"$root/curation")
+        println(s"[graft] manifest state $root/curation sealed" +
+          (if (args.length == 3) " and garbage-collected" else ""))
       } finally spark.stop()
       return
     }
